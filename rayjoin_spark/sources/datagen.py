@@ -1,0 +1,151 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — no rand(), no external data.
+
+Layer A: an m x m lattice of unit squares with full polygon topology
+(polygon id of cell (i,j) = 1 + i*m + j, exterior = 0) expressed as
+2-point chains carrying left/right face ids, exactly the reference's
+chain data model (reference src/map/planar_graph.h:24-39, CDB format
+README.md:73-99). Layer B: the same lattice scaled/rotated/offset so
+edges cross layer A generically.
+
+Everything is generated distributed via spark.range + column arithmetic
+(pure functions of the row id — reproducible at any scale), mirroring the
+reference's seeded workload generators (src/run_query.cu:101-167) without
+per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Knuth-style multiplicative hashes for pseudo-uniform positions: pure
+# integer arithmetic so DuckDB oracles can reproduce them verbatim.
+_MULT_X = 2654435761
+_MULT_Y = 2246822519
+_MOD = 1 << 32
+
+
+def lattice_chains(spark: SparkSession, m: int) -> tuple[DataFrame, DataFrame]:
+    """Unit-square lattice over [0,m]^2 -> (chains, points) DataFrames.
+
+    Vertical chains walk +y (left face = west cell, right = east cell);
+    horizontal chains walk +x (left = north, right = south); exterior = 0.
+    chain ids: verticals [0, (m+1)*m), horizontals offset by (m+1)*m.
+    """
+    nv = (m + 1) * m
+    pid = lambda i, j: 1 + i * m + j  # noqa: E731
+
+    v = spark.range(nv).select(
+        F.col("id").alias("chain_id"),
+        (F.col("id") / m).cast("bigint").alias("i"),
+        F.pmod(F.col("id"), m).alias("j"),
+    )
+    v_chains = v.select(
+        "chain_id",
+        F.when(F.col("i") > 0, 1 + (F.col("i") - 1) * m + F.col("j"))
+        .otherwise(F.lit(0))
+        .alias("left_polygon_id"),
+        F.when(F.col("i") < m, 1 + F.col("i") * m + F.col("j"))
+        .otherwise(F.lit(0))
+        .alias("right_polygon_id"),
+    )
+    v_points = v.withColumn("seq", F.explode(F.array(F.lit(0), F.lit(1)))).select(
+        "chain_id",
+        "seq",
+        F.col("i").cast("double").alias("x"),
+        (F.col("j") + F.col("seq")).cast("double").alias("y"),
+    )
+
+    h = spark.range(nv).select(
+        (F.col("id") + nv).alias("chain_id"),
+        F.pmod(F.col("id"), m).alias("i"),
+        (F.col("id") / m).cast("bigint").alias("j"),
+    )
+    h_chains = h.select(
+        "chain_id",
+        F.when(F.col("j") < m, 1 + F.col("i") * m + F.col("j"))
+        .otherwise(F.lit(0))
+        .alias("left_polygon_id"),
+        F.when(F.col("j") > 0, 1 + F.col("i") * m + (F.col("j") - 1))
+        .otherwise(F.lit(0))
+        .alias("right_polygon_id"),
+    )
+    h_points = h.withColumn("seq", F.explode(F.array(F.lit(0), F.lit(1)))).select(
+        "chain_id",
+        "seq",
+        (F.col("i") + F.col("seq")).cast("double").alias("x"),
+        F.col("j").cast("double").alias("y"),
+    )
+
+    chains = v_chains.unionByName(h_chains)
+    points = v_points.unionByName(h_points)
+    return chains, points
+
+
+def transformed_lattice(
+    spark: SparkSession,
+    m: int,
+    scale: float = 0.7,
+    angle_deg: float = 13.0,
+    dx: float = 0.23,
+    dy: float = 0.37,
+) -> tuple[DataFrame, DataFrame]:
+    """Layer B: affine-transformed lattice (edges cross layer A generically,
+    with irrational-slope coordinates exercising the snap-to-grid path)."""
+    chains, points = lattice_chains(spark, m)
+    c = scale * math.cos(math.radians(angle_deg))
+    s = scale * math.sin(math.radians(angle_deg))
+    points = points.select(
+        "chain_id",
+        "seq",
+        (F.col("x") * F.lit(c) - F.col("y") * F.lit(s) + F.lit(dx)).alias("x"),
+        (F.col("x") * F.lit(s) + F.col("y") * F.lit(c) + F.lit(dy)).alias("y"),
+    )
+    return chains, points
+
+
+def uniform_points(
+    spark: SparkSession,
+    n: int,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+) -> DataFrame:
+    """Pseudo-uniform query points (mirrors GeneratePIPQueries,
+    reference src/run_query.cu:146-167) — hash positions are pure int
+    arithmetic reproducible in any SQL engine."""
+    hx = F.pmod(F.col("id") * F.lit(_MULT_X), F.lit(_MOD))
+    hy = F.pmod(F.col("id") * F.lit(_MULT_Y), F.lit(_MOD))
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        (F.lit(min_x) + hx / F.lit(float(_MOD)) * F.lit(max_x - min_x)).alias("x"),
+        (F.lit(min_y) + hy / F.lit(float(_MOD)) * F.lit(max_y - min_y)).alias("y"),
+    )
+
+
+def synthetic_pages(spark: SparkSession, n: int) -> DataFrame:
+    """Common-Crawl-style pages table per BASELINE.json input_hint:
+    (url string, warc_ts timestamp, html binary, text string, lang string).
+    Deterministic function of the row id."""
+    i = F.col("id")
+    text = F.concat(
+        F.lit("page body "),
+        i.cast("string"),
+        F.lit(" token"),
+        F.pmod(i * 37, 1000).cast("string"),
+        F.lit(" lorem ipsum dolor sit amet consectetur "),
+        F.pmod(i * 101, 997).cast("string"),
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("https://host"), F.pmod(i, 97).cast("string"), F.lit(".example/p/"), i.cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1600000000) + i).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "UTF-8").alias("html"),
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("pt"), F.lit("zh")),
+            (F.pmod(i, 5) + 1).cast("int"),
+        ).alias("lang"),
+    )
