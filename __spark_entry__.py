@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs the real rayjoin_spark engine operator on
+geometry/text derived deterministically from the driver's parquet tables;
+the matching ``oracle_sql()`` entry re-derives the same result in pure
+DuckDB SQL (integer arithmetic + literal-constant snapping, so both
+engines agree bit-for-bit). See rayjoin_spark/sources/derived.py.
 """
 
 from __future__ import annotations
@@ -12,27 +12,508 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rayjoin_spark.functions import textops
+from rayjoin_spark.operators import simsearch
+from rayjoin_spark.operators.knn import knn_points
+from rayjoin_spark.operators.lsi import lsi_join
+from rayjoin_spark.operators.pip import pip_locate
+from rayjoin_spark.operators.tiles import tile_aggregate
+from rayjoin_spark.plans import cells as cells_mod
+from rayjoin_spark.plans.scaling import INTERNAL_MIN
+from rayjoin_spark.sources import derived
+from rayjoin_spark.sources.derived import (
+    DERIVED_GRID,
+    DERIVED_SCALING,
+    EDGES_A_SQL,
+    EDGES_B_SQL,
+    points_sql,
+)
+
+# ------------------------------------------------------------------ engine
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_lsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ea = derived.edges_a(spark, sf_dir)
+    eb = derived.edges_b(spark, sf_dir)
+    return lsi_join(ea, eb, DERIVED_GRID).select("eid_a", "eid_b")
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ea = derived.edges_a(spark, sf_dir)
+    pts = derived.query_points(spark, sf_dir)
+    out = pip_locate(pts, ea, DERIVED_SCALING, DERIVED_GRID)
+    return out.select(
+        "point_id",
+        "closest_eid",
+        F.col("face_id").cast("bigint").alias("face_id"),
+    )
+
+
+def q_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ea = derived.edges_a(spark, sf_dir)
+    ec = cells_mod.explode_edges_to_cells(ea, DERIVED_GRID)
+    return cells_mod.cell_counts(ec).select(
+        F.col("cx").cast("bigint").alias("cx"),
+        F.col("cy").cast("bigint").alias("cy"),
+        F.col("ne").alias("n_edges"),
+    )
+
+
+def q_cell_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ea = cells_mod.explode_edges_to_cells(derived.edges_a(spark, sf_dir), DERIVED_GRID)
+    eb = cells_mod.explode_edges_to_cells(derived.edges_b(spark, sf_dir), DERIVED_GRID)
+    w = cells_mod.cell_workload(ea, eb)
+    # histogram bucketed by decimal digit count (portable integer log10)
+    return (
+        w.withColumn("bucket", F.length(F.col("workload").cast("string")))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("workload").alias("total_workload"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_cells", "total_workload")
+    )
+
+
+def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = derived.query_points(spark, sf_dir, residue=3, mod=4)
+    t = tile_aggregate(pts, DERIVED_SCALING, DERIVED_GRID, shift=3)
+    return t.select(
+        F.col("tile_x").cast("bigint").alias("tile_x"),
+        F.col("tile_y").cast("bigint").alias("tile_y"),
+        "n_points",
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qs = derived.query_points(spark, sf_dir, residue=2, mod=16)
+    corpus = derived.query_points(spark, sf_dir, residue=3, mod=4).select(
+        F.col("point_id").alias("corpus_id"), "x", "y"
+    )
+    out = knn_points(qs, corpus, DERIVED_SCALING, DERIVED_GRID, k=3)
+    return out.select(
+        "point_id", "corpus_id", "dist2", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.token_count(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_guess")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.dedup_exact(_docs(spark, sf_dir)).select(
+        "content_hash", "canonical_id", "n_dups"
+    )
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.minhash_signatures(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("j").cast("bigint").alias("j"), "minhash"
+    )
+
+
+def q_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = textops.minhash_signatures(_docs(spark, sf_dir))
+    return textops.lsh_bands(sigs).select(
+        "doc_id", F.col("band").cast("bigint").alias("band"), "band_key"
+    )
+
+
+def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = textops.minhash_signatures(docs)
+    cands = textops.neardup_candidates(textops.lsh_bands(sigs))
+    return textops.ngram_jaccard(docs, cands).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.topk_dot(emb, qs, k=5).select(
+        "query_id", "corpus_id", "dot", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents -> Common-Crawl-shaped pages, geocoded; byte-identical
+    text passthrough is the checked invariant."""
+    d = _docs(spark, sf_dir)
+    mod = 1 << 32
+    hx = F.pmod(F.col("doc_id") * 2654435761, mod)
+    hy = F.pmod(F.col("doc_id") * 2246822519, mod)
+    return d.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (hx / F.lit(float(mod)) * F.lit(1021.0)).alias("x"),
+        (hy / F.lit(float(mod)) * F.lit(1021.0)).alias("y"),
+        F.col("text"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the LSI spatial join on sf0.001-derived layers."""
+    return q_lsi(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lsi_join": q_lsi,
+        "pip_locate": q_pip,
+        "grid_cell_counts": q_grid_cells,
+        "cell_workload_hist": q_cell_workload,
+        "tile_counts": q_tiles,
+        "knn_cellring": q_knn,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "lang_guess": q_lang,
+        "doc_fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup,
+        "minhash_signatures": q_minhash,
+        "lsh_bands": q_lsh_bands,
+        "neardup_jaccard": q_neardup,
+        "simhash16": q_simhash,
+        "ann_topk_dot": q_ann,
+        "pages_geocode": q_pages_geocode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
+
+_CELL = derived.cell_sql
+
+_LSI_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     eb AS ({EDGES_B_SQL}),
+     j AS (
+  SELECT ea.eid AS eid_a, eb.eid AS eid_b,
+         ea.x1 AS ax1, ea.y1 AS ay1, ea.x2 AS ax2, ea.y2 AS ay2,
+         eb.x1 AS bx1, eb.y1 AS by1, eb.x2 AS bx2, eb.y2 AS by2,
+         (ea.x1 * eb.a + ea.y1 * eb.b + eb.c) AS s_a1,
+         (ea.x2 * eb.a + ea.y2 * eb.b + eb.c) AS s_a2,
+         (eb.x1 * ea.a + eb.y1 * ea.b + ea.c) AS s_b1,
+         (eb.x2 * ea.a + eb.y2 * ea.b + ea.c) AS s_b2,
+         ea.a AS aa, ea.b AS ab, eb.a AS ba, eb.b AS bb
+  FROM ea, eb
+), sos AS (
+  SELECT eid_a, eid_b, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+         CASE WHEN s_a1 <> 0 THEN s_a1 WHEN ba <> 0 THEN -ba ELSE -bb END AS e_a1,
+         CASE WHEN s_a2 <> 0 THEN s_a2 WHEN ba <> 0 THEN -ba ELSE -bb END AS e_a2,
+         CASE WHEN s_b1 <> 0 THEN s_b1 WHEN aa <> 0 THEN aa ELSE ab END AS e_b1,
+         CASE WHEN s_b2 <> 0 THEN s_b2 WHEN aa <> 0 THEN aa ELSE ab END AS e_b2
+  FROM j
+)
+SELECT eid_a, eid_b FROM sos
+WHERE ((e_a1 > 0) <> (e_a2 > 0)) AND ((e_b1 > 0) <> (e_b2 > 0))
+  AND NOT ((ax1 = bx1 AND ay1 = by1 AND ax2 = bx2 AND ay2 = by2)
+        OR (ax1 = bx2 AND ay1 = by2 AND ax2 = bx1 AND ay2 = by1))
+"""
+
+_PIP_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     pts AS ({points_sql(2, 4)}),
+     cand AS (
+  SELECT p.point_id, e.eid, e.x1, e.x2, e.a, e.b,
+         e.left_polygon_id, e.right_polygon_id,
+         (-e.a * p.px - e.c) AS n
+  FROM pts p, ea e
+  WHERE p.px >= least(e.x1, e.x2) AND p.px <= greatest(e.x1, e.x2)
+    AND p.px <> greatest(e.x1, e.x2)
+    AND (CASE WHEN (p.px * e.a + p.py * e.b + e.c) <> 0
+              THEN (p.px * e.a + p.py * e.b + e.c)
+              WHEN e.a <> 0 THEN e.a ELSE e.b END) < 0
+), keyed AS (
+  SELECT *,
+    CAST((n - (((n % b) + b) % b)) // b AS HUGEINT) * 4611686018427387904
+      + ( (((((n % b) + b) % b) * 2147483648
+            - ((((n % b) + b) % b) * 2147483648) % b) // b) * 2147483648
+        + ((((((n % b) + b) % b) * 2147483648) % b) * 2147483648
+            - (((((((n % b) + b) % b) * 2147483648) % b) * 2147483648) % b)) // b
+        ) AS ykey,
+    CAST((a * 2147483648 - (((a * 2147483648) % b + b) % b)) // b AS HUGEINT) * 2147483648
+      + (((((a * 2147483648) % b + b) % b) * 2147483648
+          - ((((a * 2147483648) % b + b) % b) * 2147483648) % b) // b) AS skey
+  FROM cand
+), best AS (
+  SELECT point_id, eid, x1, x2, left_polygon_id, right_polygon_id,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY ykey ASC, skey DESC, eid ASC) AS rn
+  FROM keyed
+)
+SELECT p.point_id, b.eid AS closest_eid,
+       CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
+                          ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_id
+FROM pts p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (point_id)
+"""
+
+_GRID_CELLS_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     boxed AS (
+  SELECT least({_CELL('x1')}, {_CELL('x2')}) AS ix1,
+         greatest({_CELL('x1')}, {_CELL('x2')}) AS ix2,
+         least({_CELL('y1')}, {_CELL('y2')}) AS iy1,
+         greatest({_CELL('y1')}, {_CELL('y2')}) AS iy2
+  FROM ea
+), cx AS (
+  SELECT CAST(unnest(range(ix1, ix2 + 1)) AS BIGINT) AS cx, iy1, iy2 FROM boxed
+)
+SELECT cx, CAST(unnest(range(iy1, iy2 + 1)) AS BIGINT) AS cy, 1 AS one
+FROM cx
+"""
+
+_GRID_CELLS_AGG_SQL = f"""
+SELECT cx, cy, COUNT(*) AS n_edges
+FROM ({_GRID_CELLS_SQL})
+GROUP BY cx, cy
+"""
+
+
+def _cells_of(src_sql: str) -> str:
+    return f"""
+  SELECT cx, CAST(unnest(range(iy1, iy2 + 1)) AS BIGINT) AS cy FROM (
+    SELECT CAST(unnest(range(ix1, ix2 + 1)) AS BIGINT) AS cx, iy1, iy2 FROM (
+      SELECT least({_CELL('x1')}, {_CELL('x2')}) AS ix1,
+             greatest({_CELL('x1')}, {_CELL('x2')}) AS ix2,
+             least({_CELL('y1')}, {_CELL('y2')}) AS iy1,
+             greatest({_CELL('y1')}, {_CELL('y2')}) AS iy2
+      FROM ({src_sql})
+    )
+  )"""
+
+
+_WORKLOAD_SQL = f"""
+WITH ca AS (SELECT cx, cy, COUNT(*) AS ne_a FROM ({_cells_of(EDGES_A_SQL)}) GROUP BY cx, cy),
+     cb AS (SELECT cx, cy, COUNT(*) AS ne_b FROM ({_cells_of(EDGES_B_SQL)}) GROUP BY cx, cy),
+     w AS (SELECT ca.ne_a * cb.ne_b AS workload FROM ca JOIN cb USING (cx, cy))
+SELECT CAST(length(CAST(workload AS VARCHAR)) AS BIGINT) AS bucket,
+       COUNT(*) AS n_cells, CAST(SUM(workload) AS BIGINT) AS total_workload
+FROM w GROUP BY 1
+"""
+
+_TILES_SQL = f"""
+WITH pts AS ({points_sql(3, 4)})
+SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
+       CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_points
+FROM pts GROUP BY 1, 2
+"""
+
+_KNN_SQL = f"""
+WITH qs AS ({points_sql(2, 16)}),
+     corpus AS ({points_sql(3, 4)}),
+     d AS (
+  SELECT q.point_id, c.point_id AS corpus_id,
+         (c.px - q.px) * (c.px - q.px) + (c.py - q.py) * (c.py - q.py) AS dist2
+  FROM qs q, corpus c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY point_id
+                               ORDER BY dist2 ASC, corpus_id ASC) AS rank
+  FROM d
+)
+SELECT point_id, corpus_id, dist2, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+
+_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(length({_TOKENS}) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct({_TOKENS})) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+_STOP = "['the','a','of','and','to','in','is','on','for','with']"
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+  + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(CAST(length(text) AS DOUBLE), 1.0))
+  + 0.3 * least((CAST(length(list_filter({_TOKENS}, x -> list_contains({_STOP}, lower(x)))) AS DOUBLE)
+                 / greatest(CAST(length({_TOKENS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+  AS quality
+FROM documents
+"""
+
+_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+    length(list_filter(toks, x -> list_contains(['the','and','of','to','is'], x))) AS en,
+    length(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS de,
+    length(list_filter(toks, x -> list_contains(['le','la','et','les','est'], x))) AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+       WHEN en = greatest(en, de, fr) THEN 'en'
+       WHEN de = greatest(en, de, fr) THEN 'de'
+       ELSE 'fr' END AS lang_guess
+FROM h
+"""
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLES_SQL = """
+  SELECT doc_id, substr(text, CAST(pos AS INT), 9) AS shingle
+  FROM (
+    SELECT doc_id, text, unnest(range(1, greatest(length(text) - 8, 1) + 1)) AS pos
+    FROM documents
+  )"""
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+     salted AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS j,
+         md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
+  FROM sh, (SELECT unnest(range(0, 8)) AS j)
+)
+SELECT doc_id, j, MIN(h) AS minhash FROM salted GROUP BY doc_id, j
+"""
+
+_LSH_BANDS_SQL = f"""
+WITH m AS ({_MINHASH_SQL})
+SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
+       string_agg(CAST(j AS VARCHAR) || '=' || minhash, '|'
+                  ORDER BY CAST(j AS VARCHAR) || '=' || minhash) AS band_key
+FROM m GROUP BY doc_id, j // 2
+"""
+
+_NEARDUP_SQL = f"""
+WITH bands AS ({_LSH_BANDS_SQL}),
+     pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+  WHERE l.doc_id < r.doc_id
+), sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+   ns AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+   inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       COALESCE(i.n_inter, 0) AS n_inter, na.n AS n_a, nb.n AS n_b,
+       COALESCE(i.n_inter, 0) / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS jaccard
+FROM pairs p
+LEFT JOIN inter i USING (id_a, id_b)
+JOIN ns na ON na.doc_id = p.id_a
+JOIN ns nb ON nb.doc_id = p.id_b
+"""
+
+_SIMHASH_SQL = """
+WITH sh AS (
+  SELECT doc_id, md5(substr(t, CAST(pos AS INT), 9)) AS h
+  FROM (
+    SELECT doc_id, substr(text, 1, 128) AS t,
+           unnest(range(1, greatest(length(substr(text, 1, 128)) - 8, 1) + 1)) AS pos
+    FROM documents
+  )
+), bits AS (
+  SELECT doc_id, CAST(bit AS INT) AS bit,
+         ((strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+          // CAST(power(2, 3 - bit % 4) AS INT)) % 2 AS bitval
+  FROM sh, (SELECT unnest(range(0, 16)) AS bit)
+), votes AS (
+  SELECT doc_id, bit, SUM(CASE WHEN bitval = 1 THEN 1 ELSE -1 END) AS v
+  FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+_ANN_SQL = """
+WITH iv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv FROM iv WHERE vec_id % 100 = 0),
+   d AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS dot
+  FROM iv c, q WHERE c.vec_id <> q.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, corpus_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, corpus_id, dot, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+_PAGES_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+       ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 1021.0 AS x,
+       ((doc_id * 2246822519) % 4294967296) / 4294967296.0 * 1021.0 AS y,
+       text
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lsi_join": _LSI_SQL,
+        "pip_locate": _PIP_SQL,
+        "grid_cell_counts": _GRID_CELLS_AGG_SQL,
+        "cell_workload_hist": _WORKLOAD_SQL,
+        "tile_counts": _TILES_SQL,
+        "knn_cellring": _KNN_SQL,
+        "token_count": _TOKEN_COUNT_SQL,
+        "quality_score": _QUALITY_SQL,
+        "lang_guess": _LANG_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "dedup_exact": _DEDUP_SQL,
+        "minhash_signatures": _MINHASH_SQL,
+        "lsh_bands": _LSH_BANDS_SQL,
+        "neardup_jaccard": _NEARDUP_SQL,
+        "simhash16": _SIMHASH_SQL,
+        "ann_topk_dot": _ANN_SQL,
+        "pages_geocode": _PAGES_SQL,
+    }

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+    python bench.py             # single run -> JSON line on stdout
+    python bench.py --scaling   # N vs 4N cores (local[8] vs local[32]),
+                                # writes BENCH.md with scaling efficiency
+
+The two-parallelism run evidences BASELINE.json's north rule (throughput
+scaling efficiency >= 0.8 between N and 4N executors) in-sandbox: same
+input, same plans, two core counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LATTICE_M = int(os.environ.get("SPARK_GRAFT_BENCH_M", "96"))
+
+
+def _queries(spark, sf_dir):
+    """name -> (build() -> DataFrame); each is forced with .count()."""
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.functions import textops
+    from rayjoin_spark.operators import simsearch
+    from rayjoin_spark.operators.knn import knn_points
+    from rayjoin_spark.operators.lsi import lsi_join
+    from rayjoin_spark.operators.pip import pip_locate
+    from rayjoin_spark.operators.tiles import tile_aggregate
+    from rayjoin_spark.plans.layers import build_edges
+    from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+    from rayjoin_spark.sources import derived
+    from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice, uniform_points
+
+    d = derived
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # big synthetic lattice pair for the spatial-join headline
+    ca, pa = lattice_chains(spark, LATTICE_M)
+    cb, pb = transformed_lattice(spark, LATTICE_M)
+    scaling = compute_scaling(pa, pb)
+    ea = build_edges(ca, pa, scaling).persist()
+    eb = build_edges(cb, pb, scaling).persist()
+    ea.count(), eb.count()
+    lat_pts = uniform_points(spark, 200_000, -0.5, LATTICE_M + 0.5, -0.5, LATTICE_M + 0.5)
+
+    def q_lsi_lattice():
+        return lsi_join(ea, eb, GridSpec(256))
+
+    def q_lsi_derived():
+        return lsi_join(d.edges_a(spark, sf_dir), d.edges_b(spark, sf_dir), d.DERIVED_GRID)
+
+    def q_pip_lattice():
+        return pip_locate(lat_pts, ea, scaling, GridSpec(256))
+
+    def q_pip_derived():
+        return pip_locate(
+            d.query_points(spark, sf_dir), d.edges_a(spark, sf_dir),
+            d.DERIVED_SCALING, d.DERIVED_GRID,
+        )
+
+    def q_knn():
+        qs = d.query_points(spark, sf_dir, residue=2, mod=16)
+        corpus = d.query_points(spark, sf_dir, residue=3, mod=4).select(
+            F.col("point_id").alias("corpus_id"), "x", "y"
+        )
+        return knn_points(qs, corpus, d.DERIVED_SCALING, d.DERIVED_GRID, k=3)
+
+    def q_tiles():
+        return tile_aggregate(
+            d.query_points(spark, sf_dir, residue=3, mod=4),
+            d.DERIVED_SCALING, d.DERIVED_GRID, shift=3,
+        )
+
+    def q_minhash_lsh():
+        sigs = textops.minhash_signatures(docs)
+        return textops.neardup_candidates(textops.lsh_bands(sigs))
+
+    def q_dedup():
+        return textops.dedup_exact(docs)
+
+    def q_quality():
+        return textops.quality_score(textops.token_count(docs))
+
+    def q_ann():
+        qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return simsearch.topk_dot(emb, qs, k=5)
+
+    return {
+        "lsi_lattice": q_lsi_lattice,
+        "lsi_derived": q_lsi_derived,
+        "pip_lattice": q_pip_lattice,
+        "pip_derived": q_pip_derived,
+        "knn_cellring": q_knn,
+        "tile_counts": q_tiles,
+        "minhash_lsh": q_minhash_lsh,
+        "dedup_exact": q_dedup,
+        "quality_tokens": q_quality,
+        "ann_topk": q_ann,
+    }
+
+
+def run_suite(cpus: int, sf_dir: str) -> dict:
+    from rayjoin_spark.session import get_spark
+
+    spark = get_spark(f"bench_{cpus}", cpus=cpus)
+    qs = _queries(spark, sf_dir)
+    times, counts = {}, {}
+    for name, build in qs.items():
+        t0 = time.time()
+        counts[name] = build().count()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if "--scaling" in sys.argv:
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
+        r_small = run_suite(n_small, SF_DIR)
+        r_big = run_suite(4 * n_small, SF_DIR)
+        eff = {
+            k: round(r_small["times"][k] / r_big["times"][k] / 4.0, 3)
+            for k in r_small["times"]
+        }
+        total_eff = round(r_small["total"] / r_big["total"] / 4.0, 3)
+        lines = [
+            "# BENCH — N vs 4N parallelism (in-sandbox evidence for the north rule)",
+            "",
+            f"Input: `{SF_DIR}`; cores N={n_small} vs 4N={4 * n_small} "
+            "(local mode, same machine, same plans).",
+            "Scaling efficiency = T_N / (4 * T_4N); 1.0 = perfect linear.",
+            "",
+            "| query | rows | T_N (s) | T_4N (s) | efficiency |",
+            "|---|---|---|---|---|",
+        ]
+        for k in r_small["times"]:
+            lines.append(
+                f"| {k} | {r_small['counts'][k]} | {r_small['times'][k]} "
+                f"| {r_big['times'][k]} | {eff[k]} |"
+            )
+        lines.append(
+            f"| **total** | | {r_small['total']} | {r_big['total']} | **{total_eff}** |"
+        )
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(json.dumps({"metric": "scaling_efficiency", "value": total_eff,
+                          "unit": "ratio", "queries": r_big["times"], "sf": sf}))
+        return
+
+    r = run_suite(CPUS, SF_DIR)
+    pairs_per_sec = (
+        round(r["counts"]["lsi_lattice"] / r["times"]["lsi_lattice"])
+        if r["times"].get("lsi_lattice") else None
+    )
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": r["total"],
+        "unit": "sec",
+        "queries": r["times"],
+        "sf": sf,
+        "counts": r["counts"],
+        "lsi_pairs_per_sec": pairs_per_sec,
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,238 @@
+"""Text-analysis + deduplication operators for training-data pipelines.
+
+These are the graft additions beyond the reference's spatial operators:
+exact dedup, MinHash/LSH near-dup, SimHash, n-gram Jaccard, language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+Design constraints:
+* pure `pyspark.sql.functions` column expressions (JVM, codegen) — no UDFs;
+* every hash is md5-hex-string based so an independent SQL engine (the
+  DuckDB oracle) reproduces results bit-for-bit: MinHash signatures are
+  *string minima* of salted md5 hex digests, which are total-ordered the
+  same everywhere;
+* shuffles: one groupBy per signature; the LSH candidate join is an
+  equi-join on band key (hash-partitioned, broadcast-free, skew-safe
+  because band keys are md5-uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count + distinct-token count per document."""
+    toks = _tokens(F.col(text))
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_distinct_tokens", F.size(F.array_distinct(toks))
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Heuristic quality in [0,1]: length, alpha ratio, stopword ratio,
+    mean token length band. Deterministic double arithmetic."""
+    t = F.col(text)
+    n_chars = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    toks = _tokens(t)
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(STOPWORDS))
+    ).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1.0))
+    # no rounding: the raw IEEE double is bit-identical across engines,
+    # while round-half tie handling is not
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    )
+    return df.withColumn("quality", score)
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-profile language guess (en/de/fr heuristic; 'und' unknown)."""
+    profiles = {
+        "en": ["the", "and", "of", "to", "is"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "est"],
+    }
+    toks = _tokens(F.lower(F.col(text)))
+
+    def _hit_counter(words):
+        # NB: the lambda must be single-arg — a two-arg HOF lambda is
+        # interpreted by Spark as (element, index)
+        return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+    hits = {lang: _hit_counter(words) for lang, words in profiles.items()}
+    best = F.greatest(*hits.values())
+    guess = (
+        F.when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["de"] == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Canonical document fingerprint: md5 of lowercased
+    whitespace-collapsed text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text)), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(F.encode(norm, "UTF-8")))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one canonical row (min id) per distinct
+    text; hash-groupBy, map-side partial agg."""
+    h = F.md5(F.encode(F.col(text), "UTF-8"))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 9,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature: for salt j in [0,num_hashes), the minimum of
+    md5(j || ':' || shingle) over all k-char shingles — string minima of
+    hex digests, portable to any SQL engine. Output: (id, j, minhash)."""
+    sh = df.select(F.col(id_col).alias("_id"), F.col(text).alias("_t")).withColumn(
+        "pos",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)))),
+    )
+    sh = sh.select("_id", F.substring("_t", F.col("pos").cast("int"), k).alias("shingle"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
+    sh = sh.withColumn("j", j).withColumn(
+        "h", F.md5(F.encode(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle")), "UTF-8"))
+    )
+    return sh.groupBy(F.col("_id").alias(id_col), "j").agg(F.min("h").alias("minhash"))
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """Group the signature rows into bands; band key = concat of the
+    band's minhashes (order fixed by j). Output: (id, band, band_key)."""
+    b = (F.col("j") / rows_per_band).cast("int")
+    return (
+        sigs.withColumn("band", b)
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("j").cast("string"), "minhash")))).alias("band_key"))
+    )
+
+
+def neardup_candidates(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket.
+    Equi-join on (band, band_key); md5 uniformity keeps buckets balanced."""
+    l = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    r = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 9,
+) -> DataFrame:
+    """Exact k-shingle Jaccard similarity for given candidate pairs."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text).alias("_t"))
+        .withColumn(
+            "pos",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)))
+            ),
+        )
+        .select("_id", F.substring("_t", F.col("pos").cast("int"), k).alias("shingle"))
+        .distinct()
+    )
+    n_sh = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("_rid"), F.col("shingle").alias("sh_b"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("_rid")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = n_sh.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = n_sh.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 9,
+    prefix_chars: int = 128,
+    n_bits: int = 16,
+) -> DataFrame:
+    """SimHash over the first `prefix_chars` chars: per hex nibble of each
+    shingle's md5, vote +1/-1 per bit; sign of the vote sum is the bit.
+    16-bit variant (first 4 nibbles) keeps the explode bounded."""
+    t = F.substring(F.col(text), 1, prefix_chars)
+    sh = (
+        df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+        .withColumn(
+            "pos",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)))
+            ),
+        )
+        .select("_id", F.md5(F.encode(F.substring("_t", F.col("pos").cast("int"), k), "UTF-8")).alias("h"))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1)))
+    sh = sh.withColumn("bit", bit)
+    # nibble value of hex char bit/4, then extract bit (bit%4) of the nibble;
+    # plain SQL (instr/shift by expression) so the DuckDB oracle matches
+    sh = sh.withColumn(
+        "bitval",
+        F.expr(
+            "((instr('0123456789abcdef', substring(h, cast(bit/4 as int) + 1, 1)) - 1)"
+            " DIV cast(pow(2, 3 - bit % 4) as int)) % 2"
+        ),
+    )
+    vote = F.when(F.col("bitval") == 1, 1).otherwise(-1)
+    votes = sh.withColumn("vote", vote).groupBy("_id", "bit").agg(F.sum("vote").alias("v"))
+    bits = votes.withColumn(
+        "bitset",
+        F.when(F.col("v") > 0, F.expr("cast(pow(2, bit) as bigint)")).otherwise(F.lit(0)),
+    )
+    return bits.groupBy(F.col("_id").alias(id_col)).agg(
+        F.sum("bitset").cast("bigint").alias("simhash")
+    )

@@ -1,0 +1,151 @@
+"""kNN over 2-D points via grid cell-ring expansion.
+
+Generalizes the PIP upward walk (reference src/app/pip_grid.h:37-70) from
+"first cell up" to "expanding Chebyshev rings": each round, unresolved
+query points join the corpus cells at ring radius r; a query resolves when
+it holds k candidates whose k-th smallest exact integer squared distance
+is within the ring's guaranteed-covered radius. Distances are snapped-int
+arithmetic — exact, portable, total-ordered (ties by corpus id).
+
+Scale shape: every round is an equi-join on (cx, cy) against the same
+hash-partitioned corpus-cell table; only unresolved queries survive to the
+next round; lineage is cut per round. Ring cells are enumerated by
+exploding the ring perimeter (8r cells), so round r costs O(|active| * 8r)
+join keys, not O(r^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rayjoin_spark.plans.scaling import INTERNAL_RANGE, GridSpec, Scaling
+
+
+def _ring_offsets(r: int):
+    """Chebyshev ring at radius r: cells with max(|dx|,|dy|) == r."""
+    if r == 0:
+        return [(0, 0)]
+    out = []
+    for d in range(-r, r + 1):
+        out.append((d, -r))
+        out.append((d, r))
+    for d in range(-r + 1, r):
+        out.append((-r, d))
+        out.append((r, d))
+    return out
+
+
+def knn_points(
+    queries: DataFrame,
+    corpus: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec | None = None,
+    k: int = 5,
+    query_id: str = "point_id",
+    corpus_id: str = "corpus_id",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Exact k nearest corpus points per query point.
+
+    queries: (query_id, x, y); corpus: (corpus_id, x, y) doubles.
+    Returns (point_id, corpus_id, dist2, rank), rank 1..k by (dist2, id).
+    """
+    grid = grid or GridSpec(64)
+    if max_rounds is None:
+        max_rounds = 2 * grid.grid_size + 2
+    # guaranteed minimum int-width of a cell (floor of 1/cell_scale)
+    cell_w = int(1.0 / grid.cell_scale)
+
+    cp = (
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            scaling.scale_x(F.col("x")).alias("cx_i"),
+            scaling.scale_y(F.col("y")).alias("cy_i"),
+        )
+        .withColumn("ccx", grid.cell_of(F.col("cx_i")))
+        .withColumn("ccy", grid.cell_of(F.col("cy_i")))
+        .persist()
+    )
+
+    qp = queries.select(
+        F.col(query_id).alias("qid"),
+        scaling.scale_x(F.col("x")).alias("qx"),
+        scaling.scale_y(F.col("y")).alias("qy"),
+    )
+    active = (
+        qp.withColumn("qcx", grid.cell_of(F.col("qx")))
+        .withColumn("qcy", grid.cell_of(F.col("qy")))
+        .withColumn("best", F.array().cast("array<struct<d:bigint,cid:bigint>>"))
+        .localCheckpoint(eager=True)
+    )
+    done = []
+
+    for r in range(max_rounds):
+        offs = _ring_offsets(r)
+        ring = F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        )
+        probes = active.withColumn("o", ring).select(
+            "qid",
+            "qx",
+            "qy",
+            "qcx",
+            "qcy",
+            "best",
+            (F.col("qcx") + F.col("o.dx")).alias("cx"),
+            (F.col("qcy") + F.col("o.dy")).alias("cy"),
+        )
+        cand = probes.join(
+            cp, (F.col("cx") == F.col("ccx")) & (F.col("cy") == F.col("ccy")), "inner"
+        ).select(
+            "qid",
+            F.struct(
+                (
+                    (F.col("cx_i") - F.col("qx")) * (F.col("cx_i") - F.col("qx"))
+                    + (F.col("cy_i") - F.col("qy")) * (F.col("cy_i") - F.col("qy"))
+                ).alias("d"),
+                F.col("cid").alias("cid"),
+            ).alias("cand"),
+        )
+        new_best = cand.groupBy("qid").agg(
+            F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("new")
+        )
+        merged = (
+            active.join(new_best, "qid", "left")
+            .withColumn(
+                "best",
+                F.when(
+                    F.col("new").isNotNull(),
+                    F.slice(F.array_sort(F.concat("best", "new")), 1, k),
+                ).otherwise(F.col("best")),
+            )
+            .drop("new")
+        )
+        # resolved: k candidates found and the k-th distance is within the
+        # radius guaranteed fully covered by rings 0..r
+        safe = F.lit((r * cell_w) * (r * cell_w))
+        kth = F.element_at("best", k)["d"]
+        # strict <: an unseen point could sit at exactly the covered radius
+        # with a smaller id (tiebreak) — only resolve when strictly inside.
+        # After ring grid_size the whole grid has been swept: stop.
+        is_done = ((F.size("best") >= k) & (kth < safe)) | F.lit(r >= grid.grid_size)
+        merged = merged.localCheckpoint(eager=True)
+        done.append(merged.filter(is_done).select("qid", "best"))
+        active = merged.filter(~is_done)
+        if active.isEmpty():
+            active = None
+            break
+
+    if active is not None:
+        done.append(active.select("qid", "best"))  # corpus exhausted / sparse
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    ex = out.select("qid", F.posexplode("best").alias("pos", "b"))
+    return ex.select(
+        F.col("qid").alias(query_id),
+        F.col("b.cid").alias(corpus_id),
+        F.col("b.d").alias("dist2"),
+        (F.col("pos") + 1).alias("rank"),
+    )

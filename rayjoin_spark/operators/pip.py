@@ -45,48 +45,38 @@ _P31 = 1 << 31
 _P62_DEC = "4611686018427387904"  # 2^62 as decimal literal
 
 
-def _floor_div(n, d):
-    """floor(n / d) for bigint columns, d > 0 (SQL DIV truncates toward 0)."""
-    r = F.pmod(n, d)
-    return (n - r) / d  # exact: divisible
+# Exact decimal(38,0) total-order key for xsect_y = n_/b (b > 0), where
+# n_ = -a*px - c, |n_| <= 2^59: floor(n_ * 2^62 / b) computed in three
+# int64 limbs. `x - pmod(x, b)` is an exact multiple of b, so DIV is an
+# exact floor step (a bigint `/` would detour through double and lose
+# bits above 2^53). Distinct candidate rationals differ by >= 1/b1*b2
+# >= 2^-58, so distinct values get distinct keys; equal values equal keys.
+_YKEY_SQL = """
+CAST((n_ - pmod(n_, b)) DIV b AS DECIMAL(38,0)) * 4611686018427387904
++ (
+    ((pmod(n_, b) * 2147483648 - pmod(pmod(n_, b) * 2147483648, b)) DIV b) * 2147483648
+    + ((pmod(pmod(n_, b) * 2147483648, b) * 2147483648
+        - pmod(pmod(pmod(n_, b) * 2147483648, b) * 2147483648, b)) DIV b)
+  )
+"""
+
+# floor(a * 2^62 / b) in two limbs (|a| <= 2^29 so a*2^31 fits int64) —
+# exact key for the slope tie order a/b (reference src/algo/pip.h:77-92).
+_SKEY_SQL = """
+CAST((a * 2147483648 - pmod(a * 2147483648, b)) DIV b AS DECIMAL(38,0)) * 2147483648
++ ((pmod(a * 2147483648, b) * 2147483648
+    - pmod(pmod(a * 2147483648, b) * 2147483648, b)) DIV b)
+"""
 
 
 def _ykey_expr():
-    """Exact decimal(38,0) total-order key for xsect_y = n/b, b>0.
-
-    n = -a*px - c (|n| <= 2^59); key = floor(n * 2^62 / b) via 3 limbs.
-    """
-    n = (-F.col("a") * F.col("px") - F.col("c")).cast("bigint")
-    b = F.col("b")
-    r1 = F.pmod(n, b)
-    q1 = ((n - r1) / b).cast("bigint")
-    t2 = r1 * F.lit(_P31)
-    r2 = F.pmod(t2, b)
-    q2 = ((t2 - r2) / b).cast("bigint")
-    t3 = r2 * F.lit(_P31)
-    q3 = ((t3 - F.pmod(t3, b)) / b).cast("bigint")
-    lo = q2 * F.lit(_P31) + q3  # < 2^62, non-negative
-    return q1.cast("decimal(38,0)") * F.expr(f"CAST({_P62_DEC} AS DECIMAL(38,0))") + lo.cast(
-        "decimal(38,0)"
-    )
+    return F.expr(_YKEY_SQL)
 
 
 def _slope_key_expr(query_map_id: int):
-    """Exact key for slope order a/b (b>0): floor(a * 2^62 / b), 2 limbs.
-
-    The tie rule keeps the larger a/b for query_map_id=1 and the smaller
-    for query_map_id=0 (reference src/algo/pip.h:77-92) — encode by sign
-    flip so min_by always minimizes.
-    """
-    a, b = F.col("a"), F.col("b")
-    t1 = a * F.lit(_P31)
-    r1 = F.pmod(t1, b)
-    q1 = ((t1 - r1) / b).cast("bigint")
-    t2 = r1 * F.lit(_P31)
-    q2 = ((t2 - F.pmod(t2, b)) / b).cast("bigint")
-    key = q1.cast("decimal(38,0)") * F.lit(_P31).cast("decimal(38,0)") + q2.cast(
-        "decimal(38,0)"
-    )
+    """Tie rule keeps the larger a/b for query_map_id=1, smaller for 0 —
+    sign-flip so min_by always minimizes."""
+    key = F.expr(_SKEY_SQL)
     return (-key) if query_map_id == 1 else key
 
 
@@ -137,6 +127,13 @@ def pip_locate(
     """
     grid = grid or GridSpec()
     spark = points.sparkSession
+    # vertical edges can never qualify: the SoS x-interval (x_min, x_max] /
+    # [x_min, x_max) is empty when x1 == x2 (reference src/algo/pip.h:44-46
+    # "this also eliminates vertical edges"). Dropping them up front keeps
+    # grid columns sparse so the upward walk skips straight past them —
+    # without this, a column of stacked vertical edges forces one join
+    # round per cell.
+    base_edges = base_edges.filter(F.col("x1") != F.col("x2"))
     edge_cells = explode_edges_to_cells(base_edges, grid).select(
         "cx",
         "cy",
@@ -171,26 +168,42 @@ def pip_locate(
         max_rounds = grid.grid_size + 1
     cell_scale = grid.cell_scale
 
+    band0, band_max = 4, 64
     for rnd in range(max_rounds):
-        # cut lineage every round: each round's frontier is materialized, so
-        # neither the final union nor the next round replays history
+        # Walk a BAND of the next `bsize` non-empty cells per round
+        # (geometrically growing) instead of one cell: the reference's
+        # per-cell GPU step is ~free, a Spark round is a join, so rounds
+        # must be O(log columns) not O(cells). Equivalent semantics: any
+        # edge deferred by the acceptance guard re-registers in the cell
+        # containing its ray crossing, which lands in a later band.
+        bsize = min(band0 << rnd, band_max)
         if skip_empty_cells:
             stepped = (
                 active.join(col_cells, F.col("pcx") == F.col("cx"), "left")
                 .withColumn(
-                    "next_cy",
-                    F.array_min(F.filter("cys", lambda c: c >= F.col("cur_cy"))),
+                    "band",
+                    F.slice(
+                        F.array_sort(F.filter("cys", lambda c: c >= F.col("cur_cy"))),
+                        1,
+                        bsize,
+                    ),
                 )
-                .select("point_id", "px", "py", "pcx", "pcy", "next_cy")
+                .withColumn("band", F.when(F.size("band") > 0, F.col("band")))
+                .select("point_id", "px", "py", "pcx", "pcy", "band")
             )
         else:
+            lo, hi = F.col("cur_cy"), F.least(
+                F.col("cur_cy") + bsize - 1, F.lit(grid.grid_size - 1)
+            )
             stepped = active.withColumn(
-                "next_cy",
-                F.when(F.col("cur_cy") < grid.grid_size, F.col("cur_cy")),
-            ).select("point_id", "px", "py", "pcx", "pcy", "next_cy")
+                "band",
+                F.when(F.col("cur_cy") < grid.grid_size, F.sequence(lo, hi)),
+            ).select("point_id", "px", "py", "pcx", "pcy", "band")
         stepped = stepped.localCheckpoint(eager=True)
-        misses = stepped.filter(F.col("next_cy").isNull()).select("point_id")
-        nxt = stepped.filter(F.col("next_cy").isNotNull())
+        misses = stepped.filter(F.col("band").isNull()).select("point_id")
+        nxt = stepped.filter(F.col("band").isNotNull()).withColumn(
+            "band_top", F.element_at("band", -1)
+        )
         results.append(
             misses.withColumn("closest_eid", F.lit(None).cast("bigint")).withColumn(
                 "hit", F.lit(False)
@@ -200,12 +213,14 @@ def pip_locate(
             active = None
             break
 
-        cand = nxt.join(
+        cand = nxt.withColumn("band_cy", F.explode("band")).join(
             edge_cells,
-            (F.col("pcx") == F.col("cx")) & (F.col("next_cy") == F.col("cy")),
+            (F.col("pcx") == F.col("cx")) & (F.col("band_cy") == F.col("cy")),
             "inner",
         )
-        cand = _candidate_filter(cand, query_map_id)
+        cand = _candidate_filter(cand, query_map_id).withColumn(
+            "n_", -F.col("a") * F.col("px") - F.col("c")
+        )
         ykey = _ykey_expr()
         skey = _slope_key_expr(query_map_id)
         best = cand.groupBy("point_id").agg(
@@ -219,7 +234,7 @@ def pip_locate(
                     "a",
                     "b",
                     "c",
-                    "next_cy",
+                    "band_top",
                 ),
                 F.struct(ykey.alias("yk"), skey.alias("sk"), F.col("eid").alias("ek")),
             ).alias("e")
@@ -227,25 +242,26 @@ def pip_locate(
         best = best.select("point_id", "e.*")
         # need px back for the acceptance test
         best = best.join(nxt.select("point_id", "px", "py", "pcx", "pcy"), "point_id")
-        # acceptance (reference src/algo/pip.h:98-114): accept if the edge's
-        # high end is in this cell, else reject if xsect_y falls above it
-        # (both cell calcs in double, as the reference does)
+        # acceptance (reference src/algo/pip.h:98-114, band generalization):
+        # accept if the edge's high end is within the searched band, else
+        # reject if the ray crossing falls above it (both cell calcs in
+        # double, as the reference does)
         y_max = F.greatest("y1", "y2")
         cell_of_ymax = ((y_max - F.lit(INTERNAL_MIN)) * F.lit(cell_scale)).cast("int")
         xsect_yd = (-F.col("a") * F.col("px") - F.col("c")).cast("double") / F.col("b")
         cell_of_xsect = ((xsect_yd - F.lit(INTERNAL_MIN)) * F.lit(cell_scale)).cast("int")
         accepted = best.filter(
-            (cell_of_ymax == F.col("next_cy")) | (cell_of_xsect <= F.col("next_cy"))
+            (cell_of_ymax <= F.col("band_top")) | (cell_of_xsect <= F.col("band_top"))
         ).localCheckpoint(eager=True)
         results.append(
             accepted.select(
                 "point_id", F.col("eid").alias("closest_eid"), F.lit(True).alias("hit")
             )
         )
-        # unresolved: had no accepted best this round -> advance past this cell
+        # unresolved: no accepted best this round -> advance past the band
         active = (
             nxt.join(accepted.select("point_id"), "point_id", "left_anti")
-            .withColumn("cur_cy", F.col("next_cy") + 1)
+            .withColumn("cur_cy", F.col("band_top") + 1)
             .select("point_id", "px", "py", "pcx", "pcy", "cur_cy")
         )
 

@@ -1,0 +1,128 @@
+"""Raster <-> vector tile aggregation.
+
+The graft's tiling layer on top of the grid machinery:
+
+* `tile_aggregate` — roll point/cell data up to coarser zoom tiles
+  (tile = cell >> shift), one groupBy;
+* `rasterize_layer` — vector -> raster: locate every tile center in the
+  polygon layer with the engine's own PIP operator; output is a face id
+  per tile (a raster coverage);
+* `vectorize_raster` — raster -> vector: dissolve same-face neighbor
+  tiles and emit the boundary segments between differing faces (the
+  vector outline of the raster), via two shifted self-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rayjoin_spark.operators.pip import pip_locate
+from rayjoin_spark.plans.scaling import INTERNAL_MIN, GridSpec, Scaling
+
+
+def tile_of(cell_col, shift: int):
+    return F.shiftright(cell_col, shift)
+
+
+def tile_aggregate(
+    points: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    shift: int = 3,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Aggregate points to (tile_x, tile_y): count + optional sum/min/max."""
+    p = points.withColumn("cx", grid.cell_of(scaling.scale_x(F.col("x")))).withColumn(
+        "cy", grid.cell_of(scaling.scale_y(F.col("y")))
+    )
+    p = p.withColumn("tile_x", tile_of(F.col("cx"), shift)).withColumn(
+        "tile_y", tile_of(F.col("cy"), shift)
+    )
+    aggs = [F.count("*").alias("n_points")]
+    if value_col:
+        aggs += [
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        ]
+    return p.groupBy("tile_x", "tile_y").agg(*aggs)
+
+
+def tile_centers(spark, scaling: Scaling, grid: GridSpec, shift: int = 3) -> DataFrame:
+    """Center point (in input-domain doubles) of every tile at the zoom."""
+    n_tiles = (grid.grid_size + (1 << shift) - 1) >> shift
+    t = (
+        spark.range(n_tiles)
+        .select(F.col("id").alias("tile_x"))
+        .crossJoin(spark.range(n_tiles).select(F.col("id").alias("tile_y")))
+    )
+    # tile spans cells [tile<<shift, (tile+1)<<shift); center in int domain,
+    # then unscale to input doubles for pip_locate
+    span = (1 << shift) / grid.cell_scale
+    cx = F.lit(INTERNAL_MIN) + (F.col("tile_x") + 0.5) * F.lit(span)
+    cy = F.lit(INTERNAL_MIN) + (F.col("tile_y") + 0.5) * F.lit(span)
+    return t.select(
+        (F.col("tile_x") * F.lit(n_tiles) + F.col("tile_y")).alias("point_id"),
+        "tile_x",
+        "tile_y",
+        scaling.unscale_x(cx).alias("x"),
+        scaling.unscale_y(cy).alias("y"),
+    )
+
+
+def rasterize_layer(
+    edges: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    shift: int = 3,
+) -> DataFrame:
+    """Vector -> raster: face id of every tile center (exterior = 0)."""
+    centers = tile_centers(edges.sparkSession, scaling, grid, shift)
+    located = pip_locate(centers, edges, scaling, grid)
+    return (
+        centers.select("point_id", "tile_x", "tile_y")
+        .join(located.select("point_id", "face_id"), "point_id")
+        .select("tile_x", "tile_y", "face_id")
+    )
+
+
+def vectorize_raster(raster: DataFrame) -> DataFrame:
+    """Raster -> vector: boundary segments between tiles of differing face.
+
+    Emits one row per boundary between a tile and its east/north neighbor
+    (orientation 'v' = vertical boundary to the east neighbor, 'h' =
+    horizontal boundary to the north), with both face ids. Missing
+    neighbors count as exterior face 0.
+    """
+    base = raster.select("tile_x", "tile_y", "face_id")
+    east = base.select(
+        (F.col("tile_x") - 1).alias("tile_x"),
+        F.col("tile_y"),
+        F.col("face_id").alias("face_east"),
+    )
+    north = base.select(
+        F.col("tile_x"),
+        (F.col("tile_y") - 1).alias("tile_y"),
+        F.col("face_id").alias("face_north"),
+    )
+    j = (
+        base.join(east, ["tile_x", "tile_y"], "left")
+        .join(north, ["tile_x", "tile_y"], "left")
+        .na.fill({"face_east": 0, "face_north": 0})
+    )
+    v = j.filter(F.col("face_id") != F.col("face_east")).select(
+        "tile_x",
+        "tile_y",
+        F.lit("v").alias("orientation"),
+        F.col("face_id").alias("face_a"),
+        F.col("face_east").alias("face_b"),
+    )
+    h = j.filter(F.col("face_id") != F.col("face_north")).select(
+        "tile_x",
+        "tile_y",
+        F.lit("h").alias("orientation"),
+        F.col("face_id").alias("face_a"),
+        F.col("face_north").alias("face_b"),
+    )
+    return v.unionByName(h)
