@@ -261,20 +261,20 @@ WITH ea AS ({EDGES_A_SQL}),
               WHEN e.a <> 0 THEN e.a ELSE e.b END) < 0
 ), keyed AS (
   SELECT *,
-    CAST((n - (((n % b) + b) % b)) // b AS HUGEINT) * 4611686018427387904
-      + ( (((((n % b) + b) % b) * 2147483648
-            - ((((n % b) + b) % b) * 2147483648) % b) // b) * 2147483648
-        + ((((((n % b) + b) % b) * 2147483648) % b) * 2147483648
-            - (((((((n % b) + b) % b) * 2147483648) % b) * 2147483648) % b)) // b
-        ) AS ykey,
-    CAST((a * 2147483648 - (((a * 2147483648) % b + b) % b)) // b AS HUGEINT) * 2147483648
-      + (((((a * 2147483648) % b + b) % b) * 2147483648
-          - ((((a * 2147483648) % b + b) % b) * 2147483648) % b) // b) AS skey
+    (n - ((n % b) + b) % b) // b AS yk_hi,
+    ((((n % b) + b) % b) * 2147483648
+      - (((n % b) + b) % b) * 2147483648 % b) // b * 2147483648
+    + ((((n % b) + b) % b) * 2147483648 % b * 2147483648
+       - (((n % b) + b) % b) * 2147483648 % b * 2147483648 % b) // b AS yk_lo,
+    (a * 2147483648 - ((a * 2147483648) % b + b) % b) // b AS sk_hi,
+    (((a * 2147483648) % b + b) % b * 2147483648
+     - ((a * 2147483648) % b + b) % b * 2147483648 % b) // b AS sk_lo
   FROM cand
 ), best AS (
   SELECT point_id, eid, x1, x2, left_polygon_id, right_polygon_id,
          row_number() OVER (PARTITION BY point_id
-                            ORDER BY ykey ASC, skey DESC, eid ASC) AS rn
+                            ORDER BY yk_hi ASC, yk_lo ASC,
+                                     sk_hi DESC, sk_lo DESC, eid ASC) AS rn
   FROM keyed
 )
 SELECT p.point_id, b.eid AS closest_eid,

@@ -109,26 +109,122 @@ def _queries(spark, sf_dir):
     }
 
 
-def run_suite(cpus: int, sf_dir: str) -> dict:
+def _scaling_queries(spark, only: str | None = None):
+    """Compute-dominated workloads for the N-vs-4N scaling evidence.
+
+    Deterministic synthetic inputs large enough that parallel compute
+    (join candidate testing, hashing) dwarfs per-round scheduling floor —
+    the regime the 100 TB design targets. No sf_dir dependence: same
+    input at both parallelism levels by construction.
+    """
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.functions import textops
+    from rayjoin_spark.operators.lsi import lsi_join
+    from rayjoin_spark.operators.pip import pip_locate
+    from rayjoin_spark.plans.layers import build_edges
+    from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+    from rayjoin_spark.sources.datagen import (
+        lattice_chains,
+        synthetic_pages,
+        transformed_lattice,
+        uniform_points,
+    )
+
+    m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "512"))
+    need_lattice = only in (None, "lsi_big", "pip_big")
+    if need_lattice:
+        ca, pa = lattice_chains(spark, m)
+        cb, pb = transformed_lattice(spark, m)
+        scaling = compute_scaling(pa, pb)
+        ea = build_edges(ca, pa, scaling).persist()
+        eb = build_edges(cb, pb, scaling).persist()
+        ea.count(), eb.count()
+        pts = uniform_points(spark, 1_000_000, -0.5, m + 0.5, -0.5, m + 0.5)
+    pages = synthetic_pages(spark, 150_000).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+
+    def q_lsi_big():
+        # coarse grid -> fat cells -> candidate testing dominates (the
+        # compute regime a skewed real layer pair puts you in)
+        return lsi_join(ea, eb, GridSpec(64))
+
+    def q_pip_big():
+        return pip_locate(pts, ea, scaling, GridSpec(512))
+
+    def q_minhash_big():
+        return textops.minhash_signatures(pages)
+
+    return {"lsi_big": q_lsi_big, "pip_big": q_pip_big, "minhash_big": q_minhash_big}
+
+
+def run_suite(
+    cpus: int,
+    sf_dir: str,
+    scaling_suite: bool = False,
+    warmup: bool = False,
+    only: str | None = None,
+) -> dict:
     from rayjoin_spark.session import get_spark
 
     spark = get_spark(f"bench_{cpus}", cpus=cpus)
-    qs = _queries(spark, sf_dir)
+    qs = _scaling_queries(spark, only) if scaling_suite else _queries(spark, sf_dir)
+    if only:
+        qs = {only: qs[only]}
     times, counts = {}, {}
     for name, build in qs.items():
+        # force FULL computation: count() would let Catalyst prune value
+        # columns (md5s, dots) out of aggregates; the noop sink cannot
+        if warmup:
+            build().write.format("noop").mode("overwrite").save()  # JIT warm
         t0 = time.time()
-        counts[name] = build().count()
+        df = build()
+        df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        counts[name] = df.count()
     spark.stop()
+    return {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+
+
+SCALING_QUERY_NAMES = ["lsi_big", "pip_big", "minhash_big"]
+
+
+def _one_in_subprocess(cpus: int, qname: str) -> dict:
+    """One query, one FRESH process, JIT-warmed inside: sequential sessions
+    in one JVM share JIT/page-cache state, which biases whichever level or
+    query runs later."""
+    import subprocess
+
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--suite-once", str(cpus), qname],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def _suite_in_subprocess(cpus: int) -> dict:
+    times, counts = {}, {}
+    for q in SCALING_QUERY_NAMES:
+        r = _one_in_subprocess(cpus, q)
+        times.update(r["times"])
+        counts.update(r["counts"])
     return {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
 
 
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if "--suite-once" in sys.argv:
+        i = sys.argv.index("--suite-once")
+        cpus = int(sys.argv[i + 1])
+        only = sys.argv[i + 2] if len(sys.argv) > i + 2 else None
+        print(json.dumps(run_suite(cpus, SF_DIR, scaling_suite=True, warmup=True, only=only)))
+        return
     if "--scaling" in sys.argv:
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
-        r_small = run_suite(n_small, SF_DIR)
-        r_big = run_suite(4 * n_small, SF_DIR)
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        r_small = _suite_in_subprocess(n_small)
+        r_big = _suite_in_subprocess(4 * n_small)
         eff = {
             k: round(r_small["times"][k] / r_big["times"][k] / 4.0, 3)
             for k in r_small["times"]
@@ -137,7 +233,7 @@ def main():
         lines = [
             "# BENCH — N vs 4N parallelism (in-sandbox evidence for the north rule)",
             "",
-            f"Input: `{SF_DIR}`; cores N={n_small} vs 4N={4 * n_small} "
+            f"Workloads: deterministic synthetic (lattice LSI/PIP, 100k-page MinHash); cores N={n_small} vs 4N={4 * n_small} "
             "(local mode, same machine, same plans).",
             "Scaling efficiency = T_N / (4 * T_4N); 1.0 = perfect linear.",
             "",

@@ -137,9 +137,16 @@ def lsh_bands(
     )
 
 
-def neardup_candidates(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def neardup_candidates(
+    bands: DataFrame, id_col: str = "doc_id", materialize: bool = True
+) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band bucket.
-    Equi-join on (band, band_key); md5 uniformity keeps buckets balanced."""
+    Equi-join on (band, band_key); md5 uniformity keeps buckets balanced.
+
+    materialize=True cuts the lineage first: both sides of the self-join
+    otherwise recompute the full shingle->md5->min pipeline."""
+    if materialize:
+        bands = bands.localCheckpoint(eager=True)
     l = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     r = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

@@ -45,39 +45,48 @@ _P31 = 1 << 31
 _P62_DEC = "4611686018427387904"  # 2^62 as decimal literal
 
 
-# Exact decimal(38,0) total-order key for xsect_y = n_/b (b > 0), where
-# n_ = -a*px - c, |n_| <= 2^59: floor(n_ * 2^62 / b) computed in three
-# int64 limbs. `x - pmod(x, b)` is an exact multiple of b, so DIV is an
-# exact floor step (a bigint `/` would detour through double and lose
-# bits above 2^53). Distinct candidate rationals differ by >= 1/b1*b2
-# >= 2^-58, so distinct values get distinct keys; equal values equal keys.
-_YKEY_SQL = """
-CAST((n_ - pmod(n_, b)) DIV b AS DECIMAL(38,0)) * 4611686018427387904
-+ (
-    ((pmod(n_, b) * 2147483648 - pmod(pmod(n_, b) * 2147483648, b)) DIV b) * 2147483648
-    + ((pmod(pmod(n_, b) * 2147483648, b) * 2147483648
-        - pmod(pmod(pmod(n_, b) * 2147483648, b) * 2147483648, b)) DIV b)
-  )
+# Exact total-order key for xsect_y = n_/b (b > 0), where n_ = -a*px - c,
+# |n_| <= 2^59: floor(n_ * 2^62 / b) represented as a LEXICOGRAPHIC PAIR of
+# int64 limbs (hi = floor(n_/b), possibly negative; lo = the next 62
+# fractional bits, non-negative) — struct comparison of plain bigints stays
+# in codegen, where a decimal(38,0) key would fall back to interpreted
+# compare. `x - pmod(x, b)` is an exact multiple of b, so DIV is an exact
+# floor step (a bigint `/` would detour through double and lose bits above
+# 2^53). Distinct candidate rationals differ by >= 1/(b1*b2) >= 2^-58, so
+# distinct values get distinct keys; equal values get equal keys.
+_YK_HI_SQL = "(n_ - pmod(n_, b)) DIV b"
+_YK_LO_SQL = """
+((pmod(n_, b) * 2147483648 - pmod(pmod(n_, b) * 2147483648, b)) DIV b) * 2147483648
++ ((pmod(pmod(n_, b) * 2147483648, b) * 2147483648
+    - pmod(pmod(pmod(n_, b) * 2147483648, b) * 2147483648, b)) DIV b)
 """
 
-# floor(a * 2^62 / b) in two limbs (|a| <= 2^29 so a*2^31 fits int64) —
-# exact key for the slope tie order a/b (reference src/algo/pip.h:77-92).
-_SKEY_SQL = """
-CAST((a * 2147483648 - pmod(a * 2147483648, b)) DIV b AS DECIMAL(38,0)) * 2147483648
-+ ((pmod(a * 2147483648, b) * 2147483648
-    - pmod(pmod(a * 2147483648, b) * 2147483648, b)) DIV b)
+# floor(a * 2^62 / b) as the pair (floor(a*2^31/b), next 31 bits) — exact
+# key for the slope tie order a/b (reference src/algo/pip.h:77-92).
+_SK_HI_SQL = "(a * 2147483648 - pmod(a * 2147483648, b)) DIV b"
+_SK_LO_SQL = """
+(pmod(a * 2147483648, b) * 2147483648
+ - pmod(pmod(a * 2147483648, b) * 2147483648, b)) DIV b
 """
 
 
-def _ykey_expr():
-    return F.expr(_YKEY_SQL)
+def _argmin_key(query_map_id: int):
+    """Ordering struct (yk_hi, yk_lo, sk_hi, sk_lo, eid) — all bigint.
 
-
-def _slope_key_expr(query_map_id: int):
-    """Tie rule keeps the larger a/b for query_map_id=1, smaller for 0 —
-    sign-flip so min_by always minimizes."""
-    key = F.expr(_SKEY_SQL)
-    return (-key) if query_map_id == 1 else key
+    Slope tie rule keeps the larger a/b for query_map_id=1, smaller for 0;
+    componentwise negation reverses the lexicographic slope order (valid
+    because tuple equality is componentwise)."""
+    yk_hi, yk_lo = F.expr(_YK_HI_SQL), F.expr(_YK_LO_SQL)
+    sk_hi, sk_lo = F.expr(_SK_HI_SQL), F.expr(_SK_LO_SQL)
+    if query_map_id == 1:
+        sk_hi, sk_lo = -sk_hi, -sk_lo
+    return F.struct(
+        yk_hi.alias("yk_hi"),
+        yk_lo.alias("yk_lo"),
+        sk_hi.alias("sk_hi"),
+        sk_lo.alias("sk_lo"),
+        F.col("eid").alias("ek"),
+    )
 
 
 def prepare_query_points(
@@ -199,7 +208,6 @@ def pip_locate(
                 "band",
                 F.when(F.col("cur_cy") < grid.grid_size, F.sequence(lo, hi)),
             ).select("point_id", "px", "py", "pcx", "pcy", "band")
-        stepped = stepped.localCheckpoint(eager=True)
         misses = stepped.filter(F.col("band").isNull()).select("point_id")
         nxt = stepped.filter(F.col("band").isNotNull()).withColumn(
             "band_top", F.element_at("band", -1)
@@ -221,8 +229,8 @@ def pip_locate(
         cand = _candidate_filter(cand, query_map_id).withColumn(
             "n_", -F.col("a") * F.col("px") - F.col("c")
         )
-        ykey = _ykey_expr()
-        skey = _slope_key_expr(query_map_id)
+        # px rides inside the payload struct so no join-back is needed for
+        # the acceptance test (a 2M-row equi-join saved per round)
         best = cand.groupBy("point_id").agg(
             F.min_by(
                 F.struct(
@@ -235,13 +243,12 @@ def pip_locate(
                     "b",
                     "c",
                     "band_top",
+                    "px",
                 ),
-                F.struct(ykey.alias("yk"), skey.alias("sk"), F.col("eid").alias("ek")),
+                _argmin_key(query_map_id),
             ).alias("e")
         )
         best = best.select("point_id", "e.*")
-        # need px back for the acceptance test
-        best = best.join(nxt.select("point_id", "px", "py", "pcx", "pcy"), "point_id")
         # acceptance (reference src/algo/pip.h:98-114, band generalization):
         # accept if the edge's high end is within the searched band, else
         # reject if the ray crossing falls above it (both cell calcs in
@@ -258,11 +265,14 @@ def pip_locate(
                 "point_id", F.col("eid").alias("closest_eid"), F.lit(True).alias("hit")
             )
         )
-        # unresolved: no accepted best this round -> advance past the band
+        # unresolved: no accepted best this round -> advance past the band;
+        # checkpointing the (small) next frontier instead of the full
+        # `stepped` keeps per-round IO proportional to what is left
         active = (
             nxt.join(accepted.select("point_id"), "point_id", "left_anti")
             .withColumn("cur_cy", F.col("band_top") + 1)
             .select("point_id", "px", "py", "pcx", "pcy", "cur_cy")
+            .localCheckpoint(eager=True)
         )
 
     if active is not None:
