@@ -1,0 +1,132 @@
+"""spark-submit CLI mirroring the reference binaries.
+
+query_exec / polyover_exec flag surface (reference src/flags.cc:3-33,
+src/query.cc, src/overlay.cc) re-expressed:
+
+    spark-submit --py-files rayjoin_spark.zip -m rayjoin_spark.cli \\
+        query   --poly1 a_dir --poly2 b_dir --query lsi --grid-size 2048
+    ...         query   --poly1 a_dir --poly2 b_dir --query pip
+    ...         overlay --poly1 a_dir --poly2 b_dir --output out.cdb
+    ...         convert --cdb in.cdb --out dir/
+
+--poly1/--poly2 accept either a CDB text file or a directory holding
+chains.parquet + points.parquet (the converted cache). --mode is accepted
+for flag parity but only the grid backend exists (the RT/LBVH backends
+are GPU index structures the cell join replaces). --sample applies
+topology-preserving map sampling. --checkpoint-dir enables resumable
+phase checkpoints with lineage/metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_layer(spark, path, sample_rate=None):
+    from rayjoin_spark.sources.cdb import read_cdb
+    from rayjoin_spark.sources.sampling import sample_map
+
+    if path.endswith(".cdb") or path.endswith(".txt"):
+        chains, points = read_cdb(spark, path)
+    else:
+        chains = spark.read.parquet(f"{path}/chains.parquet")
+        points = spark.read.parquet(f"{path}/points.parquet")
+    if sample_rate:
+        chains, points = sample_map(chains, points, sample_rate)
+    return chains, points
+
+
+def main(argv=None):
+    from rayjoin_spark.operators.lsi import lsi_join
+    from rayjoin_spark.operators.overlay import overlay, write_cdb
+    from rayjoin_spark.operators.pip import pip_locate
+    from rayjoin_spark.plans.layers import build_edges
+    from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+    from rayjoin_spark.session import get_spark
+    from rayjoin_spark.sources.cdb import cdb_to_parquet
+
+    p = argparse.ArgumentParser(prog="rayjoin_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="lsi / pip query (query_exec analog)")
+    q.add_argument("--poly1", required=True)
+    q.add_argument("--poly2", required=True)
+    q.add_argument("--query", choices=["lsi", "pip"], required=True)
+    q.add_argument("--grid-size", type=int, default=2048)  # src/flags.cc:6
+    q.add_argument("--mode", default="grid", choices=["grid"], help="flag parity")
+    q.add_argument("--sample", type=float, default=None)
+    q.add_argument("--warmup", type=int, default=0)
+    q.add_argument("--repeat", type=int, default=1)
+    q.add_argument("--output", default=None, help="write result parquet here")
+
+    o = sub.add_parser("overlay", help="polygon overlay (polyover_exec analog)")
+    o.add_argument("--poly1", required=True)
+    o.add_argument("--poly2", required=True)
+    o.add_argument("--grid-size", type=int, default=2048)
+    o.add_argument("--sample", type=float, default=None)
+    o.add_argument("--output", default=None, help="CDB text output path")
+    o.add_argument("--checkpoint-dir", default=None)
+
+    c = sub.add_parser("convert", help="CDB text -> parquet cache")
+    c.add_argument("--cdb", required=True)
+    c.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark("rayjoin_cli")
+
+    if args.cmd == "convert":
+        cdb_to_parquet(spark, args.cdb, args.out)
+        print(json.dumps({"converted": args.cdb, "out": args.out}))
+        return 0
+
+    ca, pa = _load_layer(spark, args.poly1, args.sample)
+    cb, pb = _load_layer(spark, args.poly2, args.sample)
+    scaling = compute_scaling(pa, pb)
+    grid = GridSpec(args.grid_size)
+
+    if args.cmd == "query":
+        ea = build_edges(ca, pa, scaling).persist()
+        eb = build_edges(cb, pb, scaling).persist()
+        ea.count(), eb.count()
+        times = []
+        result = None
+        for i in range(args.warmup + args.repeat):
+            t0 = time.time()
+            if args.query == "lsi":
+                result = lsi_join(ea, eb, grid)
+            else:
+                # query side = map 1's own vertices, like RunPIPQuery's
+                # default (reference src/run_query.cu:331-347)
+                qpts = pb.selectExpr("chain_id * 1048576 + seq as point_id", "x", "y")
+                result = pip_locate(qpts, ea, scaling, grid)
+            n = result.count()
+            if i >= args.warmup:
+                times.append(time.time() - t0)
+        avg = sum(times) / len(times)
+        print(json.dumps({"query": args.query, "rows": n, "avg_sec": round(avg, 3),
+                          "throughput_per_sec": round(n / avg) if avg else None}))
+        if args.output:
+            result.write.mode("overwrite").parquet(args.output)
+        return 0
+
+    if args.cmd == "overlay":
+        if args.checkpoint_dir:
+            from rayjoin_spark.plans.checkpoint import checkpointed_overlay
+
+            oc, op = checkpointed_overlay(
+                spark, ca, pa, cb, pb, scaling, grid, args.checkpoint_dir
+            )
+        else:
+            oc, op = overlay(ca, pa, cb, pb, scaling, grid)
+        n = oc.count()
+        print(json.dumps({"overlay_chains": n}))
+        if args.output:
+            write_cdb(oc, op, args.output)
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,145 @@
+"""Checkpoint/resume with per-partition lineage and metrics tables.
+
+The graft's jobs must be "checkpoint-resumable with per-partition lineage
+and metrics" (BASELINE.json north rule) — the Spark analog of the
+reference's phase-separated device arrays (each overlay phase's output is
+a device vector; ours is a parquet stage directory).
+
+A pipeline is a sequence of named stages. `stage(name, builder)` either
+replays the stage from its parquet output (if the manifest records it
+complete with a matching fingerprint) or computes it, writes it, and
+appends:
+
+* `<base>/<name>/data/`            — the stage output (parquet)
+* `<base>/<name>/partition_metrics/` — (stage, partition_id, n_rows)
+* `<base>/_lineage.json`           — ordered stage records: inputs,
+                                      fingerprint, rows, wall seconds
+
+Restart the same driver program and completed stages short-circuit —
+a crashed 6-phase overlay resumes at the failed phase.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str = "run"):
+        self.spark = spark
+        self.base = os.path.join(base_dir, run_id)
+        os.makedirs(self.base, exist_ok=True)
+        self._lineage_path = os.path.join(self.base, "_lineage.json")
+        self._lineage = []
+        if os.path.exists(self._lineage_path):
+            with open(self._lineage_path) as f:
+                self._lineage = json.load(f)
+
+    # ---------------------------------------------------------------- api
+    def stage(
+        self,
+        name: str,
+        builder: Callable[[], DataFrame],
+        inputs: list[str] | None = None,
+        fingerprint: str = "",
+    ) -> DataFrame:
+        """Run-or-replay one stage. `fingerprint` should capture the
+        stage's parameters (grid size, thresholds) so a changed config
+        invalidates the cached stage rather than silently replaying it."""
+        rec = self._find(name)
+        data_dir = os.path.join(self.base, name, "data")
+        if rec and rec.get("fingerprint") == fingerprint and rec.get("complete"):
+            return self.spark.read.parquet(data_dir)
+        t0 = time.time()
+        df = builder()
+        df.write.mode("overwrite").parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        metrics = out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+            F.count("*").alias("n_rows")
+        ).withColumn("stage", F.lit(name))
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(self.base, name, "partition_metrics")
+        )
+        n_rows = out.count()
+        self._lineage = [r for r in self._lineage if r["stage"] != name] + [
+            {
+                "stage": name,
+                "inputs": inputs or [],
+                "fingerprint": fingerprint,
+                "n_rows": n_rows,
+                "wall_s": round(time.time() - t0, 3),
+                "complete": True,
+                "ts": time.time(),
+            }
+        ]
+        self._flush()
+        return out
+
+    def lineage(self) -> list[dict]:
+        return list(self._lineage)
+
+    def partition_metrics(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.base, name, "partition_metrics")
+        )
+
+    def invalidate(self, name: str) -> None:
+        self._lineage = [r for r in self._lineage if r["stage"] != name]
+        self._flush()
+
+    # ------------------------------------------------------------ helpers
+    def _find(self, name: str):
+        for r in self._lineage:
+            if r["stage"] == name:
+                return r
+        return None
+
+    def _flush(self):
+        tmp = self._lineage_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._lineage, f, indent=1)
+        os.replace(tmp, self._lineage_path)
+
+
+def checkpointed_overlay(
+    spark: SparkSession,
+    chains_a: DataFrame,
+    points_a: DataFrame,
+    chains_b: DataFrame,
+    points_b: DataFrame,
+    scaling,
+    grid,
+    base_dir: str,
+    run_id: str = "overlay",
+) -> tuple[DataFrame, DataFrame]:
+    """Overlay with phase checkpoints: edges / lsi / result chains+points
+    (mirrors the reference's phase split, src/run_overlay.cu:143-228)."""
+    from rayjoin_spark.operators.overlay import overlay
+    from rayjoin_spark.plans.layers import build_edges
+
+    cm = CheckpointManager(spark, base_dir, run_id)
+    fp = f"grid={grid.grid_size}"
+    cm.stage("edges_a", lambda: build_edges(chains_a, points_a, scaling), fingerprint=fp)
+    cm.stage("edges_b", lambda: build_edges(chains_b, points_b, scaling), fingerprint=fp)
+
+    def _run():
+        oc, op = overlay(chains_a, points_a, chains_b, points_b, scaling, grid)
+        return oc.join(
+            op.groupBy("chain_id").agg(
+                F.collect_list(F.struct("seq", "x", "y")).alias("pts")
+            ),
+            "chain_id",
+        )
+
+    merged = cm.stage("overlay_result", _run, inputs=["edges_a", "edges_b"], fingerprint=fp)
+    oc = merged.drop("pts")
+    op = merged.select("chain_id", F.explode("pts").alias("p")).select(
+        "chain_id", F.col("p.seq").alias("seq"), F.col("p.x").alias("x"), F.col("p.y").alias("y")
+    )
+    return oc, op

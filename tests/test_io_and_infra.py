@@ -1,0 +1,159 @@
+"""CDB IO, sampling, salting parity, checkpoint/resume, multimodal,
+streaming, CLI."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from rayjoin_spark.operators.lsi import lsi_join
+from rayjoin_spark.plans.layers import build_edges
+from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+from rayjoin_spark.plans.skew import hot_cells, lsi_join_salted
+from rayjoin_spark.sources.cdb import read_cdb, write_cdb_text, cdb_to_parquet
+from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice, synthetic_pages
+from rayjoin_spark.sources.sampling import sample_map, sample_edges
+
+
+def _write_cdb_fixture(spark, m, path):
+    ca, pa = lattice_chains(spark, m)
+    rows = {r["chain_id"]: r for r in ca.collect()}
+    pts = {}
+    for r in pa.collect():
+        pts.setdefault(r["chain_id"], []).append((r["seq"], r["x"], r["y"]))
+    with open(path, "w") as f:
+        f.write("# comment line\n")
+        for cid in sorted(rows):
+            c = rows[cid]
+            ps = sorted(pts[cid])
+            f.write(f"{cid} {len(ps)} 0 0 {c['left_polygon_id']} {c['right_polygon_id']}\n")
+            for _, x, y in ps:
+                f.write(f"{x:.10e} {y:.10e}\n")
+    return ca, pa
+
+
+def test_cdb_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "lat.cdb")
+    ca, pa = _write_cdb_fixture(spark, 3, path)
+    chains, points = read_cdb(spark, path)
+    assert chains.count() == ca.count()
+    assert points.count() == pa.count()
+    got = {(r["chain_id"], r["left_polygon_id"], r["right_polygon_id"]) for r in chains.collect()}
+    want = {(r["chain_id"], r["left_polygon_id"], r["right_polygon_id"]) for r in ca.collect()}
+    assert got == want
+    # parquet cache conversion
+    out = str(tmp_path / "cache")
+    cdb_to_parquet(spark, path, out)
+    assert spark.read.parquet(f"{out}/chains.parquet").count() == ca.count()
+    # text writer roundtrip
+    out_txt = str(tmp_path / "out.cdb")
+    write_cdb_text(chains, points, out_txt)
+    chains2, points2 = read_cdb(spark, out_txt)
+    assert chains2.count() == chains.count() and points2.count() == points.count()
+
+
+def test_sampling(spark):
+    ca, pa = lattice_chains(spark, 4)
+    # subdivide: fake interior points by unioning midpoint rows
+    w_pts = pa.count()
+    chains, sampled = sample_map(ca, pa, rate=0.5)
+    # 2-point chains: endpoints always kept -> identical
+    assert sampled.count() == w_pts
+    scaling = compute_scaling(pa)
+    e = build_edges(ca, pa, scaling)
+    se = sample_edges(e, 0.5)
+    n, sn = e.count(), se.count()
+    assert 0 < sn < n
+    # deterministic
+    assert sample_edges(e, 0.5).count() == sn
+
+
+def test_salted_lsi_row_parity(spark):
+    ca, pa = lattice_chains(spark, 6)
+    cb, pb = transformed_lattice(spark, 6)
+    scaling = compute_scaling(pa, pb)
+    ea, eb = build_edges(ca, pa, scaling), build_edges(cb, pb, scaling)
+    grid = GridSpec(8)
+    plain = {(r["eid_a"], r["eid_b"]) for r in lsi_join(ea, eb, grid).collect()}
+    # threshold 0 -> every joint cell is 'hot' -> everything salted
+    salted = lsi_join_salted(ea, eb, grid, hot_threshold=0, n_salts=4)
+    got = [(r["eid_a"], r["eid_b"]) for r in salted.collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == plain
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from rayjoin_spark.plans.checkpoint import CheckpointManager
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    cm = CheckpointManager(spark, str(tmp_path), "t1")
+    df1 = cm.stage("s1", build, fingerprint="v1")
+    assert df1.count() == 100 and calls["n"] == 1
+    # resume in a fresh manager: replays from parquet, no recompute
+    cm2 = CheckpointManager(spark, str(tmp_path), "t1")
+    df2 = cm2.stage("s1", build, fingerprint="v1")
+    assert df2.count() == 100 and calls["n"] == 1
+    # changed fingerprint invalidates
+    cm2.stage("s1", build, fingerprint="v2")
+    assert calls["n"] == 2
+    pm = cm2.partition_metrics("s1")
+    assert pm.agg(F.sum("n_rows")).collect()[0][0] == 100
+    assert any(r["stage"] == "s1" for r in cm2.lineage())
+
+
+def test_multimodal_features(spark):
+    from rayjoin_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 50)
+    out = extract_features(media)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["decode_ok"] for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same payload -> same sha/feature
+    again = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["sha256"] for r in rows)
+
+
+def test_streaming_tile_counts(spark, tmp_path):
+    from rayjoin_spark.plans.scaling import Scaling
+    from rayjoin_spark.streaming.pages_stream import streaming_tile_counts
+
+    src = str(tmp_path / "pages_in")
+    synthetic_pages(spark, 500).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    agg = streaming_tile_counts(stream, scaling, GridSpec(64), (0.0, 100.0, 0.0, 100.0))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tiles_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT sum(n_pages) FROM tiles_out").collect()[0][0]
+        assert n == 500
+    finally:
+        q.stop()
+
+
+def test_cli_convert_and_query(spark, tmp_path, capsys):
+    from rayjoin_spark import cli
+
+    path = str(tmp_path / "lat.cdb")
+    _write_cdb_fixture(spark, 3, path)
+    out = str(tmp_path / "conv")
+    assert cli.main(["convert", "--cdb", path, "--out", out]) == 0
+    assert cli.main(
+        ["query", "--poly1", out, "--poly2", out, "--query", "lsi", "--grid-size", "16"]
+    ) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["query"] == "lsi" and rec["rows"] >= 0
