@@ -188,6 +188,51 @@ def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsi_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join, explicit hot-cell salting path (threshold 0 = salt all
+    joint cells, exercising the scatter/replicate plan end-to-end).
+    Oracle: identical to lsi_join — salting must not change the rows."""
+    from rayjoin_spark.plans.skew import lsi_join_salted
+
+    ea = derived.edges_a(spark, sf_dir)
+    eb = derived.edges_b(spark, sf_dir)
+    return lsi_join_salted(ea, eb, DERIVED_GRID, hot_threshold=0, n_salts=4)
+
+
+def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full overlay on small derived lattices (rows-only check: the
+    composite writer semantics are golden-file tested in tests/)."""
+    from rayjoin_spark.operators.overlay import overlay
+    from rayjoin_spark.plans.scaling import compute_scaling
+    from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice
+
+    ca, pa = lattice_chains(spark, 4)
+    cb, pb = transformed_lattice(spark, 4)
+    scaling = compute_scaling(pa, pb)
+    oc, _ = overlay(ca, pa, cb, pb, scaling, DERIVED_GRID)
+    return oc
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature plumbing (rows-only: mapInPandas stub)."""
+    from rayjoin_spark.functions.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, 200)).select(
+        "media_id", "kind", "n_bytes", "sha256", "decode_ok"
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (rows-only: recall<1 by design)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ann_lsh_topk(emb, qs, k=5).select(
+        "query_id", "corpus_id", "dot", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -212,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash,
         "ann_topk_dot": q_ann,
         "pages_geocode": q_pages_geocode,
+        "lsi_join_salted": q_lsi_salted,
+        "overlay_chains": q_overlay,
+        "multimodal_features": q_multimodal,
+        "ann_lsh_topk": q_ann_lsh,
     }
 
 
@@ -516,4 +565,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash16": _SIMHASH_SQL,
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,
+        "lsi_join_salted": _LSI_SQL,
+        # overlay_chains / multimodal_features / ann_lsh_topk: rows-only
+        # (composite writer, pandas stub, and approximate recall are not
+        # SQL-expressible; overlay is golden-file tested in tests/)
     }

@@ -36,6 +36,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # cell joins are pure equi-joins over uniform keys: a shuffled hash
+        # join beats sort-merge (no point sorting 1e8 candidate rows)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
