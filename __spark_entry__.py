@@ -233,6 +233,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact integer threshold test."""
+    return simsearch.neardup_cosine(_emb(spark, sf_dir), min_cosine=0.35).select(
+        "id_a", "id_b", "dot", "n_a", "n_b"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -261,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_chains": q_overlay,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
+        "neardup_embedding": q_neardup_embedding,
     }
 
 
@@ -537,6 +545,22 @@ WITH iv AS (
 SELECT query_id, corpus_id, dot, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
 
+_NEARDUP_EMB_SQL = """
+WITH iv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+  FROM embeddings
+), d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) AS BIGINT) AS dot,
+         CAST(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])) AS BIGINT) AS n_a,
+         CAST(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) AS BIGINT) AS n_b
+  FROM iv a, iv b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot, n_a, n_b FROM d
+WHERE dot >= 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(1225 AS HUGEINT) * n_a * n_b
+"""
+
 _PAGES_SQL = """
 SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
        ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 1021.0 AS x,
@@ -566,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,
         "lsi_join_salted": _LSI_SQL,
+        "neardup_embedding": _NEARDUP_EMB_SQL,
         # overlay_chains / multimodal_features / ann_lsh_topk: rows-only
         # (composite writer, pandas stub, and approximate recall are not
         # SQL-expressible; overlay is golden-file tested in tests/)

@@ -131,7 +131,7 @@ def _scaling_queries(spark, only: str | None = None):
         uniform_points,
     )
 
-    m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "512"))
+    m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "1024"))
     need_lattice = only in (None, "lsi_big", "pip_big")
     if need_lattice:
         ca, pa = lattice_chains(spark, m)
@@ -148,7 +148,7 @@ def _scaling_queries(spark, only: str | None = None):
     def q_lsi_big():
         # coarse grid -> fat cells -> candidate testing dominates (the
         # compute regime a skewed real layer pair puts you in)
-        return lsi_join(ea, eb, GridSpec(64))
+        return lsi_join(ea, eb, GridSpec(128))
 
     def q_pip_big():
         return pip_locate(pts, ea, scaling, GridSpec(512))

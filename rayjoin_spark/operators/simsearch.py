@@ -125,6 +125,50 @@ def _rh_signature(vec, n_planes: int, dim: int, seed: int = 41):
     return out
 
 
+def neardup_cosine(
+    corpus: DataFrame,
+    min_cosine: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exhaustive: bool = True,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine threshold.
+
+    Exact comparison in scaled integers: cos(a,b) >= t  <=>
+    dot >= 0 and dot^2 * S >= t^2*S * |a|^2 |b|^2 (S=10^4) — no float
+    comparisons, reproducible anywhere. exhaustive=True does the full
+    self-join (oracle-checkable); False prefilters through LSH buckets
+    (the 100 TB path: candidates only from matching sign-buckets).
+    """
+    c = corpus.select(F.col(id_col).alias("_id"), _int_vec(F.col(vec_col)).alias("v"))
+    if not exhaustive:
+        cd = corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("vd")
+        ).withColumn("bucket", _rh_signature("vd", n_planes, dim))
+        c = c.join(cd.select("_id", "bucket"), "_id")
+        a = c.select(F.col("_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        b = c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        j = a.join(b, "bucket").drop("bucket")
+    else:
+        a = c.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
+        b = c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+        j = a.crossJoin(b)
+    j = j.filter(F.col("id_a") < F.col("id_b"))
+    dot = _dot(F.col("va"), F.col("vb"))
+    na = _dot(F.col("va"), F.col("va"))
+    nb = _dot(F.col("vb"), F.col("vb"))
+    j = j.select("id_a", "id_b", dot.alias("dot"), na.alias("n_a"), nb.alias("n_b"))
+    t2 = int(round(min_cosine * min_cosine * 10_000))
+    dec = "decimal(38,0)"
+    keep = (F.col("dot") >= 0) & (
+        F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(10_000).cast(dec)
+        >= F.lit(t2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    )
+    return j.filter(keep).select("id_a", "id_b", "dot", "n_a", "n_b")
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -126,6 +126,50 @@ def uniform_points(
     )
 
 
+def uniform_segments(
+    spark: SparkSession,
+    n: int,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    max_len: float = 1.0,
+    eid_offset: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Random query segments of length <= max_len inside the bbox —
+    mirrors GenerateLSIQueries (reference src/run_query.cu:101-144) with
+    hash positions instead of a stateful RNG. Returns (chains, points)
+    shaped like the layer tables (left/right polygon ids are synthetic)."""
+    i = F.col("id")
+    hx = F.pmod(i * _MULT_X + 17, _MOD) / F.lit(float(_MOD))
+    hy = F.pmod(i * _MULT_Y + 31, _MOD) / F.lit(float(_MOD))
+    hdx = F.pmod(i * 40503 + 7, _MOD) / F.lit(float(_MOD))
+    hdy = F.pmod(i * 65521 + 3, _MOD) / F.lit(float(_MOD))
+    base = spark.range(n).select(
+        (i + eid_offset).alias("chain_id"),
+        (F.lit(min_x) + hx * (max_x - min_x)).alias("x0"),
+        (F.lit(min_y) + hy * (max_y - min_y)).alias("y0"),
+        ((hdx * 2 - 1) * max_len).alias("dx"),
+        ((hdy * 2 - 1) * max_len).alias("dy"),
+    ).filter((F.col("dx") != 0) | (F.col("dy") != 0))
+    chains = base.select(
+        "chain_id",
+        (F.pmod(F.col("chain_id"), 50) + 1).alias("left_polygon_id"),
+        (F.pmod(F.col("chain_id") + 13, 50) + 1).alias("right_polygon_id"),
+    )
+    pts = base.withColumn("seq", F.explode(F.array(F.lit(0), F.lit(1)))).select(
+        "chain_id",
+        "seq",
+        F.when(F.col("seq") == 0, F.col("x0")).otherwise(
+            F.least(F.greatest(F.col("x0") + F.col("dx"), F.lit(min_x)), F.lit(max_x))
+        ).alias("x"),
+        F.when(F.col("seq") == 0, F.col("y0")).otherwise(
+            F.least(F.greatest(F.col("y0") + F.col("dy"), F.lit(min_y)), F.lit(max_y))
+        ).alias("y"),
+    )
+    return chains, pts
+
+
 def synthetic_pages(spark: SparkSession, n: int) -> DataFrame:
     """Common-Crawl-style pages table per BASELINE.json input_hint:
     (url string, warc_ts timestamp, html binary, text string, lang string).

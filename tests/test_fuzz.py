@@ -1,0 +1,79 @@
+"""Seeded randomized fuzz: engine vs exact oracle on adversarial inputs.
+
+Random segments (including many axis-aligned, shared-endpoint, and
+short/degenerate ones — the SoS stress cases) through the full
+chains->edges->join path, compared to the arbitrary-precision oracle.
+"""
+
+import numpy as np
+import pytest
+
+from rayjoin_spark.operators.lsi import lsi_join
+from rayjoin_spark.operators.pip import pip_locate
+from rayjoin_spark.plans.layers import build_edges
+from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+
+from tests.oracle import build_edges_py, face_of, lsi_oracle, pip_oracle_one, scale_points_py
+
+
+def _random_layer(spark, n, seed, grid_snap=8):
+    """n 2-point chains; coords snapped to 1/grid_snap so coincidences
+    (shared endpoints, collinear, identical edges) happen often."""
+    rng = np.random.default_rng(seed)
+    x0 = np.round(rng.uniform(0, 50, n) * grid_snap) / grid_snap
+    y0 = np.round(rng.uniform(0, 50, n) * grid_snap) / grid_snap
+    dx = np.round(rng.uniform(-3, 3, n) * grid_snap) / grid_snap
+    dy = np.round(rng.uniform(-3, 3, n) * grid_snap) / grid_snap
+    # force some degenerate classes
+    dx[: n // 10] = 0.0                      # vertical
+    dy[n // 10 : n // 5] = 0.0               # horizontal
+    x0[n // 5 : n // 4] = x0[: n // 20].repeat(  # duplicated starts
+        int(np.ceil((n // 4 - n // 5) / max(n // 20, 1)))
+    )[: n // 4 - n // 5]
+    rows_c, rows_p = [], []
+    for i in range(n):
+        if dx[i] == 0 and dy[i] == 0:
+            dy[i] = 1.0 / grid_snap
+        rows_c.append((i, int(i % 7), int((i + 3) % 7)))
+        rows_p.append((i, 0, float(x0[i]), float(y0[i])))
+        rows_p.append((i, 1, float(x0[i] + dx[i]), float(y0[i] + dy[i])))
+    chains = spark.createDataFrame(
+        rows_c, "chain_id long, left_polygon_id long, right_polygon_id long"
+    )
+    points = spark.createDataFrame(rows_p, "chain_id long, seq int, x double, y double")
+    c_py = {r[0]: (r[1], r[2]) for r in rows_c}
+    return chains, points, c_py, rows_p
+
+
+@pytest.mark.parametrize("seed", [1, 7, 99])
+def test_fuzz_lsi(spark, seed):
+    ca, pa, ca_py, pa_rows = _random_layer(spark, 250, seed)
+    cb, pb, cb_py, pb_rows = _random_layer(spark, 250, seed + 1000)
+    scaling = compute_scaling(pa, pb)
+    ea, eb = build_edges(ca, pa, scaling), build_edges(cb, pb, scaling)
+    got = {(r["eid_a"], r["eid_b"]) for r in lsi_join(ea, eb, GridSpec(32)).collect()}
+    ea_py = build_edges_py(ca_py, sorted(pa_rows), scaling)
+    eb_py = build_edges_py(cb_py, sorted(pb_rows), scaling)
+    want = lsi_oracle(ea_py, eb_py)
+    assert got == want
+    assert len(want) > 50  # sanity: the fixture actually intersects
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_fuzz_pip(spark, seed):
+    ca, pa, ca_py, pa_rows = _random_layer(spark, 150, seed)
+    rng = np.random.default_rng(seed + 5)
+    qpts = [(i, float(np.round(rng.uniform(0, 50) * 8) / 8),
+             float(np.round(rng.uniform(0, 50) * 8) / 8)) for i in range(120)]
+    pts = spark.createDataFrame(qpts, "point_id long, x double, y double")
+    scaling = compute_scaling(pa, pts)
+    ea = build_edges(ca, pa, scaling)
+    got = {
+        r["point_id"]: (r["closest_eid"], r["face_id"])
+        for r in pip_locate(pts, ea, scaling, GridSpec(32)).collect()
+    }
+    ea_py = build_edges_py(ca_py, sorted(pa_rows), scaling)
+    xi, yi = scale_points_py([p[1] for p in qpts], [p[2] for p in qpts], scaling)
+    for (pid, _, _), px, py in zip(qpts, xi, yi):
+        best = pip_oracle_one(int(px), int(py), ea_py)
+        assert got[pid] == (None if best is None else best["eid"], face_of(best)), pid
