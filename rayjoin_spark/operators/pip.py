@@ -160,11 +160,14 @@ def pip_locate(
     edge_cells = edge_cells.persist()
     # broadcast skip map: cx -> sorted non-empty cell ys
     if skip_empty_cells:
+        # persist: every round broadcasts this map — without the persist
+        # each round re-runs the distinct+groupBy over all edge cells
         col_cells = (
             edge_cells.select("cx", "cy")
             .distinct()
             .groupBy("cx")
             .agg(F.array_sort(F.collect_set("cy")).alias("cys"))
+            .persist()
         )
         col_cells = F.broadcast(col_cells)
 
