@@ -139,6 +139,19 @@ def with_xsect_point(pairs: DataFrame) -> DataFrame:
     ).withColumn("xsect_yd", F.col("num_y").cast("double") / F.col("den").cast("double"))
 
 
+def lsi_stats(edges_a: DataFrame, edges_b: DataFrame, grid: GridSpec | None = None) -> DataFrame:
+    """Profiling counters analogous to the reference's debug atomics
+    (n_tests / hit counts, src/app/lsi_grid.h:122-156): candidate pairs
+    after dedup, surviving pairs, and populated joint cells — one row."""
+    grid = grid or GridSpec()
+    cand = lsi_candidates(edges_a, edges_b, grid)
+    pairs = lsi_intersect_filter(cand)
+    return cand.agg(
+        F.count("*").alias("n_candidates"),
+        F.count_distinct("cx", "cy").alias("n_joint_cells"),
+    ).crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+
+
 def lsi_join(
     edges_a: DataFrame,
     edges_b: DataFrame,

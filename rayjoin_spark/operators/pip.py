@@ -10,21 +10,21 @@ vertices) break by slope; the hit edge's face resolves via p1.x < p2.x
 
 Physical plan (all JVM-side):
 
-* per round, active points equi-join edge-cells on (cx, cy) — the grid
-  walk's "test this cell";
+* per round, active points equi-join edge-cells on (cx, cy) over a
+  geometrically growing band of non-empty cells — the grid walk's "test
+  this cell", O(log column) rounds instead of one per cell;
 * exact comparisons: sign tests are int64; the argmin key is
-  floor(n * 2^62 / b) computed with three int64 limbs and assembled in
-  decimal(38,0) — an exact total-order key for the rational n/b (distinct
-  candidate rationals differ by >= 2^-58 at our snap scale, so keys of
-  distinct values differ; equal values give equal keys). The reference
-  compares these in double (src/algo/pip.h:53) and hopes ("Roundoff error
-  should not cause it, I hope"); we are exact;
-* argmin per point is one `min_by(struct(...), struct(y_key, slope, eid))`
-  partial-aggregating map-side — no window sort;
-* empty cells are skipped: a broadcast map cx -> sorted non-empty cys lets
-  each point jump straight to its next candidate cell (the reference walks
-  cell-by-cell because a GPU step is ~free; a Spark round is a join, so we
-  make rounds count).
+  floor(n * 2^62 / b) as a lexicographic pair of int64 limbs — an exact
+  total-order key for the rational n/b (distinct candidate rationals
+  differ by >= 2^-58 at our snap scale, so keys of distinct values
+  differ; equal values give equal keys). The reference compares these in
+  double (src/algo/pip.h:53) and hopes ("Roundoff error should not cause
+  it, I hope"); we are exact;
+* argmin per point is one `min_by(payload, key_struct)` — partial-
+  aggregating map-side, no window sort, no join-back (px rides in the
+  payload);
+* empty cells are skipped: a broadcast map cx -> sorted non-empty cys
+  lets each point jump straight to its next candidate cells.
 
 Scale note: the walk touches only unresolved points each round and in
 practice resolves ~all points in 1-3 non-empty cells; each round is an
@@ -40,10 +40,6 @@ from pyspark.sql import functions as F
 
 from rayjoin_spark.plans.cells import explode_edges_to_cells
 from rayjoin_spark.plans.scaling import INTERNAL_MIN, GridSpec, Scaling
-
-_P31 = 1 << 31
-_P62_DEC = "4611686018427387904"  # 2^62 as decimal literal
-
 
 # Exact total-order key for xsect_y = n_/b (b > 0), where n_ = -a*px - c,
 # |n_| <= 2^59: floor(n_ * 2^62 / b) represented as a LEXICOGRAPHIC PAIR of
@@ -127,7 +123,6 @@ def pip_locate(
     point_id: str = "point_id",
     max_rounds: int | None = None,
     skip_empty_cells: bool = True,
-    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Locate each query point in the base layer.
 
@@ -135,7 +130,6 @@ def pip_locate(
     closest_eid is NULL and face_id = 0 (exterior) for misses.
     """
     grid = grid or GridSpec()
-    spark = points.sparkSession
     # vertical edges can never qualify: the SoS x-interval (x_min, x_max] /
     # [x_min, x_max) is empty when x1 == x2 (reference src/algo/pip.h:44-46
     # "this also eliminates vertical edges"). Dropping them up front keeps
