@@ -21,7 +21,6 @@ from rayjoin_spark.operators.lsi import lsi_join
 from rayjoin_spark.operators.pip import pip_locate
 from rayjoin_spark.operators.tiles import tile_aggregate
 from rayjoin_spark.plans import cells as cells_mod
-from rayjoin_spark.plans.scaling import INTERNAL_MIN
 from rayjoin_spark.sources import derived
 from rayjoin_spark.sources.derived import (
     DERIVED_GRID,
@@ -464,14 +463,22 @@ _SHINGLES_SQL = """
     FROM documents
   )"""
 
-_MINHASH_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
-     salted AS (
-  SELECT doc_id, CAST(j AS BIGINT) AS j,
-         md5(CAST(j AS VARCHAR) || ':' || shingle) AS h
-  FROM sh, (SELECT unnest(range(0, 8)) AS j)
+_MINHASH_MINS = ",\n         ".join(
+    f"MIN(substr(h, {4 * j + 1}, 32) || substr(h, 1, {4 * j})) AS m{j}" for j in range(8)
 )
-SELECT doc_id, j, MIN(h) AS minhash FROM salted GROUP BY doc_id, j
+_MINHASH_UNION = "\nUNION ALL ".join(
+    f"SELECT doc_id, CAST({j} AS BIGINT) AS j, m{j} AS minhash FROM g" for j in range(8)
+)
+
+_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, md5(shingle) AS h FROM ({_SHINGLES_SQL})
+), g AS (
+  SELECT doc_id,
+         {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+)
+{_MINHASH_UNION}
 """
 
 _LSH_BANDS_SQL = f"""

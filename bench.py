@@ -173,15 +173,21 @@ def run_suite(
     if only:
         qs = {only: qs[only]}
     times, counts = {}, {}
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")) if warmup else 1
     for name, build in qs.items():
         # force FULL computation: count() would let Catalyst prune value
         # columns (md5s, dots) out of aggregates; the noop sink cannot
         if warmup:
             build().write.format("noop").mode("overwrite").save()  # JIT warm
-        t0 = time.time()
-        df = build()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            df = build()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)  # min-of-N: the
+            # machine is shared; min is the least noise-contaminated sample
+        times[name] = round(best, 3)
         counts[name] = df.count()
     spark.stop()
     return {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}

@@ -109,19 +109,33 @@ def minhash_signatures(
     k: int = 9,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """MinHash signature: for salt j in [0,num_hashes), the minimum of
-    md5(j || ':' || shingle) over all k-char shingles — string minima of
-    hex digests, portable to any SQL engine. Output: (id, j, minhash)."""
+    """MinHash signature, one md5 per shingle: the hash family is the 8
+    hex-ROTATIONS of a single digest (h_j = rotate-left by 4j hex chars),
+    i.e. orderings by different 16-bit digest windows — the classic
+    "permutations of one base hash" trick, portable to any SQL engine as
+    string minima. All num_hashes minima come out of ONE groupBy (8 agg
+    columns, map-side partial agg) instead of an 8x row explosion.
+    Output: (id, j, minhash)."""
+    assert num_hashes <= 8
     sh = df.select(F.col(id_col).alias("_id"), F.col(text).alias("_t")).withColumn(
         "pos",
         F.explode(F.sequence(F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)))),
     )
-    sh = sh.select("_id", F.substring("_t", F.col("pos").cast("int"), k).alias("shingle"))
-    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1)))
-    sh = sh.withColumn("j", j).withColumn(
-        "h", F.md5(F.encode(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("shingle")), "UTF-8"))
+    sh = sh.select(
+        "_id",
+        F.md5(F.encode(F.substring("_t", F.col("pos").cast("int"), k), "UTF-8")).alias("h"),
     )
-    return sh.groupBy(F.col("_id").alias(id_col), "j").agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(F.expr(f"concat(substring(h, {4 * j + 1}, 32), substring(h, 1, {4 * j}))")).alias(
+            f"m{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    g = sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+    stack_args = ", ".join(f"{j}, m{j}" for j in range(num_hashes))
+    return g.select(
+        id_col, F.expr(f"stack({num_hashes}, {stack_args}) as (j, minhash)")
+    ).select(id_col, F.col("j").cast("bigint").alias("j"), "minhash")
 
 
 def lsh_bands(
