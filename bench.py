@@ -131,7 +131,7 @@ def _scaling_queries(spark, only: str | None = None):
         uniform_points,
     )
 
-    m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "1024"))
+    m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "1536"))
     need_lattice = only in (None, "lsi_big", "pip_big")
     if need_lattice:
         ca, pa = lattice_chains(spark, m)
@@ -140,8 +140,8 @@ def _scaling_queries(spark, only: str | None = None):
         ea = build_edges(ca, pa, scaling).persist()
         eb = build_edges(cb, pb, scaling).persist()
         ea.count(), eb.count()
-        pts = uniform_points(spark, 1_000_000, -0.5, m + 0.5, -0.5, m + 0.5)
-    pages = synthetic_pages(spark, 150_000).select(
+        pts = uniform_points(spark, 2_000_000, -0.5, m + 0.5, -0.5, m + 0.5)
+    pages = synthetic_pages(spark, 400_000).select(
         F.xxhash64("url").alias("doc_id"), "text"
     )
 
@@ -168,7 +168,8 @@ def run_suite(
 ) -> dict:
     from rayjoin_spark.session import get_spark
 
-    spark = get_spark(f"bench_{cpus}", cpus=cpus)
+    # 4 waves of tasks per stage: straggler-robust at both core counts
+    spark = get_spark(f"bench_{cpus}", cpus=cpus, shuffle_partitions=4 * cpus)
     qs = _scaling_queries(spark, only) if scaling_suite else _queries(spark, sf_dir)
     if only:
         qs = {only: qs[only]}
@@ -236,11 +237,21 @@ def main():
             for k in r_small["times"]
         }
         total_eff = round(r_small["total"] / r_big["total"] / 4.0, 3)
+        reps = os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")
         lines = [
             "# BENCH — N vs 4N parallelism (in-sandbox evidence for the north rule)",
             "",
-            f"Workloads: deterministic synthetic (lattice LSI/PIP, 100k-page MinHash); cores N={n_small} vs 4N={4 * n_small} "
-            "(local mode, same machine, same plans).",
+            f"Workloads: deterministic synthetic (lattice LSI m=1536/gsize=128, "
+            f"PIP 2M points, 400k-page MinHash); cores N={n_small} vs 4N={4 * n_small} "
+            "(local mode, same machine, same plans, same input).",
+            "",
+            "Methodology: one OS process per (query, core-count) — sequential "
+            "sessions share JVM JIT state; each process JIT-warms once then "
+            f"takes the min of {reps} measurements (the sandbox is a shared "
+            "host with ~2-4 cores of co-tenant noise; 32 logical cores are "
+            "~16 physical, so N=2 vs 8 keeps both levels within physical "
+            "capacity — the regime that transfers to N vs 4N executors).",
+            "",
             "Scaling efficiency = T_N / (4 * T_4N); 1.0 = perfect linear.",
             "",
             "| query | rows | T_N (s) | T_4N (s) | efficiency |",
