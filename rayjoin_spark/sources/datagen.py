@@ -126,6 +126,35 @@ def uniform_points(
     )
 
 
+def subdivide_points(points: DataFrame, s: int) -> DataFrame:
+    """Split every edge of every chain into `s` collinear segments —
+    turns 2-point chains into (s+1)-point polylines (multi-point chains,
+    FIXTURES.md §1), exercising the CSR-walk paths with n_points > 2.
+    Geometry is unchanged up to snapping."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chain_id").orderBy("seq")
+    p = (
+        points.withColumn("x2", F.lead("x").over(w))
+        .withColumn("y2", F.lead("y").over(w))
+        .withColumn("max_seq", F.max("seq").over(Window.partitionBy("chain_id")))
+    )
+    segs = (
+        p.filter(F.col("x2").isNotNull())
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.lit(s - 1))))
+        .select(
+            "chain_id",
+            (F.col("seq") * s + F.col("t")).cast("int").alias("seq"),
+            (F.col("x") + (F.col("x2") - F.col("x")) * F.col("t") / s).alias("x"),
+            (F.col("y") + (F.col("y2") - F.col("y")) * F.col("t") / s).alias("y"),
+        )
+    )
+    last = p.filter(F.col("seq") == F.col("max_seq")).select(
+        "chain_id", (F.col("seq") * s).cast("int").alias("seq"), "x", "y"
+    )
+    return segs.unionByName(last)
+
+
 def uniform_segments(
     spark: SparkSession,
     n: int,

@@ -64,6 +64,27 @@ def test_lsi_self_join_excludes_identical_edges(spark):
         assert r["eid_a"] != r["eid_b"]
 
 
+def test_lsi_multipoint_chains(spark):
+    """Chains with n_points > 2 (subdivided polylines) through the full
+    path, vs the oracle on the same subdivided points."""
+    from rayjoin_spark.sources.datagen import subdivide_points
+
+    ca, pa = lattice_chains(spark, 4)
+    cb, pb = transformed_lattice(spark, 4)
+    pa3, pb3 = subdivide_points(pa, 3), subdivide_points(pb, 2)
+    scaling = compute_scaling(pa3, pb3)
+    ea, eb = build_edges(ca, pa3, scaling), build_edges(cb, pb3, scaling)
+    got = {(r["eid_a"], r["eid_b"]) for r in lsi_join(ea, eb, GridSpec(32)).collect()}
+    ca_py = {r["chain_id"]: (r["left_polygon_id"], r["right_polygon_id"]) for r in ca.collect()}
+    cb_py = {r["chain_id"]: (r["left_polygon_id"], r["right_polygon_id"]) for r in cb.collect()}
+    ea_py = build_edges_py(ca_py, sorted((r["chain_id"], r["seq"], r["x"], r["y"]) for r in pa3.collect()), scaling)
+    eb_py = build_edges_py(cb_py, sorted((r["chain_id"], r["seq"], r["x"], r["y"]) for r in pb3.collect()), scaling)
+    want = lsi_oracle(ea_py, eb_py)
+    assert got == want and len(want) > 0
+    # each original chain now contributes multiple edges
+    assert ea.count() == 3 * 40  # 40 chains x 3 segments
+
+
 def test_xsect_points_match_oracle(spark):
     scaling, ea, eb, ea_py, eb_py = _collect_layers(spark, 4)
     got = lsi_join(ea, eb, GridSpec(64), with_points=True).collect()
