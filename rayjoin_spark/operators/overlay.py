@@ -25,12 +25,28 @@ Fragment reconstruction is windows/joins over an event stream
 which reproduces the reference writer's sequential overwrite semantics
 exactly (the last `other_map_polygon_id` assignment before each flush).
 
-Deviation (documented): the reference carries midpoints as int128
-rationals; at our snap scale exact midpoint numerators can exceed 128
-bits, so midpoints are computed in double and re-snapped before the
-midpoint PIP. Vertex PIP and all LSI predicates remain exact. The
-committed goldens are generated by an independent Python oracle using
-the same convention.
+Exactness (midpoint faces): the reference locates the midpoint of each
+consecutive intersection pair in the other map, carrying the midpoint as
+an int128 rational (src/app/map_overlay_grid.h:163-169,
+src/util/rational.h:72-123). At our snap scale exact midpoint numerators
+exceed 128 bits, so instead of locating a point at all we derive the face
+*topologically*: crossing other-map edge o while travelling along edge e
+enters the face on the side of o that e's direction vector points into —
+
+    s_dot        = a_o * (x2_e - x1_e) + b_o * (y2_e - y1_e)   (int64)
+    entered left = (s_dot > 0) == (x1_o <= x2_o)
+    face         = o.left_polygon_id if entered left else o.right_polygon_id
+
+(s_dot is never 0 for a reported crossing: parallel/collinear pairs fail
+the LSI SoS predicate). The sign convention: build_edges normalizes
+(a,b) to b >= 0, flipping exactly when x1 > x2, and the un-normalized
+normal (y1-y2, x2-x1) points left of the chain direction — hence the
+(x1 <= x2) correction. This is bit-exact integer arithmetic inside
+whole-stage codegen, equals the reference's rational midpoint PIP on any
+consistently-labelled planar input, and never computes a midpoint. The
+legacy double-midpoint path (compute midpoint in double, re-snap, PIP)
+is kept as midpoint_mode='double' so tests can demonstrate the rounding
+failure the exact path closes.
 """
 
 from __future__ import annotations
@@ -39,7 +55,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rayjoin_spark.operators.lsi import lsi_join
-from rayjoin_spark.operators.pip import pip_locate
+from rayjoin_spark.operators.pip import PipIndex, pip_locate
 from rayjoin_spark.plans.layers import build_edges, EID_STRIDE_DEFAULT
 from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
@@ -78,6 +94,8 @@ def _xsects_along_edges(xs: DataFrame, edges: DataFrame, side: str) -> DataFrame
             "xsect_yd",
             "t",
             "xidx",
+            (F.col("_x2") - F.col("_x1")).alias("dx"),
+            (F.col("_y2") - F.col("_y1")).alias("dy"),
         )
     )
 
@@ -90,6 +108,9 @@ def overlay(
     scaling: Scaling,
     grid: GridSpec | None = None,
     eid_stride: int = EID_STRIDE_DEFAULT,
+    midpoint_mode: str = "exact",
+    prebuilt_edges: tuple[DataFrame, DataFrame] | None = None,
+    prebuilt_xs: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full overlay; returns (out_chains, out_points):
 
@@ -101,11 +122,23 @@ def overlay(
     map1, fragments in walk order; face/point ids first-encounter).
     """
     grid = grid or GridSpec()
-    edges_a = build_edges(chains_a, points_a, scaling, eid_stride).persist()
-    edges_b = build_edges(chains_b, points_b, scaling, eid_stride).persist()
+    # prebuilt stage inputs let checkpointed_overlay feed resumed parquet
+    # stages straight into the downstream phases (plans/checkpoint.py)
+    if prebuilt_edges is not None:
+        edges_a, edges_b = (e.persist() for e in prebuilt_edges)
+    else:
+        edges_a = build_edges(chains_a, points_a, scaling, eid_stride).persist()
+        edges_b = build_edges(chains_b, points_b, scaling, eid_stride).persist()
 
     # --- phase 1: LSI with exact points (shared by both maps) ---
-    xs = lsi_join(edges_a, edges_b, grid, with_points=True).persist()
+    xs = (
+        prebuilt_xs
+        if prebuilt_xs is not None
+        else lsi_join(edges_a, edges_b, grid, with_points=True)
+    ).persist()
+
+    # PIP indexes over each layer, shared by both locates against it
+    idx = [PipIndex(edges_a, grid), PipIndex(edges_b, grid)]
 
     frags = []
     for im, (chains, points, edges, other_edges) in enumerate(
@@ -115,6 +148,7 @@ def overlay(
         ]
     ):
         side = "ab"[im]
+        other_idx = idx[1 - im]
         # --- phase 2: vertex PIP against the other map ---
         # (query_map_id = this map's id: SoS shifts map 1 relative to map 0)
         pts = points.select(
@@ -126,37 +160,63 @@ def overlay(
         )
         vert = pip_locate(
             pts.select("point_id", "x", "y"), other_edges, scaling, grid,
-            query_map_id=im,
+            query_map_id=im, index=other_idx,
         ).select("point_id", F.col("face_id").alias("vface"))
         vert = pts.join(vert, "point_id").select("chain_id", "seq", "x", "y", "vface")
 
-        # --- phase 3: order xsects along edges; midpoint PIP ---
-        ex = _xsects_along_edges(xs, edges, side).persist()
-        nxt_w = Window.partitionBy("eid").orderBy("xidx")
-        mids = (
-            ex.withColumn("nx", F.lead("xsect_xd").over(nxt_w))
-            .withColumn("ny", F.lead("xsect_yd").over(nxt_w))
-            .filter(F.col("nx").isNotNull())
-            .select(
-                (F.col("eid") * F.lit(8) + F.col("xidx")).alias("point_id"),
-                "eid",
-                "xidx",
-                ((F.col("xsect_xd") + F.col("nx")) / 2).alias("mx"),
-                ((F.col("xsect_yd") + F.col("ny")) / 2).alias("my"),
+        # --- phase 3: order xsects along edges; face entered after each
+        # crossing (see module docstring: exact int64 side test by default,
+        # legacy double-midpoint PIP behind midpoint_mode='double') ---
+        ex = _xsects_along_edges(xs, edges, side)
+        if midpoint_mode == "exact":
+            o = other_edges.select(
+                F.col("eid").alias("other_eid"),
+                F.col("a").alias("o_a"),
+                F.col("b").alias("o_b"),
+                F.col("x1").alias("o_x1"),
+                F.col("x2").alias("o_x2"),
+                F.col("left_polygon_id").alias("o_left"),
+                F.col("right_polygon_id").alias("o_right"),
             )
-        )
-        # midpoints are already in the snapped-int domain (xsect_xd is the
-        # rational point as double); unscale so pip_locate re-snaps them
-        mid_q = mids.select(
-            "point_id",
-            scaling.unscale_x(F.col("mx")).alias("x"),
-            scaling.unscale_y(F.col("my")).alias("y"),
-        )
-        midf = pip_locate(mid_q, other_edges, scaling, grid, query_map_id=im).select(
-            "point_id", F.col("face_id").alias("midface")
-        )
-        mids = mids.join(midf, "point_id").select("eid", "xidx", "midface")
-        ex = ex.join(mids, ["eid", "xidx"], "left")
+            s_dot = F.col("o_a") * F.col("dx") + F.col("o_b") * F.col("dy")
+            entered_left = (s_dot > 0) == (F.col("o_x1") <= F.col("o_x2"))
+            ex = (
+                ex.join(o, "other_eid")
+                .withColumn(
+                    "midface",
+                    F.when(entered_left, F.col("o_left")).otherwise(F.col("o_right")),
+                )
+                .drop("o_a", "o_b", "o_x1", "o_x2", "o_left", "o_right")
+            ).persist()
+        else:
+            ex = ex.persist()
+            nxt_w = Window.partitionBy("eid").orderBy("xidx")
+            mids = (
+                ex.withColumn("nx", F.lead("xsect_xd").over(nxt_w))
+                .withColumn("ny", F.lead("xsect_yd").over(nxt_w))
+                .filter(F.col("nx").isNotNull())
+                .select(
+                    F.struct("eid", "xidx").alias("point_id"),
+                    ((F.col("xsect_xd") + F.col("nx")) / 2).alias("mx"),
+                    ((F.col("xsect_yd") + F.col("ny")) / 2).alias("my"),
+                )
+            )
+            # midpoints are already in the snapped-int domain (xsect_xd is
+            # the rational point as double); unscale so pip_locate re-snaps
+            mid_q = mids.select(
+                "point_id",
+                scaling.unscale_x(F.col("mx")).alias("x"),
+                scaling.unscale_y(F.col("my")).alias("y"),
+            )
+            midf = pip_locate(
+                mid_q, other_edges, scaling, grid, query_map_id=im, index=other_idx
+            ).select(
+                F.col("point_id.eid").alias("eid"),
+                F.col("point_id.xidx").alias("xidx"),
+                F.col("face_id").alias("midface"),
+            )
+            ex = ex.join(midf, ["eid", "xidx"], "left")
+        ex = ex.drop("dx", "dy")
 
         # --- phase 4: event stream -> fragments ---
         # xsect j on edge seq occupies positions (seq,1,j,0) [closes frag j]
@@ -345,9 +405,11 @@ def overlay(
         frag_ids.select("map_id", "chain_id", "frag", "out_chain_id"),
         ["map_id", "chain_id", "frag"],
     ).select("out_chain_id", "pseq", F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y"))
+    # first-encounter position as a struct min — lexicographic, no stride
+    # that could overflow on very dense fragments
     pt_dict = (
         pts_out.groupBy("x", "y")
-        .agg(F.min(F.col("out_chain_id") * F.lit(1_000_000) + F.col("pseq")).alias("fp"))
+        .agg(F.min(F.struct("out_chain_id", "pseq")).alias("fp"))
         .withColumn("point_id", F.row_number().over(Window.orderBy("fp")) - 1)
         .select("x", "y", "point_id")
     )
@@ -373,17 +435,25 @@ def overlay(
 
 def write_cdb(out_chains: DataFrame, out_points: DataFrame, path: str) -> None:
     """CDB text writer, 6-decimal fixed (reference output_chain.h:188-204).
-    Output is result-sized; collected through toLocalIterator."""
-    chains = {r["chain_id"]: r for r in out_chains.collect()}
-    pts: dict[int, list] = {}
-    for r in out_points.orderBy("chain_id", "seq").toLocalIterator():
-        pts.setdefault(r["chain_id"], []).append((r["x"], r["y"]))
+
+    The text file is inherently serial (the reference also writes it
+    host-side), but driver memory stays O(1): both inputs arrive as
+    cluster-side sorts streamed through toLocalIterator and merged by
+    chain_id — no driver-side dict of the whole result."""
+    chain_it = out_chains.orderBy("chain_id").toLocalIterator()
+    point_it = out_points.orderBy("chain_id", "seq").toLocalIterator()
+    pending = None  # one read-ahead point row
     with open(path, "w") as f:
-        for cid in sorted(chains):
-            c = chains[cid]
+        for c in chain_it:
+            cid = c["chain_id"]
             f.write(
                 f"{cid} {c['n_points']} {c['first_point_id']} {c['last_point_id']} "
                 f"{c['left_face']} {c['right_face']}\n"
             )
-            for x, y in pts.get(cid, []):
-                f.write(f"{x:.6f} {y:.6f}\n")
+            while True:
+                if pending is None:
+                    pending = next(point_it, None)
+                if pending is None or pending["chain_id"] != cid:
+                    break
+                f.write(f"{pending['x']:.6f} {pending['y']:.6f}\n")
+                pending = None

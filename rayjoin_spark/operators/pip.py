@@ -1,4 +1,4 @@
-"""PIP — point-in-polygon location via the upward-ray walk.
+"""PIP — point-in-polygon location via the upward-ray argmin.
 
 Semantics mirror the reference exactly (reference src/algo/pip.h:12-115 and
 the grid walk src/app/pip_grid.h:37-70): for each query point, among base
@@ -8,12 +8,27 @@ intersection with the upward vertical ray has the smallest y; ties (shared
 vertices) break by slope; the hit edge's face resolves via p1.x < p2.x
 (src/map/map.h:79-87); a miss is the exterior face 0 (src/config.h:8).
 
-Physical plan (all JVM-side):
+Physical plan (all JVM-side, three strategies):
 
-* per round, active points equi-join edge-cells on (cx, cy) over a
-  geometrically growing band of non-empty cells — the grid walk's "test
-  this cell", O(log column) rounds instead of one per cell;
-* exact comparisons: sign tests are int64; the argmin key is
+* ``auto`` (default): ONE banded round — each point equi-joins edge-cells
+  on (cx, cy) over the first `band0` non-empty cells of its grid column at
+  or above it, argmin with the reference's acceptance guard — then the few
+  unresolved points re-join over their ENTIRE remaining column (where the
+  global argmin needs no guard). Exactly one intermediate Spark job per
+  call (an eager checkpoint of the small accepted set), vs one per walk
+  round. Sound because any edge whose acceptance fails has its ray
+  crossing registered in a cell above the searched band (the bbox
+  rectangle explode covers the crossing cell), so the completion pass
+  re-finds it.
+* ``single``: whole-column join for every point, no guard, ZERO
+  intermediate jobs. Right when columns are short (lattices, small maps).
+* ``walk``: the reference's cell walk as a driver loop over geometrically
+  growing bands (4, 8, ... 64 cells/round). O(log column) join rounds;
+  use when columns are so dense that whole-column candidate generation
+  would blow up (the 100 TB escape hatch — per-round work is bounded by
+  the band, at the price of driver-synchronized rounds).
+
+* exact comparisons everywhere: sign tests are int64; the argmin key is
   floor(n * 2^62 / b) as a lexicographic pair of int64 limbs — an exact
   total-order key for the rational n/b (distinct candidate rationals
   differ by >= 2^-58 at our snap scale, so keys of distinct values
@@ -21,16 +36,17 @@ Physical plan (all JVM-side):
   double (src/algo/pip.h:53) and hopes ("Roundoff error should not cause
   it, I hope"); we are exact;
 * argmin per point is one `min_by(payload, key_struct)` — partial-
-  aggregating map-side, no window sort, no join-back (px rides in the
-  payload);
+  aggregating map-side, no window sort, no join-back (px and the hit
+  edge's face ride in the payload);
 * empty cells are skipped: a broadcast map cx -> sorted non-empty cys
-  lets each point jump straight to its next candidate cells.
+  lets each point jump straight to its candidate cells.
 
-Scale note: the walk touches only unresolved points each round and in
-practice resolves ~all points in 1-3 non-empty cells; each round is an
-equi-join co-partitioned on (cx, cy). The column-skip broadcast is
-gsize^2 ints worst case — for gsize beyond ~8k on dense layers, switch
-skip_empty_cells=False (plain +1 walk) or shard the skip map.
+Scale note: each pass is an equi-join co-partitioned on (cx, cy). The
+column-skip broadcast is gsize^2 ints worst case — for gsize beyond ~8k
+on dense layers, switch skip_empty_cells=False (plain +1 walk) or shard
+the skip map. `PipIndex` makes the exploded edge-cells and the skip map
+reusable across pip_locate calls over the same base layer (the overlay
+locates both vertex sets against both maps).
 """
 
 from __future__ import annotations
@@ -114,6 +130,79 @@ def _candidate_filter(cand: DataFrame, query_map_id: int) -> DataFrame:
     return cand.filter(in_x & (s_eff < 0))
 
 
+class PipIndex:
+    """Reusable PIP index over one base layer: the exploded non-vertical
+    edge-cells (persisted) + the broadcastable column skip-map.
+
+    The Spark analog of the reference's built grid (src/grid/uniform_grid.h)
+    held across queries: build once per layer, pass to every pip_locate over
+    that layer (overlay does two locates per side)."""
+
+    def __init__(self, base_edges: DataFrame, grid: GridSpec):
+        self.grid = grid
+        # vertical edges can never qualify: the SoS x-interval (x_min, x_max]
+        # / [x_min, x_max) is empty when x1 == x2 (reference
+        # src/algo/pip.h:44-46 "this also eliminates vertical edges").
+        # Dropping them up front keeps grid columns sparse.
+        self.base_edges = base_edges.filter(F.col("x1") != F.col("x2"))
+        self.edge_cells = (
+            explode_edges_to_cells(self.base_edges, grid)
+            .select(
+                "cx", "cy", "eid", "x1", "y1", "x2", "y2", "a", "b", "c",
+                "left_polygon_id", "right_polygon_id",
+            )
+            .persist()
+        )
+        # column skip map: cx -> sorted non-empty cell ys (broadcast-sized)
+        self.col_cells = (
+            self.edge_cells.select("cx", "cy")
+            .distinct()
+            .groupBy("cx")
+            .agg(F.array_sort(F.collect_set("cy")).alias("cys"))
+            .persist()
+        )
+
+    def unpersist(self) -> None:
+        self.edge_cells.unpersist()
+        self.col_cells.unpersist()
+
+
+def _argmin_in_cells(src: DataFrame, index: PipIndex, query_map_id: int,
+                     cells_col: str, with_guard: bool) -> DataFrame:
+    """Explode each point over its candidate cells, equi-join the edge-cells
+    on (cx, cy), filter, argmin. Returns (point_id, eid, face_id[, band_top,
+    x/y payload]) — one row per point that has any candidate."""
+    cand = (
+        src.withColumn("band_cy", F.explode(cells_col))
+        .join(
+            index.edge_cells,
+            (F.col("pcx") == F.col("cx")) & (F.col("band_cy") == F.col("cy")),
+            "inner",
+        )
+    )
+    cand = _candidate_filter(cand, query_map_id).withColumn(
+        "n_", -F.col("a") * F.col("px") - F.col("c")
+    )
+    payload = [
+        "eid", "x1", "y1", "x2", "y2", "a", "b", "c", "px",
+        "left_polygon_id", "right_polygon_id",
+    ]
+    if with_guard:
+        payload.append("band_top")
+    best = cand.groupBy("point_id").agg(
+        F.min_by(F.struct(*payload), _argmin_key(query_map_id)).alias("e")
+    )
+    return best.select("point_id", "e.*")
+
+
+def _face_column():
+    """Hit edge's face (reference src/map/map.h:79-87): right_polygon_id if
+    p1.x < p2.x in chain order, else left_polygon_id."""
+    return F.when(
+        F.col("x1") < F.col("x2"), F.col("right_polygon_id")
+    ).otherwise(F.col("left_polygon_id"))
+
+
 def pip_locate(
     points: DataFrame,
     base_edges: DataFrame,
@@ -123,51 +212,98 @@ def pip_locate(
     point_id: str = "point_id",
     max_rounds: int | None = None,
     skip_empty_cells: bool = True,
+    mode: str = "auto",
+    band0: int = 8,
+    index: PipIndex | None = None,
 ) -> DataFrame:
     """Locate each query point in the base layer.
 
-    Returns (point_id, closest_eid, face_id, [carried point columns]):
-    closest_eid is NULL and face_id = 0 (exterior) for misses.
+    Returns (point_id, closest_eid, face_id): closest_eid is NULL and
+    face_id = 0 (exterior) for misses. See module docstring for the three
+    physical strategies (mode = 'auto' | 'single' | 'walk').
     """
-    grid = grid or GridSpec()
-    # vertical edges can never qualify: the SoS x-interval (x_min, x_max] /
-    # [x_min, x_max) is empty when x1 == x2 (reference src/algo/pip.h:44-46
-    # "this also eliminates vertical edges"). Dropping them up front keeps
-    # grid columns sparse so the upward walk skips straight past them —
-    # without this, a column of stacked vertical edges forces one join
-    # round per cell.
-    base_edges = base_edges.filter(F.col("x1") != F.col("x2"))
-    edge_cells = explode_edges_to_cells(base_edges, grid).select(
-        "cx",
-        "cy",
-        "eid",
-        "x1",
-        "y1",
-        "x2",
-        "y2",
-        "a",
-        "b",
-        "c",
-        "left_polygon_id",
-        "right_polygon_id",
-    )
-    edge_cells = edge_cells.persist()
-    # broadcast skip map: cx -> sorted non-empty cell ys
-    if skip_empty_cells:
-        # persist: every round broadcasts this map — without the persist
-        # each round re-runs the distinct+groupBy over all edge cells
-        col_cells = (
-            edge_cells.select("cx", "cy")
-            .distinct()
-            .groupBy("cx")
-            .agg(F.array_sort(F.collect_set("cy")).alias("cys"))
-            .persist()
-        )
-        col_cells = F.broadcast(col_cells)
+    grid = grid or (index.grid if index is not None else GridSpec())
+    if not skip_empty_cells:
+        mode = "walk"
+    if index is None:
+        index = PipIndex(base_edges, grid)
 
     pts = prepare_query_points(points, scaling, grid, x="x", y="y").select(
         F.col(point_id).alias("point_id"), "px", "py", "pcx", "pcy"
     )
+
+    if mode == "walk":
+        hits = _pip_walk(pts, index, query_map_id, max_rounds, skip_empty_cells, grid)
+    else:
+        # attach the remaining column (non-empty cells at/above the point)
+        stepped = (
+            pts.join(F.broadcast(index.col_cells), F.col("pcx") == F.col("cx"), "left")
+            .withColumn("cands", F.filter("cys", lambda c: c >= F.col("pcy")))
+            .select("point_id", "px", "py", "pcx", "pcy", "cands")
+        )
+        if mode == "single":
+            src = stepped.filter(F.size("cands") > 0)
+            hits = _argmin_in_cells(src, index, query_map_id, "cands", False)
+            hits = hits.select("point_id", F.col("eid").alias("closest_eid"),
+                               _face_column().alias("face_id"))
+        else:  # auto: one guarded band round + whole-column completion
+            banded = (
+                stepped.filter(F.size("cands") > 0)
+                .withColumn("band", F.slice("cands", 1, band0))
+                .withColumn("band_top", F.element_at("band", -1))
+            )
+            bestA = _argmin_in_cells(banded, index, query_map_id, "band", True)
+            # acceptance guard (reference src/algo/pip.h:98-114, band
+            # generalization): the band argmin is final iff the edge's high
+            # end or its ray crossing lies within the searched band; both
+            # cell calcs in double, as the reference does
+            y_max = F.greatest("y1", "y2")
+            cs = grid.cell_scale
+            cell_of_ymax = ((y_max - F.lit(INTERNAL_MIN)) * F.lit(cs)).cast("int")
+            xsect_yd = (-F.col("a") * F.col("px") - F.col("c")).cast("double") / F.col("b")
+            cell_of_xsect = ((xsect_yd - F.lit(INTERNAL_MIN)) * F.lit(cs)).cast("int")
+            accepted = (
+                bestA.filter(
+                    (cell_of_ymax <= F.col("band_top"))
+                    | (cell_of_xsect <= F.col("band_top"))
+                )
+                .select("point_id", F.col("eid").alias("closest_eid"),
+                        _face_column().alias("face_id"))
+                .localCheckpoint(eager=True)  # the ONE intermediate job
+            )
+            # completion: unresolved points join their whole remaining
+            # column — the global argmin there needs no guard (a rejected
+            # band argmin re-registers at its crossing cell above the band)
+            rest = stepped.join(accepted.select("point_id"), "point_id", "left_anti")
+            rest = rest.filter(F.size("cands") > 0)
+            bestB = _argmin_in_cells(rest, index, query_map_id, "cands", False)
+            bestB = bestB.select("point_id", F.col("eid").alias("closest_eid"),
+                                 _face_column().alias("face_id"))
+            hits = accepted.unionByName(bestB)
+
+    out = pts.select("point_id").join(hits, "point_id", "left")
+    return out.select(
+        "point_id",
+        "closest_eid",
+        F.coalesce(F.col("face_id"), F.lit(0)).alias("face_id"),
+    )
+
+
+def _pip_walk(
+    pts: DataFrame,
+    index: PipIndex,
+    query_map_id: int,
+    max_rounds: int | None,
+    skip_empty_cells: bool,
+    grid: GridSpec,
+) -> DataFrame:
+    """The legacy driver-loop walk over geometrically growing bands; kept as
+    the escape hatch for layers whose grid columns are too dense for the
+    whole-column completion pass. Returns hit rows (point_id, closest_eid,
+    face_id)."""
+    edge_cells = index.edge_cells
+    col_cells = F.broadcast(index.col_cells) if skip_empty_cells else None
+
     active = pts.withColumn("cur_cy", F.col("pcy")).localCheckpoint(eager=True)
     results = []
     if max_rounds is None:
@@ -176,12 +312,6 @@ def pip_locate(
 
     band0, band_max = 4, 64
     for rnd in range(max_rounds):
-        # Walk a BAND of the next `bsize` non-empty cells per round
-        # (geometrically growing) instead of one cell: the reference's
-        # per-cell GPU step is ~free, a Spark round is a join, so rounds
-        # must be O(log columns) not O(cells). Equivalent semantics: any
-        # edge deferred by the acceptance guard re-registers in the cell
-        # containing its ray crossing, which lands in a later band.
         bsize = min(band0 << rnd, band_max)
         if skip_empty_cells:
             stepped = (
@@ -205,17 +335,10 @@ def pip_locate(
                 "band",
                 F.when(F.col("cur_cy") < grid.grid_size, F.sequence(lo, hi)),
             ).select("point_id", "px", "py", "pcx", "pcy", "band")
-        misses = stepped.filter(F.col("band").isNull()).select("point_id")
         nxt = stepped.filter(F.col("band").isNotNull()).withColumn(
             "band_top", F.element_at("band", -1)
         )
-        results.append(
-            misses.withColumn("closest_eid", F.lit(None).cast("bigint")).withColumn(
-                "hit", F.lit(False)
-            )
-        )
         if nxt.isEmpty():
-            active = None
             break
 
         cand = nxt.withColumn("band_cy", F.explode("band")).join(
@@ -226,30 +349,16 @@ def pip_locate(
         cand = _candidate_filter(cand, query_map_id).withColumn(
             "n_", -F.col("a") * F.col("px") - F.col("c")
         )
-        # px rides inside the payload struct so no join-back is needed for
-        # the acceptance test (a 2M-row equi-join saved per round)
         best = cand.groupBy("point_id").agg(
             F.min_by(
                 F.struct(
-                    "eid",
-                    "x1",
-                    "y1",
-                    "x2",
-                    "y2",
-                    "a",
-                    "b",
-                    "c",
-                    "band_top",
-                    "px",
+                    "eid", "x1", "y1", "x2", "y2", "a", "b", "c",
+                    "left_polygon_id", "right_polygon_id", "band_top", "px",
                 ),
                 _argmin_key(query_map_id),
             ).alias("e")
         )
         best = best.select("point_id", "e.*")
-        # acceptance (reference src/algo/pip.h:98-114, band generalization):
-        # accept if the edge's high end is within the searched band, else
-        # reject if the ray crossing falls above it (both cell calcs in
-        # double, as the reference does)
         y_max = F.greatest("y1", "y2")
         cell_of_ymax = ((y_max - F.lit(INTERNAL_MIN)) * F.lit(cell_scale)).cast("int")
         xsect_yd = (-F.col("a") * F.col("px") - F.col("c")).cast("double") / F.col("b")
@@ -259,12 +368,14 @@ def pip_locate(
         ).localCheckpoint(eager=True)
         results.append(
             accepted.select(
-                "point_id", F.col("eid").alias("closest_eid"), F.lit(True).alias("hit")
+                "point_id",
+                F.col("eid").alias("closest_eid"),
+                _face_column().alias("face_id"),
             )
         )
         # unresolved: no accepted best this round -> advance past the band;
-        # checkpointing the (small) next frontier instead of the full
-        # `stepped` keeps per-round IO proportional to what is left
+        # checkpointing the (small) next frontier keeps per-round IO
+        # proportional to what is left
         active = (
             nxt.join(accepted.select("point_id"), "point_id", "left_anti")
             .withColumn("cur_cy", F.col("band_top") + 1)
@@ -272,26 +383,14 @@ def pip_locate(
             .localCheckpoint(eager=True)
         )
 
-    if active is not None:
-        # ran out of rounds: remaining points are misses
-        results.append(
-            active.select("point_id")
+    if not results:
+        return (
+            pts.select("point_id")
+            .limit(0)
             .withColumn("closest_eid", F.lit(None).cast("bigint"))
-            .withColumn("hit", F.lit(False))
+            .withColumn("face_id", F.lit(None).cast("bigint"))
         )
-
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    # face resolution (reference src/map/map.h:79-87): hit edge's face is
-    # right_polygon_id if p1.x < p2.x else left_polygon_id; miss -> 0
-    edge_faces = base_edges.select(
-        F.col("eid").alias("closest_eid"),
-        F.when(F.col("x1") < F.col("x2"), F.col("right_polygon_id"))
-        .otherwise(F.col("left_polygon_id"))
-        .alias("face_id"),
-    )
-    out = out.join(edge_faces, "closest_eid", "left").withColumn(
-        "face_id", F.coalesce(F.col("face_id"), F.lit(0))
-    )
-    return out.select("point_id", "closest_eid", "face_id")
+    return out

@@ -101,20 +101,32 @@ def cdb_to_parquet(spark: SparkSession, cdb_path: str, out_dir: str) -> None:
 
 def write_cdb_text(chains: DataFrame, points: DataFrame, path: str) -> None:
     """Serialize (chains, points) back to CDB text (single file, walk
-    order) — result-sized output."""
-    ch = {r["chain_id"]: r for r in chains.collect()}
-    pts: dict[int, list] = {}
-    for r in points.orderBy("chain_id", "seq").toLocalIterator():
-        pts.setdefault(r["chain_id"], []).append((r["x"], r["y"]))
+    order). The text file is inherently serial, but driver memory stays
+    O(1): per-chain point counts are aggregated cluster-side, then both
+    inputs stream through toLocalIterator sorted by chain_id and merge."""
+    np_df = points.groupBy("chain_id").agg(F.count("*").alias("np_actual"))
+    ch = (
+        chains.join(np_df, "chain_id", "left")
+        .na.fill({"np_actual": 0})
+        .orderBy("chain_id")
+    )
+    has_idx = "first_point_idx" in chains.columns
+    chain_it = ch.toLocalIterator()
+    point_it = points.orderBy("chain_id", "seq").toLocalIterator()
+    pending = None
     with open(path, "w") as f:
-        for cid in sorted(ch):
-            c = ch[cid]
-            n = len(pts.get(cid, []))
-            first = c["first_point_idx"] if "first_point_idx" in c.__fields__ else 0
-            last = c["last_point_idx"] if "last_point_idx" in c.__fields__ else 0
+        for c in chain_it:
+            cid = c["chain_id"]
+            first = c["first_point_idx"] if has_idx else 0
+            last = c["last_point_idx"] if has_idx else 0
             f.write(
-                f"{cid} {n} {first} {last} "
+                f"{cid} {c['np_actual']} {first} {last} "
                 f"{c['left_polygon_id']} {c['right_polygon_id']}\n"
             )
-            for x, y in pts.get(cid, []):
-                f.write(f"{x:.10e} {y:.10e}\n")
+            while True:
+                if pending is None:
+                    pending = next(point_it, None)
+                if pending is None or pending["chain_id"] != cid:
+                    break
+                f.write(f"{pending['x']:.10e} {pending['y']:.10e}\n")
+                pending = None

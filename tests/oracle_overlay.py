@@ -1,12 +1,21 @@
 """Python oracle for the overlay pipeline: a faithful sequential
 re-implementation of the reference writer semantics
 (reference src/run_overlay.cu:143-228 + src/app/output_chain.h:41-205),
-built on the exact primitives in tests/oracle.py. Midpoints use the
-engine's documented double-midpoint convention."""
+built on the exact primitives in tests/oracle.py.
+
+Midpoint faces are EXACT: the midpoint of each consecutive intersection
+pair is carried as a Fraction (arbitrary-precision rational — the oracle
+analog of the reference's int128 rational, src/util/rational.h:72-123)
+and located with the exact-arithmetic PIP. This is deliberately a
+DIFFERENT method than the engine (which derives the entered face
+topologically from the crossed edge's left/right ids, operators/
+overlay.py) — agreement between the two is the exactness cross-check.
+Only the ordering of intersections along an edge uses double `t`, the
+engine's (and reference's) convention."""
 
 from __future__ import annotations
 
-from fractions import Fraction
+from fractions import Fraction  # noqa: F401  (oracle values are Fractions)
 
 from tests.oracle import (
     face_of,
@@ -42,7 +51,7 @@ def overlay_oracle(edges_by_map, chains_by_map, points_by_map, scaling):
                         e["y2"] - e["y1"]
                     )
                     xs_by_edge[im].setdefault(e["eid"], []).append(
-                        dict(xd=xd, yd=yd, other=oe["eid"], t=t)
+                        dict(xd=xd, yd=yd, x=x, y=y, other=oe["eid"], t=t)
                     )
     for im in range(2):
         for lst in xs_by_edge[im].values():
@@ -60,15 +69,18 @@ def overlay_oracle(edges_by_map, chains_by_map, points_by_map, scaling):
         px, py = snap(xraw, yraw)
         return face_of(pip_oracle_one(px, py, other_edges[im], query_map_id=im))
 
-    # midpoint faces: per (im, eid, j) face of midpoint(xsect j, j+1)
+    # midpoint faces: per (im, eid, j) face of midpoint(xsect j, j+1),
+    # computed as an EXACT rational and located with exact-arithmetic PIP
+    # (pip_oracle_one is generic over int/Fraction coordinates)
     midface = [{}, {}]
     for im in range(2):
         for eid, lst in xs_by_edge[im].items():
             for j in range(len(lst) - 1):
-                mx = (lst[j]["xd"] + lst[j + 1]["xd"]) / 2
-                my = (lst[j]["yd"] + lst[j + 1]["yd"]) / 2
-                rx_, ry_ = unscale(mx, my)
-                midface[im][(eid, j)] = locate(rx_, ry_, im)
+                mx = (lst[j]["x"] + lst[j + 1]["x"]) / 2
+                my = (lst[j]["y"] + lst[j + 1]["y"]) / 2
+                midface[im][(eid, j)] = face_of(
+                    pip_oracle_one(mx, my, other_edges[im], query_map_id=im)
+                )
 
     # writer walk
     out_chains = []  # (points list, left, right, other)
