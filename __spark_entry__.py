@@ -222,7 +222,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (rows-only: recall<1 by design)."""
+    """LSH-banded approximate NN. The integer-lattice signature makes the
+    whole plan (prefilter included) oracle-reproducible in DuckDB; recall
+    vs ann_topk_dot is measured in tests and reported by bench.py."""
     emb = _emb(spark, sf_dir)
     qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -233,10 +235,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact integer threshold test."""
-    return simsearch.neardup_cosine(_emb(spark, sf_dir), min_cosine=0.35).select(
-        "id_a", "id_b", "dot", "n_a", "n_b"
-    )
+    """Embedding-cosine near-dup pairs — exhaustive O(n^2) baseline
+    (oracle-checkable at any n; the scale path is neardup_embedding_lsh)."""
+    return simsearch.neardup_cosine(
+        _emb(spark, sf_dir), min_cosine=0.35, exhaustive=True
+    ).select("id_a", "id_b", "dot", "n_a", "n_b")
+
+
+def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via banded sign-bucket candidates + exact verify —
+    the 100 TB path (no crossJoin), fully oracle-checked."""
+    return simsearch.neardup_cosine(
+        _emb(spark, sf_dir), min_cosine=0.35, exhaustive=False
+    ).select("id_a", "id_b", "dot", "n_a", "n_b")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -268,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "neardup_embedding": q_neardup_embedding,
+        "neardup_embedding_lsh": q_neardup_embedding_lsh,
     }
 
 
@@ -568,6 +580,67 @@ SELECT id_a, id_b, dot, n_a, n_b FROM d
 WHERE dot >= 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(1225 AS HUGEINT) * n_a * n_b
 """
 
+def _sig_sql(vcol: str, n_planes: int, dim: int = 64) -> str:
+    """DuckDB replica of simsearch._rh_signature: pure-integer random-
+    hyperplane sign bits over the int-scaled vector column."""
+    bits = []
+    for p in range(n_planes):
+        comp = (
+            f"list_sum(list_transform(range(0, {dim}), i -> "
+            f"{vcol}[CAST(i AS INT)+1] * (({p}*{dim}+i) * 2654435761 "
+            f"% 4294967296 - 2147483648)))"
+        )
+        bits.append(f"(CASE WHEN {comp} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_IV_SQL = """
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+  FROM embeddings
+"""
+
+_NEARDUP_EMB_LSH_SQL = f"""
+WITH iv AS ({_IV_SQL}),
+ sigs AS (SELECT vec_id, v, {_sig_sql('v', 6)} AS sig FROM iv),
+ keys AS (SELECT vec_id, t, (sig >> (t * 2)) & 3 AS k
+          FROM sigs, (SELECT unnest(range(0, 3)) AS t)),
+ pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM keys a JOIN keys b ON a.t = b.t AND a.k = b.k
+           WHERE a.vec_id < b.vec_id),
+ d AS (SELECT p.id_a, p.id_b,
+         CAST(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) AS BIGINT) AS dot,
+         CAST(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])) AS BIGINT) AS n_a,
+         CAST(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) AS BIGINT) AS n_b
+       FROM pairs p
+       JOIN sigs a ON a.vec_id = p.id_a
+       JOIN sigs b ON b.vec_id = p.id_b)
+SELECT id_a, id_b, dot, n_a, n_b FROM d
+WHERE dot >= 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(1225 AS HUGEINT) * n_a * n_b
+"""
+
+_ANN_LSH_SQL = f"""
+WITH iv AS ({_IV_SQL}),
+ sigs AS (SELECT vec_id, v, {_sig_sql('v', 16)} AS sig FROM iv),
+ q AS (SELECT vec_id AS query_id, v AS qv, sig FROM sigs WHERE vec_id % 100 = 0),
+ ck AS (SELECT vec_id AS corpus_id, t, (sig >> (t * 2)) & 3 AS k
+        FROM sigs, (SELECT unnest(range(0, 8)) AS t)),
+ qk AS (SELECT query_id, t, (sig >> (t * 2)) & 3 AS k
+        FROM q, (SELECT unnest(range(0, 8)) AS t)),
+ cand AS (SELECT DISTINCT qk.query_id, ck.corpus_id
+          FROM ck JOIN qk ON ck.t = qk.t AND ck.k = qk.k
+          WHERE ck.corpus_id <> qk.query_id),
+ d AS (SELECT cand.query_id, cand.corpus_id,
+         CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS BIGINT) AS dot
+       FROM cand
+       JOIN sigs c ON c.vec_id = cand.corpus_id
+       JOIN q ON q.query_id = cand.query_id),
+ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, corpus_id ASC) AS rank
+       FROM d)
+SELECT query_id, corpus_id, dot, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
 _PAGES_SQL = """
 SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
        ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 1021.0 AS x,
@@ -598,7 +671,9 @@ def oracle_sql() -> dict[str, str]:
         "pages_geocode": _PAGES_SQL,
         "lsi_join_salted": _LSI_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
-        # overlay_chains / multimodal_features / ann_lsh_topk: rows-only
-        # (composite writer, pandas stub, and approximate recall are not
-        # SQL-expressible; overlay is golden-file tested in tests/)
+        "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,
+        "ann_lsh_topk": _ANN_LSH_SQL,
+        # overlay_chains / multimodal_features: rows-only (composite writer
+        # semantics are golden-file + python-oracle tested in tests/; the
+        # multimodal decode is a pandas stub)
     }

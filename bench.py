@@ -89,11 +89,27 @@ def _queries(spark, sf_dir):
     def q_quality():
         return textops.quality_score(textops.token_count(docs))
 
-    def q_ann():
-        qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+    def _ann_queries():
+        return emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        return simsearch.topk_dot(emb, qs, k=5)
+
+    def q_ann():
+        return simsearch.topk_dot(emb, _ann_queries(), k=5)
+
+    def q_ann_lsh():
+        return simsearch.ann_lsh_topk(emb, _ann_queries(), k=5)
+
+    def q_neardup_emb_lsh():
+        # the 100 TB path: banded sign-bucket candidates, no crossJoin
+        return simsearch.neardup_cosine(emb, min_cosine=0.35, exhaustive=False)
+
+    def q_overlay():
+        # composite overlay end-to-end on the bench lattice pair
+        from rayjoin_spark.operators.overlay import overlay
+
+        oc, _ = overlay(ca, pa, cb, pb, scaling, GridSpec(256))
+        return oc
 
     return {
         "lsi_lattice": q_lsi_lattice,
@@ -102,10 +118,13 @@ def _queries(spark, sf_dir):
         "pip_derived": q_pip_derived,
         "knn_cellring": q_knn,
         "tile_counts": q_tiles,
+        "overlay_chains": q_overlay,
         "minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup,
         "quality_tokens": q_quality,
         "ann_topk": q_ann,
+        "ann_lsh": q_ann_lsh,
+        "neardup_emb_lsh": q_neardup_emb_lsh,
     }
 
 
@@ -190,8 +209,13 @@ def run_suite(
             # machine is shared; min is the least noise-contaminated sample
         times[name] = round(best, 3)
         counts[name] = df.count()
+    out = {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+    if "ann_topk" in qs and "ann_lsh" in qs:
+        from rayjoin_spark.operators.simsearch import ann_recall
+
+        out["ann_lsh_recall"] = round(ann_recall(qs["ann_topk"](), qs["ann_lsh"]()), 3)
     spark.stop()
-    return {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+    return out
 
 
 SCALING_QUERY_NAMES = ["lsi_big", "pip_big", "minhash_big"]
@@ -284,6 +308,7 @@ def main():
         "sf": sf,
         "counts": r["counts"],
         "lsi_pairs_per_sec": pairs_per_sec,
+        "ann_lsh_recall": r.get("ann_lsh_recall"),
         "cpus": CPUS,
     }))
 

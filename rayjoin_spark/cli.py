@@ -61,6 +61,17 @@ def main(argv=None):
     q.add_argument("--warmup", type=int, default=0)
     q.add_argument("--repeat", type=int, default=1)
     q.add_argument("--output", default=None, help="write result parquet here")
+    q.add_argument(
+        "--check", action="store_true",
+        help="verify the result against a second (coarser) grid run — the "
+             "Spark analog of the reference's backend cross-check "
+             "(src/flags.cc:9, src/run_overlay.cu:33-141)",
+    )
+    q.add_argument(
+        "--histo", action="store_true",
+        help="print the per-cell workload histogram (reference -histo, "
+             "src/flags.cc:31, src/grid/uniform_grid.h:444-494)",
+    )
 
     o = sub.add_parser("overlay", help="polygon overlay (polyover_exec analog)")
     o.add_argument("--poly1", required=True)
@@ -74,12 +85,36 @@ def main(argv=None):
     c.add_argument("--cdb", required=True)
     c.add_argument("--out", required=True)
 
+    g = sub.add_parser(
+        "gen", help="synthetic workload generator (reference -gen_n/-gen_t, "
+                    "src/flags.cc:20-23, src/run_query.cu:101-167)"
+    )
+    g.add_argument("--kind", choices=["lsi", "pip"], required=True)
+    g.add_argument("--gen-n", type=int, required=True, help="number of queries")
+    g.add_argument("--gen-t", type=float, default=1.0, help="max segment length")
+    g.add_argument("--bbox", default="0,100,0,100", help="min_x,max_x,min_y,max_y")
+    g.add_argument("--out", required=True, help="output parquet directory")
+
     args = p.parse_args(argv)
     spark = get_spark("rayjoin_cli")
 
     if args.cmd == "convert":
         cdb_to_parquet(spark, args.cdb, args.out)
         print(json.dumps({"converted": args.cdb, "out": args.out}))
+        return 0
+
+    if args.cmd == "gen":
+        from rayjoin_spark.sources.datagen import uniform_points, uniform_segments
+
+        mnx, mxx, mny, mxy = (float(v) for v in args.bbox.split(","))
+        if args.kind == "lsi":
+            gch, gpt = uniform_segments(spark, args.gen_n, mnx, mxx, mny, mxy, args.gen_t)
+            gch.write.mode("overwrite").parquet(f"{args.out}/chains.parquet")
+            gpt.write.mode("overwrite").parquet(f"{args.out}/points.parquet")
+        else:
+            pts = uniform_points(spark, args.gen_n, mnx, mxx, mny, mxy)
+            pts.write.mode("overwrite").parquet(f"{args.out}/points.parquet")
+        print(json.dumps({"generated": args.kind, "n": args.gen_n, "out": args.out}))
         return 0
 
     ca, pa = _load_layer(spark, args.poly1, args.sample)
@@ -108,6 +143,38 @@ def main(argv=None):
         avg = sum(times) / len(times)
         print(json.dumps({"query": args.query, "rows": n, "avg_sec": round(avg, 3),
                           "throughput_per_sec": round(n / avg) if avg else None}))
+        if args.histo:
+            from rayjoin_spark.plans.cells import (
+                cell_workload,
+                explode_edges_to_cells,
+                workload_histogram,
+            )
+
+            hist = workload_histogram(
+                cell_workload(
+                    explode_edges_to_cells(ea, grid), explode_edges_to_cells(eb, grid)
+                )
+            )
+            for r in hist.collect():
+                print(json.dumps({"bucket": r["bucket"], "n_cells": r["n_cells"],
+                                  "total_workload": r["total_workload"]}))
+        if args.check:
+            # second, independent physical configuration (coarser grid) —
+            # grid size is physical, not semantic, so results must agree
+            from rayjoin_spark.operators.checkmode import check_lsi, check_pip
+
+            grid2 = GridSpec(max(args.grid_size // 2, 1))
+            if args.query == "lsi":
+                stats = check_lsi(result, lsi_join(ea, eb, grid2))
+                ok = stats["missing"] == 0 and stats["extra"] == 0
+            else:
+                stats = check_pip(
+                    result, pip_locate(qpts, ea, scaling, grid2), ea
+                )
+                ok = stats["errors"] == 0
+            print(json.dumps({"check": stats, "check_ok": ok}))
+            if not ok:
+                return 1
         if args.output:
             result.write.mode("overwrite").parquet(args.output)
         return 0

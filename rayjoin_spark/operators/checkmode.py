@@ -33,12 +33,19 @@ def check_pip(
 ) -> dict:
     """Per-point closest-eid compare, tolerant to duplicate geometry:
     two eids agree if their edges have identical endpoint coordinates."""
+    # canonical ENDPOINT PAIR (lexicographically smaller point first) —
+    # componentwise min/max would collapse a diagonal and its anti-diagonal
+    # to the same bbox corners and mask genuine mismatches
+    p1 = F.struct(F.col("x1").alias("x"), F.col("y1").alias("y"))
+    p2 = F.struct(F.col("x2").alias("x"), F.col("y2").alias("y"))
+    lo = F.when(p1 < p2, p1).otherwise(p2)
+    hi = F.when(p1 < p2, p2).otherwise(p1)
     geom = base_edges.select(
         F.col("eid"),
-        F.least("x1", "x2").alias("gx1"),
-        F.least("y1", "y2").alias("gy1"),
-        F.greatest("x1", "x2").alias("gx2"),
-        F.greatest("y1", "y2").alias("gy2"),
+        lo["x"].alias("gx1"),
+        lo["y"].alias("gy1"),
+        hi["x"].alias("gx2"),
+        hi["y"].alias("gy2"),
     )
     r = result.select("point_id", F.col("closest_eid").alias("eid_r")).join(
         geom.withColumnRenamed("eid", "eid_r"), "eid_r", "left"

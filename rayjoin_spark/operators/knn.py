@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rayjoin_spark.plans.scaling import INTERNAL_RANGE, GridSpec, Scaling
+from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
 
 def _ring_offsets(r: int):

@@ -107,16 +107,19 @@ def cosine_topk(
     )
 
 
-def _rh_signature(vec, n_planes: int, dim: int, seed: int = 41):
-    """Random-hyperplane sign bits from a deterministic pseudo-plane:
-    plane p component i = ((p*dim + i)*2654435761 % 2^32) / 2^32 - 0.5.
-    Pure arithmetic — identical on any engine, no stored model."""
+def _rh_signature(vec, n_planes: int, dim: int):
+    """Random-hyperplane sign bits over the INT-SCALED vector, with integer
+    lattice plane weights: plane p component i =
+    ((p*dim + i) * 2654435761 mod 2^32) - 2^31. The projection is an exact
+    int64 sum (|comp| <= dim * |v_i| * 2^31 << 2^63), so the signature is
+    bit-reproducible on any engine — the same trick as the spatial side's
+    snap-to-grid contract. `vec` must be the _int_vec column name."""
     bits = []
     for p in range(n_planes):
         comp = F.expr(
             f"aggregate(zip_with({vec}, sequence(0, {dim - 1}), (x, i) -> "
-            f"x * ((({p} * {dim} + i) * 2654435761 % 4294967296) / 4294967296.0 - 0.5)), "
-            "cast(0.0 as double), (acc, v) -> acc + v)"
+            f"x * (({p} * {dim} + i) * 2654435761 % 4294967296 - 2147483648)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
         )
         bits.append(F.when(comp > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
     out = bits[0]
@@ -125,37 +128,71 @@ def _rh_signature(vec, n_planes: int, dim: int, seed: int = 41):
     return out
 
 
+def _band_keys(df: DataFrame, sig_col: str, n_tables: int, band_bits: int) -> DataFrame:
+    """Explode a signature into (table, band-key) rows: band t holds bits
+    [t*band_bits, (t+1)*band_bits). Standard LSH banding — a pair is a
+    candidate if ANY band matches, boosting recall vs all-bits-equal
+    (1-(1-p^r)^L vs p^(rL))."""
+    mask = (1 << band_bits) - 1
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright(F.col(sig_col), t * band_bits).bitwiseAND(mask).alias("k"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("_tk", F.explode(tables)).select(
+        *df.columns, F.col("_tk.t").alias("t"), F.col("_tk.k").alias("k")
+    )
+
+
 def neardup_cosine(
     corpus: DataFrame,
     min_cosine: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exhaustive: bool = True,
-    n_planes: int = 6,
+    exhaustive: bool = False,
+    n_tables: int = 3,
+    band_bits: int = 2,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding near-duplicate pairs by cosine threshold.
 
     Exact comparison in scaled integers: cos(a,b) >= t  <=>
     dot >= 0 and dot^2 * S >= t^2*S * |a|^2 |b|^2 (S=10^4) — no float
-    comparisons, reproducible anywhere. exhaustive=True does the full
-    self-join (oracle-checkable); False prefilters through LSH buckets
-    (the 100 TB path: candidates only from matching sign-buckets).
+    comparisons, reproducible anywhere.
+
+    The DEFAULT (exhaustive=False) is the scale path: candidates come from
+    an equi-join on banded random-hyperplane sign keys (n_tables bands of
+    band_bits planes each; a pair qualifies if ANY band matches), then the
+    exact threshold test. The signature is pure integer arithmetic, so the
+    whole plan — prefilter included — is oracle-reproducible; recall vs
+    the exhaustive result is 1-(1-p^r)^L for plane-agreement probability
+    p = 1 - theta/pi (measured in tests/test_entry_oracle.py).
+    exhaustive=True is the O(n^2) crossJoin baseline for small n.
     """
     c = corpus.select(F.col(id_col).alias("_id"), _int_vec(F.col(vec_col)).alias("v"))
     if not exhaustive:
-        cd = corpus.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("vd")
-        ).withColumn("bucket", _rh_signature("vd", n_planes, dim))
-        c = c.join(cd.select("_id", "bucket"), "_id")
-        a = c.select(F.col("_id").alias("id_a"), F.col("v").alias("va"), "bucket")
-        b = c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-        j = a.join(b, "bucket").drop("bucket")
+        n_planes = n_tables * band_bits
+        sig = c.withColumn("sig", _rh_signature("v", n_planes, dim))
+        keys = _band_keys(sig.select("_id", "sig"), "sig", n_tables, band_bits)
+        pairs = (
+            keys.select(F.col("_id").alias("id_a"), "t", "k")
+            .join(keys.select(F.col("_id").alias("id_b"), "t", "k"), ["t", "k"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        j = (
+            pairs.join(c.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+            .join(c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        )
     else:
         a = c.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
         b = c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
-        j = a.crossJoin(b)
-    j = j.filter(F.col("id_a") < F.col("id_b"))
+        j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     dot = _dot(F.col("va"), F.col("vb"))
     na = _dot(F.col("va"), F.col("va"))
     nb = _dot(F.col("vb"), F.col("vb"))
@@ -173,28 +210,37 @@ def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    band_bits: int = 2,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: bucket by random-hyperplane signature, exact
-    integer re-rank within the bucket. Recall < 1 by construction; the
-    scale path for corpora where crossJoin is impossible."""
+    """Approximate top-k: banded random-hyperplane buckets (candidate if
+    ANY of n_tables bands of band_bits sign bits matches), exact integer
+    re-rank over the deduped candidates. Recall < 1 by construction; the
+    scale path for corpora where crossJoin is impossible. The signature is
+    pure int64 arithmetic (see _rh_signature) — engine-portable."""
+    n_planes = n_tables * band_bits
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        _int_vec(F.col(vec_col)).alias("cv"),
-        F.col(vec_col).cast("array<double>").alias("cvd"),
-    ).withColumn("bucket", _rh_signature("cvd", n_planes, dim))
+        F.col(id_col).alias("corpus_id"), _int_vec(F.col(vec_col)).alias("cv")
+    ).withColumn("sig", _rh_signature("cv", n_planes, dim))
     q = queries.select(
-        F.col(query_id).alias("query_id"),
-        _int_vec(F.col(vec_col)).alias("qv"),
-        F.col(vec_col).cast("array<double>").alias("qvd"),
-    ).withColumn("bucket", _rh_signature("qvd", n_planes, dim))
-    j = (
-        c.join(q, "bucket")
+        F.col(query_id).alias("query_id"), _int_vec(F.col(vec_col)).alias("qv")
+    ).withColumn("sig", _rh_signature("qv", n_planes, dim))
+    ck = _band_keys(c.select("corpus_id", "sig"), "sig", n_tables, band_bits)
+    qk = _band_keys(q.select("query_id", "sig"), "sig", n_tables, band_bits)
+    cand = (
+        ck.select("corpus_id", "t", "k")
+        .join(qk.select("query_id", "t", "k"), ["t", "k"])
         .filter(F.col("corpus_id") != F.col("query_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    j = (
+        cand.join(c.select("corpus_id", "cv"), "corpus_id")
+        .join(q.select("query_id", "qv"), "query_id")
         .select("query_id", "corpus_id", _dot(F.col("cv"), F.col("qv")).alias("dot"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("corpus_id"))
@@ -203,3 +249,11 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "dot", "rank")
     )
+
+
+def ann_recall(spark_topk_exact: DataFrame, spark_topk_ann: DataFrame) -> float:
+    """Recall@k of the ANN result vs the exact result: |hits| / |exact|.
+    Small-result driver-side check (both inputs are top-k sized)."""
+    exact = {(r["query_id"], r["corpus_id"]) for r in spark_topk_exact.collect()}
+    ann = {(r["query_id"], r["corpus_id"]) for r in spark_topk_ann.collect()}
+    return len(exact & ann) / max(len(exact), 1)

@@ -120,16 +120,28 @@ def checkpointed_overlay(
 ) -> tuple[DataFrame, DataFrame]:
     """Overlay with phase checkpoints: edges / lsi / result chains+points
     (mirrors the reference's phase split, src/run_overlay.cu:143-228)."""
+    from rayjoin_spark.operators.lsi import lsi_join
     from rayjoin_spark.operators.overlay import overlay
     from rayjoin_spark.plans.layers import build_edges
 
     cm = CheckpointManager(spark, base_dir, run_id)
     fp = f"grid={grid.grid_size}"
-    cm.stage("edges_a", lambda: build_edges(chains_a, points_a, scaling), fingerprint=fp)
-    cm.stage("edges_b", lambda: build_edges(chains_b, points_b, scaling), fingerprint=fp)
+    # each stage's parquet output FEEDS the next phase (a resumed run
+    # re-reads the completed stage instead of recomputing it)
+    ea = cm.stage("edges_a", lambda: build_edges(chains_a, points_a, scaling), fingerprint=fp)
+    eb = cm.stage("edges_b", lambda: build_edges(chains_b, points_b, scaling), fingerprint=fp)
+    xs = cm.stage(
+        "lsi_xsects",
+        lambda: lsi_join(ea, eb, grid, with_points=True),
+        inputs=["edges_a", "edges_b"],
+        fingerprint=fp,
+    )
 
     def _run():
-        oc, op = overlay(chains_a, points_a, chains_b, points_b, scaling, grid)
+        oc, op = overlay(
+            chains_a, points_a, chains_b, points_b, scaling, grid,
+            prebuilt_edges=(ea, eb), prebuilt_xs=xs,
+        )
         return oc.join(
             op.groupBy("chain_id").agg(
                 F.collect_list(F.struct("seq", "x", "y")).alias("pts")
@@ -137,7 +149,9 @@ def checkpointed_overlay(
             "chain_id",
         )
 
-    merged = cm.stage("overlay_result", _run, inputs=["edges_a", "edges_b"], fingerprint=fp)
+    merged = cm.stage(
+        "overlay_result", _run, inputs=["edges_a", "edges_b", "lsi_xsects"], fingerprint=fp
+    )
     oc = merged.drop("pts")
     op = merged.select("chain_id", F.explode("pts").alias("p")).select(
         "chain_id", F.col("p.seq").alias("seq"), F.col("p.x").alias("x"), F.col("p.y").alias("y")

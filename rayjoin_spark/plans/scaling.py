@@ -16,8 +16,9 @@ We snap to [-2^28, 2^28] (INTERNAL_BITS=29) so that
 
 all fit in int64 — the entire LSI/PIP decision path runs as JVM
 whole-stage-codegen column arithmetic, no Python in the hot join. Exact
-rational intersection *points* (numerators up to ~2^88) are computed only
-for matched pairs inside an Arrow pandas UDF (functions/exact.py).
+rational intersection *points* (numerators up to ~2^88) are decimal(38,0)
+column arithmetic for matched pairs only (operators/lsi.py:with_xsect_point)
+— also JVM-side.
 
 Scaling params are a tiny driver-side value (one agg over the inputs),
 broadcast into column expressions — no per-row Python.

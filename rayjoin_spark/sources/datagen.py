@@ -199,6 +199,58 @@ def uniform_segments(
     return chains, pts
 
 
+def skewed_segments(
+    spark: SparkSession,
+    n: int,
+    width: float = 100.0,
+    height: float = 100.0,
+    exponent: int = 3,
+    max_len: float = 0.5,
+    eid_offset: int = 0,
+    salt: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Coastline-like skewed layer: segment density follows a power law in
+    x (mass piles up near x=0, like edges hugging a coastline), mirroring
+    the per-cell workload histograms the reference prints for real maps
+    (reference src/grid/uniform_grid.h:444-494 — a few cells carry orders
+    of magnitude more edges). x0 = u^exponent * width concentrates a
+    ~u^(1/exponent) fraction of all edges in the first fraction of the
+    domain: exponent=3 puts ~22% of edges in the first 1% of columns.
+    Deterministic hash positions; same (chains, points) shape as the
+    lattice generators."""
+    i = F.col("id")
+    u = F.pmod(i * _MULT_X + 7 + salt, _MOD) / F.lit(float(_MOD))
+    v = F.pmod(i * _MULT_Y + 11 + salt, _MOD) / F.lit(float(_MOD))
+    hdx = F.pmod(i * 40503 + 19 + salt, _MOD) / F.lit(float(_MOD))
+    hdy = F.pmod(i * 65521 + 23 + salt, _MOD) / F.lit(float(_MOD))
+    x0 = u
+    for _ in range(exponent - 1):
+        x0 = x0 * u  # u^exponent without pow(): exact double product chain
+    base = spark.range(n).select(
+        (i + eid_offset).alias("chain_id"),
+        (x0 * width).alias("x0"),
+        (v * height).alias("y0"),
+        ((hdx * 2 - 1) * max_len).alias("dx"),
+        ((hdy * 2 - 1) * max_len).alias("dy"),
+    ).filter((F.col("dx") != 0) | (F.col("dy") != 0))
+    chains = base.select(
+        "chain_id",
+        (F.pmod(F.col("chain_id"), 50) + 1).alias("left_polygon_id"),
+        (F.pmod(F.col("chain_id") + 13, 50) + 1).alias("right_polygon_id"),
+    )
+    pts = base.withColumn("seq", F.explode(F.array(F.lit(0), F.lit(1)))).select(
+        "chain_id",
+        "seq",
+        F.when(F.col("seq") == 0, F.col("x0")).otherwise(
+            F.least(F.greatest(F.col("x0") + F.col("dx"), F.lit(0.0)), F.lit(width))
+        ).alias("x"),
+        F.when(F.col("seq") == 0, F.col("y0")).otherwise(
+            F.least(F.greatest(F.col("y0") + F.col("dy"), F.lit(0.0)), F.lit(height))
+        ).alias("y"),
+    )
+    return chains, pts
+
+
 def synthetic_pages(spark: SparkSession, n: int) -> DataFrame:
     """Common-Crawl-style pages table per BASELINE.json input_hint:
     (url string, warc_ts timestamp, html binary, text string, lang string).

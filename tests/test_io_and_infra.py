@@ -82,6 +82,38 @@ def test_salted_lsi_row_parity(spark):
     assert set(got) == plain
 
 
+def test_tablestore_roundtrip_and_pruning(spark, tmp_path):
+    """TableStore (Iceberg with parquet fallback): cell-prefix-partitioned
+    round-trip, and a prefix filter must PRUNE partitions at scan time."""
+    from rayjoin_spark.plans.cells import explode_edges_to_cells
+    from rayjoin_spark.plans.layers import build_edges
+    from rayjoin_spark.plans.scaling import compute_scaling
+    from rayjoin_spark.sources.tables import TableStore, with_cell_prefix
+
+    ca, pa = lattice_chains(spark, 8)
+    scaling = compute_scaling(pa)
+    cells = with_cell_prefix(
+        explode_edges_to_cells(build_edges(ca, pa, scaling), GridSpec(64)),
+        GridSpec(64), prefix_bits=4,
+    )
+    store = TableStore(spark, str(tmp_path / "wh"))
+    # sandbox has no Iceberg jar -> exercised path is the parquet fallback;
+    # the iceberg branch is the same call seam (probed, not reachable here)
+    assert store.backend() in ("iceberg", "parquet")
+    store.write(cells, "edges_a_cells", partition_by=["p_cx"])
+    back = store.read("edges_a_cells")
+    assert back.count() == cells.count()
+    assert set(back.columns) == set(cells.columns)
+    # partition pruning: the p_cx predicate must land in the scan's
+    # PartitionFilters (directory-level pruning), not a post-scan Filter
+    one = back.filter(F.col("p_cx") == 1)
+    assert one.count() > 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters")[1][:200]
+    assert "p_cx" in part_section, part_section
+
+
 def test_checkpoint_resume(spark, tmp_path):
     from rayjoin_spark.plans.checkpoint import CheckpointManager
 
@@ -157,3 +189,44 @@ def test_cli_convert_and_query(spark, tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
     rec = json.loads(lines[-1])
     assert rec["query"] == "lsi" and rec["rows"] >= 0
+
+
+def test_cli_check_histo_gen(spark, tmp_path, capsys):
+    """--check (grid cross-verify), --histo (workload histogram), and the
+    gen subcommand (reference -gen_n/-gen_t synthetic workloads)."""
+    from rayjoin_spark import cli
+
+    path = str(tmp_path / "lat.cdb")
+    _write_cdb_fixture(spark, 3, path)
+    out = str(tmp_path / "conv")
+    assert cli.main(["convert", "--cdb", path, "--out", out]) == 0
+    # lsi with --check --histo: coarser-grid rerun must agree exactly
+    assert cli.main(
+        ["query", "--poly1", out, "--poly2", out, "--query", "lsi",
+         "--grid-size", "16", "--check", "--histo"]
+    ) == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    chk = [r for r in recs if "check" in r]
+    assert chk and chk[-1]["check_ok"]
+    assert chk[-1]["check"]["missing"] == 0 and chk[-1]["check"]["extra"] == 0
+    assert any("bucket" in r for r in recs)  # histogram lines printed
+    # pip with --check
+    assert cli.main(
+        ["query", "--poly1", out, "--poly2", out, "--query", "pip",
+         "--grid-size", "16", "--check"]
+    ) == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    chk = [r for r in recs if "check" in r]
+    assert chk and chk[-1]["check_ok"] and chk[-1]["check"]["errors"] == 0
+    # gen: synthetic LSI + PIP workloads land as readable parquet
+    gdir = str(tmp_path / "gen_lsi")
+    assert cli.main(["gen", "--kind", "lsi", "--gen-n", "64", "--gen-t", "2.0",
+                     "--bbox", "0,10,0,10", "--out", gdir]) == 0
+    gch = spark.read.parquet(f"{gdir}/chains.parquet")
+    gpt = spark.read.parquet(f"{gdir}/points.parquet")
+    assert gch.count() > 0 and gpt.count() == 2 * gch.count()
+    pdir = str(tmp_path / "gen_pip")
+    assert cli.main(["gen", "--kind", "pip", "--gen-n", "32", "--out", pdir]) == 0
+    assert spark.read.parquet(f"{pdir}/points.parquet").count() == 32

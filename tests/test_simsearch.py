@@ -1,0 +1,48 @@
+"""Similarity-search quality contracts: the banded-LSH scale paths must be
+(a) sound — every returned pair/neighbor passes the same exact integer
+test as the exhaustive baseline (subset property), and (b) useful — recall
+vs the exhaustive result stays above a stated floor on the driver's
+embedding table."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rayjoin_spark.operators import simsearch
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# stated recall floors (measured 0.75 neardup / 0.84 ann at sf0.001;
+# floors leave headroom so the test pins quality without seed-brittleness)
+NEARDUP_RECALL_FLOOR = 0.55
+ANN_RECALL_FLOOR = 0.6
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_neardup_lsh_sound_and_recall(spark, emb):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.neardup_cosine(emb, min_cosine=0.35, exhaustive=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.neardup_cosine(emb, min_cosine=0.35, exhaustive=False).collect()
+    }
+    assert lsh <= exact, "LSH path returned a pair failing the exact threshold"
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall >= NEARDUP_RECALL_FLOOR, f"neardup recall {recall:.3f}"
+
+
+def test_ann_lsh_recall(spark, emb):
+    qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.topk_dot(emb, qs, k=5)
+    ann = simsearch.ann_lsh_topk(emb, qs, k=5)
+    recall = simsearch.ann_recall(exact, ann)
+    assert recall >= ANN_RECALL_FLOOR, f"ann recall {recall:.3f}"
