@@ -213,11 +213,14 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature plumbing (rows-only: mapInPandas stub)."""
+    """Binary-column feature pipeline (rows-only): image rows decode REAL
+    PNG payloads with the stdlib codec (width/height actually parsed);
+    audio/video fall back to the digest stub."""
     from rayjoin_spark.functions.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, 200)).select(
-        "media_id", "kind", "n_bytes", "sha256", "decode_ok"
+        "media_id", "kind", "n_bytes", "sha256", "width", "height",
+        "decode_ok", "decoder",
     )
 
 

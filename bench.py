@@ -46,9 +46,9 @@ def _queries(spark, sf_dir):
     ca, pa = lattice_chains(spark, LATTICE_M)
     cb, pb = transformed_lattice(spark, LATTICE_M)
     scaling = compute_scaling(pa, pb)
-    ea = build_edges(ca, pa, scaling).persist()
-    eb = build_edges(cb, pb, scaling).persist()
-    ea.count(), eb.count()
+    ea = build_edges(ca, pa, scaling)
+    eb = build_edges(cb, pb, scaling)
+    keep = [ea, eb]  # shared setup state, re-pinned after each cleanup
     lat_pts = uniform_points(spark, 200_000, -0.5, LATTICE_M + 0.5, -0.5, LATTICE_M + 0.5)
 
     def q_lsi_lattice():
@@ -125,7 +125,7 @@ def _queries(spark, sf_dir):
         "ann_topk": q_ann,
         "ann_lsh": q_ann_lsh,
         "neardup_emb_lsh": q_neardup_emb_lsh,
-    }
+    }, keep
 
 
 def _scaling_queries(spark, only: str | None = None):
@@ -151,6 +151,7 @@ def _scaling_queries(spark, only: str | None = None):
     )
 
     m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "1536"))
+    npts = int(os.environ.get("SPARK_GRAFT_SCALING_NPTS", "4000000"))
     need_lattice = only in (None, "lsi_big", "pip_big")
     if need_lattice:
         ca, pa = lattice_chains(spark, m)
@@ -159,15 +160,17 @@ def _scaling_queries(spark, only: str | None = None):
         ea = build_edges(ca, pa, scaling).persist()
         eb = build_edges(cb, pb, scaling).persist()
         ea.count(), eb.count()
-        pts = uniform_points(spark, 2_000_000, -0.5, m + 0.5, -0.5, m + 0.5)
+        pts = uniform_points(spark, npts, -0.5, m + 0.5, -0.5, m + 0.5)
     pages = synthetic_pages(spark, 400_000).select(
         F.xxhash64("url").alias("doc_id"), "text"
     )
 
+    gsize_big = int(os.environ.get("SPARK_GRAFT_SCALING_GSIZE", "64"))
+
     def q_lsi_big():
         # coarse grid -> fat cells -> candidate testing dominates (the
         # compute regime a skewed real layer pair puts you in)
-        return lsi_join(ea, eb, GridSpec(128))
+        return lsi_join(ea, eb, GridSpec(gsize_big))
 
     def q_pip_big():
         return pip_locate(pts, ea, scaling, GridSpec(512))
@@ -187,9 +190,23 @@ def run_suite(
 ) -> dict:
     from rayjoin_spark.session import get_spark
 
-    # 4 waves of tasks per stage: straggler-robust at both core counts
-    spark = get_spark(f"bench_{cpus}", cpus=cpus, shuffle_partitions=4 * cpus)
-    qs = _scaling_queries(spark, only) if scaling_suite else _queries(spark, sf_dir)
+    # scaling suite: 4 waves of tasks per stage (inputs are 100x bigger,
+    # straggler-robust at both core counts). Main suite: one wave — at
+    # sf0.1 row counts the per-partition fixed cost (task scheduling +
+    # shuffle file per bucket) dominates, and 128-bucket shuffles measure
+    # ~4x slower than 32 for identical work; AQE still splits skewed
+    # partitions when a cell is hot.
+    spark = get_spark(
+        f"bench_{cpus}", cpus=cpus,
+        shuffle_partitions=(4 * cpus) if scaling_suite else cpus,
+    )
+    keep = []
+    if scaling_suite:
+        qs = _scaling_queries(spark, only)
+    else:
+        qs, keep = _queries(spark, sf_dir)
+        for d_ in keep:
+            d_.persist().count()
     if only:
         qs = {only: qs[only]}
     times, counts = {}, {}
@@ -209,6 +226,16 @@ def run_suite(
             # machine is shared; min is the least noise-contaminated sample
         times[name] = round(best, 3)
         counts[name] = df.count()
+        # drop DataFrame caches + checkpointed RDDs the query left behind:
+        # pinned blocks from one query otherwise evict/spill the next
+        # query's shuffle working set and poison its timing
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        for d_ in keep:  # re-pin shared setup state (outside timed window)
+            d_.persist().count()
     out = {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
     if "ann_topk" in qs and "ann_lsh" in qs:
         from rayjoin_spark.operators.simsearch import ann_recall
@@ -265,8 +292,12 @@ def main():
         lines = [
             "# BENCH — N vs 4N parallelism (in-sandbox evidence for the north rule)",
             "",
-            f"Workloads: deterministic synthetic (lattice LSI m=1536/gsize=128, "
-            f"PIP 2M points, 400k-page MinHash); cores N={n_small} vs 4N={4 * n_small} "
+            f"Workloads: deterministic synthetic, sized compute-dominated "
+            f"(lattice LSI m={os.environ.get('SPARK_GRAFT_SCALING_M', '1536')}/"
+            f"gsize={os.environ.get('SPARK_GRAFT_SCALING_GSIZE', '64')} — coarse grid, "
+            f"candidate sign-testing dominates; PIP "
+            f"{os.environ.get('SPARK_GRAFT_SCALING_NPTS', '4000000')} points; "
+            f"400k-page MinHash); cores N={n_small} vs 4N={4 * n_small} "
             "(local mode, same machine, same plans, same input).",
             "",
             "Methodology: one OS process per (query, core-count) — sequential "

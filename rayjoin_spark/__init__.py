@@ -15,15 +15,16 @@ expansion, raster<->vector tile aggregation, dedup / similarity /
 text-quality operators for training-data pipelines.
 
 Everything is DataFrame/Catalyst first: the hot join paths are pure
-int64 column arithmetic (whole-stage codegen), pandas/Arrow UDFs are
-used only for exact rational outputs that exceed 64 bits.
+int64 column arithmetic (whole-stage codegen); pandas/Arrow UDFs appear
+only at the multimodal decode boundary.
 """
 
 from rayjoin_spark.plans.scaling import Scaling, compute_scaling, GridSpec
 from rayjoin_spark.plans.layers import build_edges, scale_points
 from rayjoin_spark.plans.cells import explode_edges_to_cells, cell_of
 from rayjoin_spark.operators.lsi import lsi_join
-from rayjoin_spark.operators.pip import pip_locate
+from rayjoin_spark.operators.pip import PipIndex, pip_locate
+from rayjoin_spark.operators.overlay import overlay
 
 __all__ = [
     "Scaling",
@@ -35,6 +36,8 @@ __all__ = [
     "cell_of",
     "lsi_join",
     "pip_locate",
+    "PipIndex",
+    "overlay",
 ]
 
 __version__ = "0.1.0"

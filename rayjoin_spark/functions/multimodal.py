@@ -1,15 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched pandas iterators.
 
-The decode kernels themselves are STUBS (the image/audio libraries are
-not in this environment — see `_decode_image_stub`): the Spark-side
-contract — schema, batch shape, partition sizing, UDF signature — is real
-and tested. Swapping a stub for PIL/ffmpeg keeps every plan unchanged.
+The IMAGE path is a REAL decoder: a pure-stdlib PNG codec (zlib inflate +
+scanline unfiltering, 8-bit gray/RGB/RGBA) parses width/height and
+per-channel means — no external imaging library needed. Non-PNG payloads
+(and the audio/video kinds) fall back to a clearly-marked deterministic
+digest feature (`_decode_stub`): the Spark-side contract — schema, batch
+shape, partition sizing, UDF signature — is identical either way, so
+swapping the stub for ffmpeg keeps every plan unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,45 +38,151 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, sha256 string, "
-    "feature array<float>, decode_ok boolean, error string"
+    "width int, height int, feature array<float>, "
+    "decode_ok boolean, decoder string, error string"
 )
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit)
 
-def _decode_image_stub(payload: bytes) -> list[float]:
-    """STUB decode: deterministic fake feature from the payload digest.
 
-    Real implementation: PIL.Image.open(BytesIO(payload)) -> resize ->
-    channel means. Raises NotImplementedError only if strict mode is
-    wanted; here it degrades to the digest feature so pipelines are
-    testable end-to-end without the libs.
-    """
+# ------------------------------------------------------------------ PNG
+def encode_png(width: int, height: int, pixels: list[list[tuple]]) -> bytes:
+    """Minimal RGB PNG encoder (filter 0 rows) for fixtures/round-trips."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in px) for row in pixels
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
+    """Parse a (8-bit gray/RGB/RGBA, non-interlaced) PNG entirely with the
+    stdlib: returns (width, height, n_channels, per-channel means)."""
+    if not data.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat = len(PNG_SIG), b""
+    width = height = bitdepth = colortype = None
+    while pos + 8 <= len(data):
+        (ln,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            width, height, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bitdepth != 8 or colortype not in _CHANNELS or interlace:
+                raise ValueError(f"unsupported PNG (depth={bitdepth} ct={colortype})")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR")
+    ch = _CHANNELS[colortype]
+    stride = width * ch
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad scanline data")
+    prev = bytearray(stride)
+    sums = [0] * ch
+    p = 0
+    for _y in range(height):
+        ft = raw[p]
+        line = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if ft == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                ul = prev[x - ch] if x >= ch else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad filter {ft}")
+        for x in range(stride):
+            sums[x % ch] += line[x]
+        prev = line
+    n_px = width * height
+    return width, height, ch, [s / n_px / 255.0 for s in sums]
+
+
+# ------------------------------------------------------------------ kernels
+def _decode_stub(payload: bytes) -> list[float]:
+    """STUB decode for non-PNG payloads (audio/video and opaque blobs):
+    deterministic fake feature from the payload digest. Real audio/video
+    decode would be ffmpeg — not in this environment by design."""
     d = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in d[:8]]
+
+
+def _decode_one(kind: str, b: bytes):
+    """-> (width, height, feature[8], decoder, error)"""
+    if kind == "image" and b.startswith(PNG_SIG):
+        w, h, ch, means = decode_png(b)
+        feat = [float(w), float(h), float(ch)] + means[:4] + [0.0] * (4 - len(means[:4]))
+        return w, h, [float(v) for v in (feat + [1.0])[:8]], "png", None
+    return None, None, [float(v) for v in _decode_stub(b)], "stub", None
 
 
 def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow streams batches of rows into Python; each batch is processed
-    vectorized (hashes + stub decode). Partition sizing guidance: binary
+    row-vectorized (hashes + decode). Partition sizing guidance: binary
     payloads make rows heavy — repartition so a partition holds O(100 MB)
     of payloads, not O(row count).
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            feats, oks, errs, hashes, sizes = [], [], [], [], []
-            for p in payloads:
+            widths, heights, feats, decs, oks, errs, hashes, sizes = (
+                [], [], [], [], [], [], [], []
+            )
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
                 b = bytes(p) if p is not None else b""
                 sizes.append(len(b))
                 hashes.append(hashlib.sha256(b).hexdigest())
                 try:
-                    feats.append(_decode_image_stub(b))
+                    w, h, feat, dec, err = _decode_one(kind, b)
+                    widths.append(w)
+                    heights.append(h)
+                    feats.append(feat)
+                    decs.append(dec)
                     oks.append(True)
-                    errs.append(None)
-                except NotImplementedError as e:  # pragma: no cover
+                    errs.append(err)
+                except (ValueError, zlib.error) as e:
+                    widths.append(None)
+                    heights.append(None)
                     feats.append(None)
+                    decs.append("png")
                     oks.append(False)
                     errs.append(str(e))
             yield pd.DataFrame(
@@ -80,8 +191,11 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     "kind": pdf["kind"],
                     "n_bytes": sizes,
                     "sha256": hashes,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "feature": feats,
                     "decode_ok": oks,
+                    "decoder": decs,
                     "error": errs,
                 }
             )
@@ -89,22 +203,39 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-def synthetic_media(spark, n: int) -> DataFrame:
-    """Deterministic fake media table (payload = repeated id bytes)."""
-    return (
-        spark.range(n)
-        .select(
-            F.col("id").alias("media_id"),
-            F.element_at(
-                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                (F.pmod(F.col("id"), 3) + 1).cast("int"),
-            ).alias("kind"),
-            F.encode(
-                F.concat(F.lit("payload:"), F.col("id").cast("string")), "UTF-8"
-            ).alias("payload"),
-            F.lit("application/octet-stream").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-        )
+def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
+    """Deterministic fake media table. image rows carry REAL tiny PNGs
+    (8 deterministic 4x3 RGB variants, stdlib-encoded) so the decode path
+    is exercised end-to-end; audio/video stay digest-stub payloads."""
+    variants = []
+    for k in range(8):
+        px = [
+            [((k * 37 + x * 11 + y * 53) % 256, (k * 59 + x * 17) % 256, (y * 29 + k) % 256)
+             for x in range(4)]
+            for y in range(3)
+        ]
+        variants.append(encode_png(4, 3, px))
+    png_arr = F.array(*[F.lit(bytearray(v)) for v in variants])
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(i, 3) + 1).cast("int"),
+    )
+    blob = F.encode(F.concat(F.lit("payload:"), i.cast("string")), "UTF-8")
+    payload = (
+        F.when(kind == "image", F.element_at(png_arr, (F.pmod(i, 8) + 1).cast("int")))
+        .otherwise(blob)
+        if real_png
+        else blob
+    )
+    return spark.range(n).select(
+        i.alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.when(kind == "image", F.lit("image/png"))
+        .otherwise(F.lit("application/octet-stream"))
+        .alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
     )

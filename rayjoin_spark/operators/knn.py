@@ -67,6 +67,11 @@ def knn_points(
         .withColumn("ccy", grid.cell_of(F.col("cy_i")))
         .persist()
     )
+    # broadcast a small corpus: every ring round becomes a narrow map-side
+    # join (no per-round shuffle of the probe side); large corpora keep the
+    # hash-partitioned shuffle join — the 100 TB path
+    if cp.count() <= 2_000_000:
+        cp = F.broadcast(cp)
 
     qp = queries.select(
         F.col(query_id).alias("qid"),

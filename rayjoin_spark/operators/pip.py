@@ -136,10 +136,18 @@ class PipIndex:
 
     The Spark analog of the reference's built grid (src/grid/uniform_grid.h)
     held across queries: build once per layer, pass to every pip_locate over
-    that layer (overlay does two locates per side)."""
+    that layer (overlay does two locates per side).
 
-    def __init__(self, base_edges: DataFrame, grid: GridSpec):
+    When the exploded edge-cells table is small (<= broadcast_max_rows),
+    point-vs-cell joins broadcast it — every PIP pass becomes a narrow
+    map-side join with zero shuffle of the point side. Above the cap the
+    join shuffles on (cx, cy), the 100 TB path."""
+
+    def __init__(self, base_edges: DataFrame, grid: GridSpec,
+                 broadcast_max_rows: int = 2_000_000):
         self.grid = grid
+        self._bcast_max = broadcast_max_rows
+        self._joinable = None
         # vertical edges can never qualify: the SoS x-interval (x_min, x_max]
         # / [x_min, x_max) is empty when x1 == x2 (reference
         # src/algo/pip.h:44-46 "this also eliminates vertical edges").
@@ -162,6 +170,16 @@ class PipIndex:
             .persist()
         )
 
+    def joinable_cells(self):
+        """edge_cells, broadcast-wrapped when small (the count also
+        materializes the persist — a job that happens exactly once)."""
+        if self._joinable is None:
+            if self._bcast_max and self.edge_cells.count() <= self._bcast_max:
+                self._joinable = F.broadcast(self.edge_cells)
+            else:
+                self._joinable = self.edge_cells
+        return self._joinable
+
     def unpersist(self) -> None:
         self.edge_cells.unpersist()
         self.col_cells.unpersist()
@@ -175,7 +193,7 @@ def _argmin_in_cells(src: DataFrame, index: PipIndex, query_map_id: int,
     cand = (
         src.withColumn("band_cy", F.explode(cells_col))
         .join(
-            index.edge_cells,
+            index.joinable_cells(),
             (F.col("pcx") == F.col("cx")) & (F.col("band_cy") == F.col("cy")),
             "inner",
         )
@@ -262,6 +280,11 @@ def pip_locate(
             cell_of_ymax = ((y_max - F.lit(INTERNAL_MIN)) * F.lit(cs)).cast("int")
             xsect_yd = (-F.col("a") * F.col("px") - F.col("c")).cast("double") / F.col("b")
             cell_of_xsect = ((xsect_yd - F.lit(INTERNAL_MIN)) * F.lit(cs)).cast("int")
+            # persist (not an eager checkpoint): both consumers below —
+            # the anti-join and the final union — reuse the one cached
+            # computation with NO intermediate job and no serial disk
+            # write; at cluster scale the band pass stays a fully
+            # parallel stage
             accepted = (
                 bestA.filter(
                     (cell_of_ymax <= F.col("band_top"))
@@ -269,7 +292,7 @@ def pip_locate(
                 )
                 .select("point_id", F.col("eid").alias("closest_eid"),
                         _face_column().alias("face_id"))
-                .localCheckpoint(eager=True)  # the ONE intermediate job
+                .persist()
             )
             # completion: unresolved points join their whole remaining
             # column — the global argmin there needs no guard (a rejected
@@ -301,7 +324,7 @@ def _pip_walk(
     the escape hatch for layers whose grid columns are too dense for the
     whole-column completion pass. Returns hit rows (point_id, closest_eid,
     face_id)."""
-    edge_cells = index.edge_cells
+    edge_cells = index.joinable_cells()
     col_cells = F.broadcast(index.col_cells) if skip_empty_cells else None
 
     active = pts.withColumn("cur_cy", F.col("pcy")).localCheckpoint(eager=True)

@@ -45,6 +45,80 @@ def streaming_tile_counts(
     )
 
 
+def sessionize_hosts(
+    pages_stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-host visit sessionization with
+    applyInPandasWithState (the arbitrary-state path Spark's built-in
+    session_window cannot express when the per-session payload is custom).
+
+    State per host: (session_start, last_ts, n_pages, n_bytes). A page
+    whose warc_ts is more than `gap_seconds` past the last seen event
+    closes the session and opens a new one; event-time timeout flushes a
+    session once the watermark passes last_ts + gap. Emits one row per
+    CLOSED session: (host, session_start, session_end, n_pages, n_bytes).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "host string, session_start timestamp, session_end timestamp, "
+        "n_pages long, n_bytes long"
+    )
+    state_schema = "start long, last long, n_pages long, n_bytes long"
+
+    def fn(key, pdfs, state: GroupState):
+        (host,) = key
+        closed = []
+        if state.hasTimedOut:
+            start, last, np_, nb = state.get
+            closed.append((host, start, last, np_, nb))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            ts = (rows["warc_ts"].astype("int64") // 1_000_000_000).sort_values()
+            sizes = rows["n_bytes"].reindex(ts.index)
+            if state.exists:
+                start, last, np_, nb = state.get
+            else:
+                start = last = None
+                np_, nb = 0, 0
+            for t, sz in zip(ts, sizes):
+                t = int(t)
+                if last is not None and t - last > gap_seconds:
+                    closed.append((host, start, last, np_, nb))
+                    start, np_, nb = t, 0, 0
+                if start is None:
+                    start = t
+                last = t
+                np_ += 1
+                nb += int(sz)
+            state.update((start, last, np_, nb))
+            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "host": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="s"),
+                    "n_pages": [c[3] for c in closed],
+                    "n_bytes": [c[4] for c in closed],
+                }
+            )
+
+    ev = pages_stream.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        F.col("warc_ts"),
+        F.length("text").cast("long").alias("n_bytes"),
+    ).withWatermark("warc_ts", watermark)
+    return ev.groupBy("host").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def stream_locate_pages(
     pages_stream: DataFrame,
     base_edges: DataFrame,

@@ -82,6 +82,34 @@ def test_salted_lsi_row_parity(spark):
     assert set(got) == plain
 
 
+def test_skewed_fixture_salting(spark):
+    """The power-law fixture really is skewed (hot cells exist at a
+    threshold that uniform data would not hit), and the salted join
+    returns exactly the plain join's rows on it."""
+    from rayjoin_spark.plans.cells import explode_edges_to_cells
+    from rayjoin_spark.sources.datagen import skewed_segments
+
+    ca, pa = skewed_segments(spark, 2000, exponent=3)
+    cb, pb = skewed_segments(spark, 2000, exponent=3, salt=101, eid_offset=1 << 18)
+    scaling = compute_scaling(pa, pb)
+    ea = build_edges(ca, pa, scaling)
+    eb = build_edges(cb, pb, scaling)
+    grid = GridSpec(64)
+    w = hot_cells(
+        explode_edges_to_cells(ea, grid), explode_edges_to_cells(eb, grid),
+        threshold=0,
+    ).select("cx", "cy", "workload").collect()
+    loads = sorted((r["workload"] for r in w), reverse=True)
+    assert len(loads) > 10
+    # skew: the hottest cell carries >10x the median cell's workload
+    assert loads[0] > 10 * loads[len(loads) // 2], loads[:5]
+    plain = {(r["eid_a"], r["eid_b"]) for r in lsi_join(ea, eb, grid).collect()}
+    salted = lsi_join_salted(ea, eb, grid, hot_threshold=loads[len(loads) // 2], n_salts=8)
+    got = [(r["eid_a"], r["eid_b"]) for r in salted.collect()]
+    assert len(got) == len(set(got)) and set(got) == plain
+    assert len(plain) > 0
+
+
 def test_tablestore_roundtrip_and_pruning(spark, tmp_path):
     """TableStore (Iceberg with parquet fallback): cell-prefix-partitioned
     round-trip, and a prefix filter must PRUNE partitions at scan time."""
@@ -147,9 +175,74 @@ def test_multimodal_features(spark):
     assert len(rows) == 50
     assert all(r["decode_ok"] for r in rows)
     assert all(len(r["feature"]) == 8 for r in rows)
+    # image rows went through the REAL PNG decoder: parsed dimensions
+    imgs = [r for r in rows if r["kind"] == "image"]
+    assert imgs and all(r["decoder"] == "png" for r in imgs)
+    assert all((r["width"], r["height"]) == (4, 3) for r in imgs)
+    others = [r for r in rows if r["kind"] != "image"]
+    assert all(r["decoder"] == "stub" and r["width"] is None for r in others)
     # deterministic: same payload -> same sha/feature
     again = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)
+
+
+def test_png_codec_roundtrip():
+    """stdlib PNG encode -> decode round-trip: exact dims + channel means,
+    plus filtered-scanline decode (Sub/Up/Average/Paeth paths)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from rayjoin_spark.functions.multimodal import PNG_SIG, decode_png, encode_png
+
+    px = [[(x * 10, y * 20, (x + y) * 5) for x in range(5)] for y in range(4)]
+    data = encode_png(5, 4, px)
+    w, h, ch, means = decode_png(data)
+    assert (w, h, ch) == (5, 4, 3)
+    flat = [v for row in px for p in row for v in p]
+    want = [
+        sum(flat[c::3]) / 20 / 255.0 for c in range(3)
+    ]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(means, want))
+
+    # hand-build a PNG whose rows use filters 1-4; decode must invert them
+    def chunk(tag, body):
+        return (_struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    rows = [bytes([10, 20, 30, 40, 50, 60]), bytes([5, 5, 5, 5, 5, 5]),
+            bytes([100, 0, 50, 25, 75, 125]), bytes([1, 2, 3, 4, 5, 6])]
+    filtered = b""
+    prev = bytes(6)
+    for ft, row in zip([1, 2, 3, 4], rows):
+        enc = bytearray(row)
+        if ft == 1:
+            for x in range(5, 2, -1):
+                enc[x] = (enc[x] - row[x - 3]) & 0xFF
+        elif ft == 2:
+            enc = bytearray((row[x] - prev[x]) & 0xFF for x in range(6))
+        elif ft == 3:
+            enc = bytearray(
+                (row[x] - (((row[x - 3] if x >= 3 else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(6)
+            )
+        elif ft == 4:
+            from rayjoin_spark.functions.multimodal import _paeth
+
+            enc = bytearray(
+                (row[x] - _paeth(row[x - 3] if x >= 3 else 0, prev[x],
+                                 prev[x - 3] if x >= 3 else 0)) & 0xFF
+                for x in range(6)
+            )
+        filtered += bytes([ft]) + bytes(enc)
+        prev = row
+    ihdr = _struct.pack(">IIBBBBB", 2, 4, 8, 2, 0, 0, 0)
+    data2 = (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", _zlib.compress(filtered))
+             + chunk(b"IEND", b""))
+    w2, h2, ch2, means2 = decode_png(data2)
+    assert (w2, h2, ch2) == (2, 4, 3)
+    flat2 = [v for row in rows for v in row]
+    want2 = [sum(flat2[c::3]) / 8 / 255.0 for c in range(3)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(means2, want2))
 
 
 def test_streaming_tile_counts(spark, tmp_path):

@@ -63,3 +63,45 @@ def test_pages_text_byte_identical(spark):
     # some pages land inside polygons, some outside
     faces = {r["face_id"] for r in out}
     assert 0 in faces and (faces - {0})
+
+
+def test_streaming_sessionize_hosts(spark, tmp_path):
+    """applyInPandasWithState sessionization: a visit gap > gap_seconds
+    closes a session; within-batch closures are emitted in update mode."""
+    import datetime as dt
+
+    from rayjoin_spark.streaming.pages_stream import sessionize_hosts
+
+    base = dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc)
+
+    def row(host, sec, text):
+        return (f"https://{host}/p", base + dt.timedelta(seconds=sec), text)
+
+    rows = [
+        row("a.example", 0, "xxxx"),
+        row("a.example", 100, "yy"),
+        row("a.example", 3000, "z"),      # gap 2900 > 1800: closes session 1
+        row("b.example", 50, "bbbb"),     # single open session: not emitted
+    ]
+    src = str(tmp_path / "sess_in")
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, text string").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_hosts(stream, gap_seconds=1800)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sessions_out").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1
+    s = got[0]
+    assert s["host"] == "a.example"
+    assert s["n_pages"] == 2 and s["n_bytes"] == 6
+    assert (s["session_end"] - s["session_start"]).total_seconds() == 100
