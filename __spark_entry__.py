@@ -199,8 +199,10 @@ def q_lsi_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full overlay on small derived lattices (rows-only check: the
-    composite writer semantics are golden-file tested in tests/)."""
+    """Full composite overlay on the m=4 lattice pair — oracle-checked:
+    sources/overlay_oracle.py reproduces the ENTIRE pipeline (brute-force
+    exact LSI/PIP + topological midfaces + event-stream writer) in one
+    DuckDB query, bit-for-bit."""
     from rayjoin_spark.operators.overlay import overlay
     from rayjoin_spark.plans.scaling import compute_scaling
     from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice
@@ -209,7 +211,14 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb, pb = transformed_lattice(spark, 4)
     scaling = compute_scaling(pa, pb)
     oc, _ = overlay(ca, pa, cb, pb, scaling, DERIVED_GRID)
-    return oc
+    return oc.select(
+        F.col("chain_id").cast("bigint").alias("chain_id"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("first_point_id").cast("bigint").alias("first_point_id"),
+        F.col("last_point_id").cast("bigint").alias("last_point_id"),
+        F.col("left_face").cast("bigint").alias("left_face"),
+        F.col("right_face").cast("bigint").alias("right_face"),
+    )
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +662,12 @@ FROM documents
 """
 
 
+def _overlay_oracle_sql_cached() -> str:
+    from rayjoin_spark.sources.overlay_oracle import overlay_oracle_sql
+
+    return overlay_oracle_sql(4)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lsi_join": _LSI_SQL,
@@ -676,7 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
-        # overlay_chains / multimodal_features: rows-only (composite writer
-        # semantics are golden-file + python-oracle tested in tests/; the
-        # multimodal decode is a pandas stub)
+        "overlay_chains": _overlay_oracle_sql_cached(),
+        # multimodal_features: rows-only (the image decode is a real PNG
+        # parse but mapInPandas output is not SQL-expressible)
     }
