@@ -221,6 +221,21 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical S2/H3-analog cell encoding: Morton quadtree ids of the
+    derived query points (level 6 = the 64x64 grid), plus the 3-levels-up
+    parent and points-per-parent rollup counts."""
+    from rayjoin_spark.functions.cellcodes import morton_id, parent_id
+
+    pts = derived.query_points(spark, sf_dir)
+    ids = morton_id(pts, DERIVED_SCALING, DERIVED_GRID, level=6)
+    ids = ids.withColumn("parent_id", parent_id(F.col("cell_id"), 3))
+    per_parent = ids.groupBy("parent_id").agg(F.count("*").alias("n_in_parent"))
+    return ids.join(per_parent, "parent_id").select(
+        "point_id", "cell_id", "parent_id", "n_in_parent"
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature pipeline (rows-only): image rows decode REAL
     PNG payloads with the stdlib codec (width/height actually parsed);
@@ -288,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_geocode": q_pages_geocode,
         "lsi_join_salted": q_lsi_salted,
         "overlay_chains": q_overlay,
+        "cell_morton": q_cell_morton,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "neardup_embedding": q_neardup_embedding,
@@ -662,6 +678,32 @@ FROM documents
 """
 
 
+def _morton_sql() -> str:
+    """DuckDB twin of functions/cellcodes.interleave_bits at level 6 over
+    the derived query points (same >>, &, << integer ops)."""
+    def interleave(cv: str) -> str:
+        terms = [f"((({cv} >> {i}) & 1) << {2 * i})" for i in range(6)]
+        return " + ".join(terms)
+
+    def interleave_y(cv: str) -> str:
+        terms = [f"((({cv} >> {i}) & 1) << {2 * i + 1})" for i in range(6)]
+        return " + ".join(terms)
+
+    return f"""
+WITH pts AS ({points_sql(2, 4)}),
+ ids AS (
+  SELECT point_id,
+         CAST({interleave(_CELL('px'))} + {interleave_y(_CELL('py'))} AS BIGINT) AS cell_id
+  FROM pts
+), withp AS (
+  SELECT point_id, cell_id, cell_id >> 6 AS parent_id FROM ids
+)
+SELECT point_id, cell_id, CAST(parent_id AS BIGINT) AS parent_id,
+       COUNT(*) OVER (PARTITION BY parent_id) AS n_in_parent
+FROM withp
+"""
+
+
 def _overlay_oracle_sql_cached() -> str:
     from rayjoin_spark.sources.overlay_oracle import overlay_oracle_sql
 
@@ -692,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
+        "cell_morton": _morton_sql(),
         # multimodal_features: rows-only (the image decode is a real PNG
         # parse but mapInPandas output is not SQL-expressible)
     }

@@ -307,19 +307,35 @@ def main():
             "~16 physical, so N=2 vs 8 keeps both levels within physical "
             "capacity — the regime that transfers to N vs 4N executors).",
             "",
-            "Scaling efficiency = T_N / (4 * T_4N); 1.0 = perfect linear.",
+            "Scaling efficiency = T_N / (4 * T_4N); 1.0 = perfect linear. "
+            "Throughput = output rows/sec (the north-rule metric: joined "
+            "pairs/sec for the LSI row) at each parallelism.",
             "",
-            "| query | rows | T_N (s) | T_4N (s) | efficiency |",
-            "|---|---|---|---|---|",
+            "| query | rows | T_N (s) | T_4N (s) | rows/s @N | rows/s @4N | efficiency |",
+            "|---|---|---|---|---|---|---|",
         ]
         for k in r_small["times"]:
+            n_rows = r_small["counts"][k]
             lines.append(
-                f"| {k} | {r_small['counts'][k]} | {r_small['times'][k]} "
-                f"| {r_big['times'][k]} | {eff[k]} |"
+                f"| {k} | {n_rows} | {r_small['times'][k]} "
+                f"| {r_big['times'][k]} "
+                f"| {round(n_rows / r_small['times'][k])} "
+                f"| {round(n_rows / r_big['times'][k])} "
+                f"| {eff[k]} |"
             )
         lines.append(
-            f"| **total** | | {r_small['total']} | {r_big['total']} | **{total_eff}** |"
+            f"| **total** | | {r_small['total']} | {r_big['total']} | | | **{total_eff}** |"
         )
+        lines += [
+            "",
+            "Context vs the reference (BASELINE.md; GPU RT-core numbers are "
+            "context, not the bar — the binding target is the >=0.8 "
+            "efficiency + row parity above): reference grid backend joins "
+            "0.63M pairs/s on a single GPU at county×zipcode scale; this "
+            "engine's CPU plans trade that constant for horizontal scaling "
+            "and exactness (int64 predicates vs the reference's 'Roundoff "
+            "error should not cause it, I hope' double compare).",
+        ]
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
         print(json.dumps({"metric": "scaling_efficiency", "value": total_eff,

@@ -105,3 +105,39 @@ def test_streaming_sessionize_hosts(spark, tmp_path):
     assert s["host"] == "a.example"
     assert s["n_pages"] == 2 and s["n_bytes"] == 6
     assert (s["session_end"] - s["session_start"]).total_seconds() == 100
+
+
+def test_morton_cellcodes(spark):
+    """Column-math Morton ids == Arrow pandas-UDF variant; parent ids are
+    prefixes (id >> 2k); round-trip de-interleave sanity."""
+    from rayjoin_spark.functions.cellcodes import (
+        interleave_bits,
+        morton_id,
+        morton_id_pandas,
+        parent_id,
+    )
+    from rayjoin_spark.plans.scaling import Scaling
+    from rayjoin_spark.sources.datagen import uniform_points
+
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    grid = GridSpec(64)
+    pts = uniform_points(spark, 300, 0.0, 100.0, 0.0, 100.0)
+    a = morton_id(pts, scaling, grid, level=6).select("point_id", "cell_id")
+    b = morton_id_pandas(pts, scaling, grid, level=6).select("point_id", "cell_id")
+    ra = {r["point_id"]: r["cell_id"] for r in a.collect()}
+    rb = {r["point_id"]: r["cell_id"] for r in b.collect()}
+    assert ra == rb
+    assert all(0 <= v < (1 << 12) for v in ra.values())
+    # parent prefix property
+    p = (
+        morton_id(pts, scaling, grid, level=6)
+        .withColumn("par", parent_id(F.col("cell_id"), 2))
+        .collect()
+    )
+    assert all(r["par"] == r["cell_id"] >> 4 for r in p)
+    # interleave round-trip on known values
+    row = spark.createDataFrame([(5, 3)], "cx int, cy int").select(
+        interleave_bits(F.col("cx"), F.col("cy"), 6).alias("m")
+    ).collect()[0]
+    # cx=101b -> bits 0,4; cy=011b -> bits 1,3  => 1+2+8+16 = 27
+    assert row["m"] == 27
