@@ -221,6 +221,48 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style tumbling rollup over the events stream table; all
+    checked columns are shuffle-order-independent (exact under any plan)."""
+    from rayjoin_spark.functions.eventops import event_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_rollup(ev).select(
+        "bucket", "event_type", "n_events", "n_users",
+        "min_value", "max_value", "sum_k",
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessions (batch twin of the streaming
+    applyInPandasWithState sessionizer), exact epoch-microsecond math."""
+    from rayjoin_spark.functions.eventops import sessionize_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_events(ev).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+def q_overlay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlay writer's walk-order point stream — same DuckDB
+    full-pipeline oracle as overlay_chains, points SELECT."""
+    from rayjoin_spark.operators.overlay import overlay
+    from rayjoin_spark.plans.scaling import compute_scaling
+    from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice
+
+    ca, pa = lattice_chains(spark, 4)
+    cb, pb = transformed_lattice(spark, 4)
+    scaling = compute_scaling(pa, pb)
+    _, op = overlay(ca, pa, cb, pb, scaling, DERIVED_GRID)
+    return op.select(
+        F.col("chain_id").cast("bigint").alias("chain_id"),
+        F.col("seq").cast("bigint").alias("seq"),
+        "x",
+        "y",
+    )
+
+
 def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical S2/H3-analog cell encoding: Morton quadtree ids of the
     derived query points (level 6 = the 64x64 grid), plus the 3-levels-up
@@ -303,7 +345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_geocode": q_pages_geocode,
         "lsi_join_salted": q_lsi_salted,
         "overlay_chains": q_overlay,
+        "overlay_points": q_overlay_points,
         "cell_morton": q_cell_morton,
+        "event_rollup": q_event_rollup,
+        "event_sessions": q_event_sessions,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "neardup_embedding": q_neardup_embedding,
@@ -704,10 +749,31 @@ FROM withp
 """
 
 
-def _overlay_oracle_sql_cached() -> str:
+_EVENT_ROLLUP_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+_EVENT_SESSIONS_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+ l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+ n AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+ s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid FROM n)
+SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _overlay_oracle_sql_cached(result: str = "chains") -> str:
     from rayjoin_spark.sources.overlay_oracle import overlay_oracle_sql
 
-    return overlay_oracle_sql(4)
+    return overlay_oracle_sql(4, result=result)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -734,7 +800,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
+        "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),
+        "event_rollup": _EVENT_ROLLUP_SQL,
+        "event_sessions": _EVENT_SESSIONS_SQL,
         # multimodal_features: rows-only (the image decode is a real PNG
         # parse but mapInPandas output is not SQL-expressible)
     }

@@ -86,7 +86,10 @@ _SK_LO = (
 )
 
 
-def overlay_oracle_sql(m: int = 4) -> str:
+def overlay_oracle_sql(m: int = 4, result: str = "chains") -> str:
+    """result='chains' -> the writer's chain table; 'points' -> the walk-
+    order point stream (chain_id, seq, x, y) — same pipeline, different
+    final SELECT."""
     ch_a, pt_a = _lattice_py(m)
     ch_b = ch_a  # same topology, transformed geometry
     pt_b = _transform_py(pt_a)
@@ -101,8 +104,11 @@ def overlay_oracle_sql(m: int = 4) -> str:
         for mid, chs in ((0, ch_a), (1, ch_b))
         for (cid, lp, rp) in chs
     )
+    # the e0 suffix forces DOUBLE literals: bare decimal literals parse as
+    # DECIMAL(p,s) and VALUES unifies scales across rows, silently rounding
+    # the 16th digit away (measured: vertex coords off by 1 ulp)
     point_vals = ",\n    ".join(
-        f"({mid}, {cid}, {seq}, {x!r}, {y!r})"
+        f"({mid}, {cid}, {seq}, {x!r}e0, {y!r}e0)"
         for mid, pts in ((0, pt_a), (1, pt_b))
         for (cid, seq, x, y) in pts
     )
@@ -326,6 +332,14 @@ fe AS (
   FROM pts_out p JOIN pt_dict d USING (x, y)
   GROUP BY p.out_chain_id
 )
+""" + (
+        """
+SELECT CAST(out_chain_id AS BIGINT) AS chain_id,
+       CAST(pseq AS BIGINT) AS seq, x, y
+FROM pts_out
+"""
+        if result == "points"
+        else """
 SELECT CAST(f.out_chain_id AS BIGINT) AS chain_id,
        CAST(f.n_points AS BIGINT) AS n_points,
        CAST(e.first_point_id AS BIGINT) AS first_point_id,
@@ -338,3 +352,4 @@ JOIN ends e USING (out_chain_id)
 LEFT JOIN face_dict fd1 ON fd1.k1 = fe.lk AND fd1.k2 = fe.lv
 LEFT JOIN face_dict fd2 ON fd2.k1 = fe.rk AND fd2.k2 = fe.rv
 """
+    )
