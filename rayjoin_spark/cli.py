@@ -80,6 +80,11 @@ def main(argv=None):
     o.add_argument("--sample", type=float, default=None)
     o.add_argument("--output", default=None, help="CDB text output path")
     o.add_argument("--checkpoint-dir", default=None)
+    o.add_argument(
+        "--check", action="store_true",
+        help="re-run the overlay on a coarser grid and require identical "
+             "output (reference run_overlay.cu:33-141 check mode)",
+    )
 
     c = sub.add_parser("convert", help="CDB text -> parquet cache")
     c.add_argument("--cdb", required=True)
@@ -190,6 +195,15 @@ def main(argv=None):
             oc, op = overlay(ca, pa, cb, pb, scaling, grid)
         n = oc.count()
         print(json.dumps({"overlay_chains": n}))
+        if args.check:
+            oc2, _ = overlay(ca, pa, cb, pb, scaling, GridSpec(max(grid.grid_size // 2, 1)))
+            missing = oc2.exceptAll(oc).count()
+            extra = oc.exceptAll(oc2).count()
+            ok = missing == 0 and extra == 0
+            print(json.dumps({"check": {"missing": missing, "extra": extra},
+                              "check_ok": ok}))
+            if not ok:
+                return 1
         if args.output:
             write_cdb(oc, op, args.output)
         return 0

@@ -323,3 +323,11 @@ def test_cli_check_histo_gen(spark, tmp_path, capsys):
     pdir = str(tmp_path / "gen_pip")
     assert cli.main(["gen", "--kind", "pip", "--gen-n", "32", "--out", pdir]) == 0
     assert spark.read.parquet(f"{pdir}/points.parquet").count() == 32
+    # overlay --check: coarser-grid rerun must produce identical chains
+    assert cli.main(
+        ["overlay", "--poly1", out, "--poly2", out, "--grid-size", "16", "--check"]
+    ) == 0
+    recs = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    chk = [r for r in recs if "check" in r]
+    assert chk and chk[-1]["check_ok"]
