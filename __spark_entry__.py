@@ -279,9 +279,11 @@ def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature pipeline (rows-only): image rows decode REAL
-    PNG payloads with the stdlib codec (width/height actually parsed);
-    audio/video fall back to the digest stub."""
+    """Binary-column feature pipeline: image rows decode REAL PNG payloads
+    with the stdlib+NumPy codec (width/height actually parsed); audio/video
+    fall back to the digest stub. Oracle-checked: dims/bytes/hashes/decoder
+    are literal-derivable from the deterministic fixture (_multimodal_sql);
+    the float feature vector is pytest-checked instead."""
     from rayjoin_spark.functions.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, 200)).select(
@@ -750,7 +752,8 @@ FROM withp
 
 
 _EVENT_ROLLUP_SQL = """
-SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
+SELECT (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
+         // 3600000000 AS bucket, event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        MIN(value) AS min_value, MAX(value) AS max_value,
@@ -767,6 +770,46 @@ WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
 SELECT user_id, MIN(us) AS session_start_us, MAX(us) AS session_end_us,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
+"""
+
+
+def _multimodal_sql(n: int = 200) -> str:
+    """Literal-lookup oracle for the multimodal feature pipeline: the
+    fixture's 8 PNG variants are deterministic (functions/multimodal.py
+    synthetic_media), so n_bytes/sha256/width/height/decoder are
+    re-derivable as constants keyed by media_id % 8; audio/video payloads
+    are 'payload:<id>' strings whose sha256 DuckDB computes natively."""
+    import hashlib
+
+    from rayjoin_spark.functions.multimodal import encode_png
+
+    variants = []
+    for k in range(8):
+        px = [
+            [((k * 37 + x * 11 + y * 53) % 256, (k * 59 + x * 17) % 256, (y * 29 + k) % 256)
+             for x in range(4)]
+            for y in range(3)
+        ]
+        variants.append(encode_png(4, 3, px))
+    sha_arr = "[" + ",".join(f"'{hashlib.sha256(v).hexdigest()}'" for v in variants) + "]"
+    nb_arr = "[" + ",".join(str(len(v)) for v in variants) + "]"
+    return f"""
+WITH ids AS (SELECT CAST(unnest(range(0, {n})) AS BIGINT) AS media_id),
+ k AS (
+  SELECT media_id,
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+  FROM ids
+)
+SELECT media_id, kind,
+  CAST(CASE WHEN kind = 'image' THEN {nb_arr}[CAST(media_id % 8 AS INT) + 1]
+            ELSE length('payload:' || CAST(media_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
+  CASE WHEN kind = 'image' THEN {sha_arr}[CAST(media_id % 8 AS INT) + 1]
+       ELSE sha256('payload:' || CAST(media_id AS VARCHAR)) END AS sha256,
+  CAST(CASE WHEN kind = 'image' THEN 4 END AS INTEGER) AS width,
+  CAST(CASE WHEN kind = 'image' THEN 3 END AS INTEGER) AS height,
+  TRUE AS decode_ok,
+  CASE WHEN kind = 'image' THEN 'png' ELSE 'stub' END AS decoder
+FROM k
 """
 
 
@@ -804,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_morton": _morton_sql(),
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
-        # multimodal_features: rows-only (the image decode is a real PNG
-        # parse but mapInPandas output is not SQL-expressible)
+        # multimodal: the checked columns (dims/bytes/hashes/decoder) are
+        # literal-derivable from the deterministic fixture; the float
+        # feature vector stays pytest-only (mapInPandas decode internals)
+        "multimodal_features": _multimodal_sql(),
     }

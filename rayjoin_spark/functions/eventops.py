@@ -32,9 +32,12 @@ def event_rollup(events: DataFrame, bucket_us: int = US_PER_HOUR) -> DataFrame:
     e = events.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
-        # integer DIV, not double division: a double quotient near a bucket
-        # boundary could truncate differently across engines
-        e.withColumn("bucket", F.expr(f"us DIV {bucket_us}"))
+        # FLOOR division in exact integer math: `us DIV b` truncates
+        # toward zero (so does DuckDB's bigint //), which puts pre-1970
+        # (negative-epoch) events in the WRONG bucket; subtracting pmod
+        # first makes the dividend an exact multiple, so DIV is exact
+        # floor — the oracle SQL uses the same subtract-pmod-first form
+        e.withColumn("bucket", F.expr(f"(us - pmod(us, {bucket_us})) DIV {bucket_us}"))
         .groupBy("bucket", "event_type")
         .agg(
             F.count("*").alias("n_events"),

@@ -17,6 +17,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -68,6 +69,8 @@ def encode_png(width: int, height: int, pixels: list[list[tuple]]) -> bytes:
 
 
 def _paeth(a: int, b: int, c: int) -> int:
+    """Scalar Paeth predictor (spec reference + fixture encoding in tests;
+    the decoder uses the vectorized np.where form)."""
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
     if pa <= pb and pa <= pc:
@@ -77,7 +80,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
     """Parse a (8-bit gray/RGB/RGBA, non-interlaced) PNG entirely with the
-    stdlib: returns (width, height, n_channels, per-channel means)."""
+    stdlib + NumPy: returns (width, height, n_channels, per-channel means).
+
+    Unfiltering is vectorized: Sub is a per-channel cumulative sum mod 256,
+    Up is one vector add; Average/Paeth carry a true scanline dependency so
+    they loop over pixels but stay vectorized across channels — no per-byte
+    Python loop anywhere. Malformed input raises ValueError (the caller's
+    degrade-to-error-row contract)."""
     if not data.startswith(PNG_SIG):
         raise ValueError("not a PNG")
     pos, idat = len(PNG_SIG), b""
@@ -87,6 +96,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
         body = data[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR")
             width, height, bitdepth, colortype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -98,40 +109,52 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
             break
     if width is None:
         raise ValueError("no IHDR")
+    if width == 0 or height == 0:
+        raise ValueError("empty image")
     ch = _CHANNELS[colortype]
     stride = width * ch
     raw = zlib.decompress(idat)
     if len(raw) != height * (stride + 1):
         raise ValueError("bad scanline data")
-    prev = bytearray(stride)
-    sums = [0] * ch
-    p = 0
-    for _y in range(height):
-        ft = raw[p]
-        line = bytearray(raw[p + 1:p + 1 + stride])
-        p += 1 + stride
-        if ft == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    fts = rows[:, 0]
+    sums = np.zeros(ch, dtype=np.int64)
+    prev = np.zeros((width, ch), dtype=np.int64)
+    for y in range(height):
+        ft = int(fts[y])
+        px = rows[y, 1:].astype(np.int64).reshape(width, ch)
+        if ft == 0:
+            line = px
+        elif ft == 1:  # Sub: decoded = running sum of raw bytes, mod 256
+            line = np.cumsum(px, axis=0) & 0xFF
         elif ft == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            line = (px + prev) & 0xFF
         elif ft == 3:  # Average
-            for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            line = np.empty_like(px)
+            left = np.zeros(ch, dtype=np.int64)
+            for k in range(width):
+                left = (px[k] + ((left + prev[k]) >> 1)) & 0xFF
+                line[k] = left
         elif ft == 4:  # Paeth
-            for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                ul = prev[x - ch] if x >= ch else 0
-                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
-        elif ft != 0:
+            line = np.empty_like(px)
+            left = np.zeros(ch, dtype=np.int64)
+            ul = np.zeros(ch, dtype=np.int64)
+            for k in range(width):
+                up = prev[k]
+                p = left + up - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                )
+                left = (px[k] + pred) & 0xFF
+                line[k] = left
+                ul = up
+        else:
             raise ValueError(f"bad filter {ft}")
-        for x in range(stride):
-            sums[x % ch] += line[x]
+        sums += line.sum(axis=0)
         prev = line
     n_px = width * height
-    return width, height, ch, [s / n_px / 255.0 for s in sums]
+    return width, height, ch, [float(s) / n_px / 255.0 for s in sums]
 
 
 # ------------------------------------------------------------------ kernels
@@ -178,7 +201,9 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                     decs.append(dec)
                     oks.append(True)
                     errs.append(err)
-                except (ValueError, zlib.error) as e:
+                except (ValueError, zlib.error, struct.error) as e:
+                    # struct.error: truncated IHDR/chunk header — same
+                    # degrade-to-error-row contract as a bad zlib stream
                     widths.append(None)
                     heights.append(None)
                     feats.append(None)

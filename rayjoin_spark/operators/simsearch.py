@@ -153,7 +153,7 @@ def neardup_cosine(
     min_cosine: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exhaustive: bool = False,
+    exhaustive: bool = True,
     n_tables: int = 3,
     band_bits: int = 2,
     dim: int = 64,
@@ -164,14 +164,16 @@ def neardup_cosine(
     dot >= 0 and dot^2 * S >= t^2*S * |a|^2 |b|^2 (S=10^4) — no float
     comparisons, reproducible anywhere.
 
-    The DEFAULT (exhaustive=False) is the scale path: candidates come from
+    The DEFAULT (exhaustive=True) returns the EXACT pair set via the
+    O(n^2) crossJoin — approximation is never implicit. Pass
+    exhaustive=False to opt in to the scale path: candidates come from
     an equi-join on banded random-hyperplane sign keys (n_tables bands of
     band_bits planes each; a pair qualifies if ANY band matches), then the
     exact threshold test. The signature is pure integer arithmetic, so the
     whole plan — prefilter included — is oracle-reproducible; recall vs
     the exhaustive result is 1-(1-p^r)^L for plane-agreement probability
-    p = 1 - theta/pi (measured in tests/test_entry_oracle.py).
-    exhaustive=True is the O(n^2) crossJoin baseline for small n.
+    p = 1 - theta/pi (measured in tests/test_entry_oracle.py). At 100 TB
+    the LSH path is the only viable one — but that's the caller's call.
     """
     c = corpus.select(F.col(id_col).alias("_id"), _int_vec(F.col(vec_col)).alias("v"))
     if not exhaustive:

@@ -125,7 +125,15 @@ def checkpointed_overlay(
     from rayjoin_spark.plans.layers import build_edges
 
     cm = CheckpointManager(spark, base_dir, run_id)
-    fp = f"grid={grid.grid_size}"
+    # fingerprint captures the INPUTS too (row counts + the affine snap
+    # params, which encode the joint bbox): rerunning in the same
+    # base_dir/run_id with different layers invalidates the cached stages
+    # instead of silently replaying stale edges/xsects
+    n_in = [df.count() for df in (chains_a, points_a, chains_b, points_b)]
+    fp = (
+        f"grid={grid.grid_size};rows={','.join(map(str, n_in))};"
+        f"scale={scaling.rx!r},{scaling.ry!r},{scaling.dx!r},{scaling.dy!r}"
+    )
     # each stage's parquet output FEEDS the next phase (a resumed run
     # re-reads the completed stage instead of recomputing it)
     ea = cm.stage("edges_a", lambda: build_edges(chains_a, points_a, scaling), fingerprint=fp)

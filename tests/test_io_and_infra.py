@@ -245,6 +245,104 @@ def test_png_codec_roundtrip():
     assert all(abs(a - b) < 1e-12 for a, b in zip(means2, want2))
 
 
+def test_multimodal_malformed_payloads(spark):
+    """Malformed PNG-signature payloads must degrade to decode_ok=False
+    rows (not fail the task): truncated IHDR (struct.error), 0x0 image
+    (div-by-zero guard), bad zlib stream."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from pyspark.sql import types as T
+
+    from rayjoin_spark.functions.multimodal import PNG_SIG, extract_features
+
+    def chunk(tag, body):
+        return (_struct.pack(">I", len(body)) + tag + body
+                + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    trunc = PNG_SIG + _struct.pack(">I", 13) + b"IHDR" + b"\x00\x00"  # cut mid-IHDR
+    zero = (PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", _zlib.compress(b"")) + chunk(b"IEND", b""))
+    badz = (PNG_SIG + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"not-zlib") + chunk(b"IEND", b""))
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(trunc)), (1, "image", bytearray(zero)),
+         (2, "image", bytearray(badz))],
+        schema,
+    )
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(rows) == 3
+    assert all(not r["decode_ok"] and r["error"] for r in rows.values())
+
+
+def test_event_rollup_negative_epoch(spark):
+    """Pre-1970 timestamps: the bucket id must FLOOR (match DuckDB //),
+    not truncate toward zero."""
+    import duckdb
+
+    from rayjoin_spark.functions.eventops import event_rollup
+
+    rows = [
+        (1, "1969-12-31 23:30:00", 7, "click", 1.0, '{"k": 3}'),
+        (2, "1969-12-31 22:59:59", 7, "click", 2.0, '{"k": 4}'),
+        (3, "1970-01-01 00:30:00", 8, "view", 3.0, '{"k": 5}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+              "value double, props string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], r["sum_k"])
+        for r in event_rollup(ev).collect()
+    }
+    # floor(-30min / 1h) = -1, floor(-61min / 1h) = -2, floor(30min) = 0
+    assert got == {(-1, "click"): (1, 3), (-2, "click"): (1, 4), (0, "view"): (1, 5)}
+    # and the oracle's positive-mod floor formula agrees (note: DuckDB's
+    # bare BIGINT // truncates toward zero, same as Spark DIV — BOTH
+    # engines use the subtract-pmod-first floor form)
+    con = duckdb.connect()
+    dk = con.execute(
+        "SELECT (epoch_us(TIMESTAMP '1969-12-31 23:30:00')"
+        " - ((epoch_us(TIMESTAMP '1969-12-31 23:30:00') % 3600000000 + 3600000000)"
+        " % 3600000000)) // 3600000000"
+    ).fetchone()[0]
+    assert dk == -1
+
+
+def test_write_cdb_orphan_points(tmp_path, spark):
+    """A point row whose chain_id is absent from chains must be skipped —
+    not wedge the merge and drop all later chains' points."""
+    from rayjoin_spark.operators.overlay import write_cdb
+
+    chains = spark.createDataFrame(
+        [(2, 2, 0, 1, 1, 0), (4, 2, 2, 3, 2, 0)],
+        "chain_id long, n_points long, first_point_id long, last_point_id long, "
+        "left_face long, right_face long",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0, 9.0, 9.0),  # orphan: chain 1 not in chains
+         (2, 0, 0.0, 0.0), (2, 1, 1.0, 0.0),
+         (3, 0, 8.0, 8.0),  # orphan between chains
+         (4, 0, 2.0, 0.0), (4, 1, 3.0, 0.0)],
+        "chain_id long, seq long, x double, y double",
+    )
+    out = str(tmp_path / "o.cdb")
+    write_cdb(chains, pts, out)
+    lines = open(out).read().strip().splitlines()
+    assert lines[0].startswith("2 2") and lines[3].startswith("4 2")
+    assert lines[1] == "0.000000 0.000000" and lines[2] == "1.000000 0.000000"
+    assert lines[4] == "2.000000 0.000000" and lines[5] == "3.000000 0.000000"
+    assert len(lines) == 6  # orphans skipped, later chains intact
+
+
 def test_streaming_tile_counts(spark, tmp_path):
     from rayjoin_spark.plans.scaling import Scaling
     from rayjoin_spark.streaming.pages_stream import streaming_tile_counts
