@@ -104,12 +104,19 @@ def _queries(spark, sf_dir):
         # the 100 TB path: banded sign-bucket candidates, no crossJoin
         return simsearch.neardup_cosine(emb, min_cosine=0.35, exhaustive=False)
 
+    overlay_phases: dict = {}
+
     def q_overlay():
-        # composite overlay end-to-end on the bench lattice pair
+        # composite overlay end-to-end on the bench lattice pair, with
+        # per-phase wall times (edges/lsi/pip0/pip1) mirroring the
+        # reference's phase logs (expr/draw/overlay/*_grid.log)
         from rayjoin_spark.operators.overlay import overlay
 
-        oc, _ = overlay(ca, pa, cb, pb, scaling, GridSpec(256))
+        overlay_phases.clear()
+        oc, _ = overlay(ca, pa, cb, pb, scaling, GridSpec(256), timings=overlay_phases)
         return oc
+
+    q_overlay.phases = overlay_phases
 
     return {
         "lsi_lattice": q_lsi_lattice,
@@ -237,6 +244,10 @@ def run_suite(
         for d_ in keep:  # re-pin shared setup state (outside timed window)
             d_.persist().count()
     out = {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+    ph = dict(getattr(qs.get("overlay_chains"), "phases", None) or {})
+    if ph and "overlay_chains" in times:
+        ph["output"] = round(max(times["overlay_chains"] - sum(ph.values()), 0.0), 3)
+        out["overlay_phases"] = ph
     if "ann_topk" in qs and "ann_lsh" in qs:
         from rayjoin_spark.operators.simsearch import ann_recall
 

@@ -51,12 +51,15 @@ failure the exact path closes.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rayjoin_spark.operators.lsi import lsi_join
 from rayjoin_spark.operators.pip import PipIndex, pip_locate
 from rayjoin_spark.plans.layers import build_edges, EID_STRIDE_DEFAULT
+from rayjoin_spark.plans.ranking import ordered_index
 from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
 
@@ -111,6 +114,7 @@ def overlay(
     midpoint_mode: str = "exact",
     prebuilt_edges: tuple[DataFrame, DataFrame] | None = None,
     prebuilt_xs: DataFrame | None = None,
+    timings: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full overlay; returns (out_chains, out_points):
 
@@ -120,8 +124,21 @@ def overlay(
 
     in the reference writer's canonical order (map0 chains first, then
     map1, fragments in walk order; face/point ids first-encounter).
+
+    Pass ``timings={}`` to record per-phase wall seconds (edges / lsi /
+    pip0 / pip1), mirroring the reference's phase logs
+    (expr/draw/overlay/*_grid.log) — each phase frame is persisted and
+    forced so downstream reuse doesn't double-count.
     """
     grid = grid or GridSpec()
+
+    def _mark(name: str, *frames: DataFrame) -> None:
+        if timings is None:
+            return
+        t0 = time.time()
+        for fr in frames:
+            fr.count()
+        timings[name] = round(time.time() - t0, 3)
     # prebuilt stage inputs let checkpointed_overlay feed resumed parquet
     # stages straight into the downstream phases (plans/checkpoint.py)
     if prebuilt_edges is not None:
@@ -130,12 +147,15 @@ def overlay(
         edges_a = build_edges(chains_a, points_a, scaling, eid_stride).persist()
         edges_b = build_edges(chains_b, points_b, scaling, eid_stride).persist()
 
+    _mark("edges", edges_a, edges_b)
+
     # --- phase 1: LSI with exact points (shared by both maps) ---
     xs = (
         prebuilt_xs
         if prebuilt_xs is not None
         else lsi_join(edges_a, edges_b, grid, with_points=True)
     ).persist()
+    _mark("lsi", xs)
 
     # PIP indexes over each layer, shared by both locates against it
     idx = [PipIndex(edges_a, grid), PipIndex(edges_b, grid)]
@@ -217,6 +237,9 @@ def overlay(
             )
             ex = ex.join(midf, ["eid", "xidx"], "left")
         ex = ex.drop("dx", "dy")
+        if timings is not None:
+            vert = vert.persist()
+            _mark(f"pip{im}", vert, ex)
 
         # --- phase 4: event stream -> fragments ---
         # xsect j on edge seq occupies positions (seq,1,j,0) [closes frag j]
@@ -336,7 +359,14 @@ def overlay(
             | (F.col("yd_raw") != F.col("ly"))
         )
     )
-    events = events.persist()
+    # localCheckpoint (not persist): the writer phase below references this
+    # frame from ~20 joined subtrees; persist keeps the full LSI/PIP
+    # analyzed lineage inside every copy and Catalyst re-canonicalizes it
+    # on every action (minutes of driver CPU regardless of data size).
+    # Truncating here cuts each copy to an RDD scan. The frame is
+    # OUTPUT-sized and the write is partition-parallel on executors — not
+    # a serial scaling constant.
+    events = events.localCheckpoint(eager=True)
 
     # canonical fragment order + per-fragment point seq
     ord_w = Window.partitionBy("map_id", "chain_id", "frag").orderBy(
@@ -344,23 +374,21 @@ def overlay(
     )
     events = events.withColumn("pseq", F.row_number().over(ord_w) - 1)
 
-    # global fragment ids in walk order (output is result-sized; the
-    # single-partition window matches the inherently serial text writer)
-    frag_ids = (
-        events.groupBy("map_id", "chain_id", "frag")
-        .agg(
+    # global fragment ids in walk order — distributed two-level rank
+    # (plans/ranking.py): no single-partition stage anywhere in the writer
+    # persist: frag_ids is referenced by every downstream join — without a
+    # cache boundary each copy re-plans (and re-shuffles) the rank subtree
+    frag_ids = ordered_index(
+        events.groupBy("map_id", "chain_id", "frag").agg(
             F.count("*").alias("n_points"),
             F.first("left_polygon_id").alias("left_pid"),
             F.first("right_polygon_id").alias("right_pid"),
             F.first("other_face").alias("other_face"),
-        )
-        .withColumn(
-            "out_chain_id",
-            F.row_number().over(
-                Window.orderBy("map_id", "chain_id", "frag")
-            ),
-        )
-    )
+        ),
+        ["map_id", "chain_id", "frag"],
+        "out_chain_id",
+        start=1,
+    ).persist()
 
     # face dict-encode in first-encounter order (reference create_polygon):
     # key = sorted pair, 0 if either side exterior
@@ -380,11 +408,14 @@ def overlay(
             (F.col("out_chain_id") * 2 + 1).alias("pos"),
         )
     ).filter((F.col("k1") != 0) & (F.col("k2") != 0))
-    face_dict = (
-        pairs.groupBy("k1", "k2")
-        .agg(F.min("pos").alias("first_pos"))
-        .withColumn("face_id", F.row_number().over(Window.orderBy("first_pos")))
-    )
+    # first_pos values are globally unique (each pos occurs once), so the
+    # distributed rank reproduces first-encounter order exactly
+    face_dict = ordered_index(
+        pairs.groupBy("k1", "k2").agg(F.min("pos").alias("first_pos")),
+        ["first_pos"],
+        "face_id",
+        start=1,
+    ).persist()
     fd1 = face_dict.select(
         F.col("k1").alias("lk"), F.col("k2").alias("lv"), F.col("face_id").alias("left_face")
     )
@@ -406,12 +437,20 @@ def overlay(
         ["map_id", "chain_id", "frag"],
     ).select("out_chain_id", "pseq", F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y"))
     # first-encounter position as a struct min — lexicographic, no stride
-    # that could overflow on very dense fragments
+    # that could overflow on very dense fragments. The dict rank is the
+    # DISTRIBUTED two-level index: every distinct output point through a
+    # global row_number would serialize the whole result at scale
     pt_dict = (
-        pts_out.groupBy("x", "y")
-        .agg(F.min(F.struct("out_chain_id", "pseq")).alias("fp"))
-        .withColumn("point_id", F.row_number().over(Window.orderBy("fp")) - 1)
+        ordered_index(
+            pts_out.groupBy("x", "y").agg(
+                F.min(F.struct("out_chain_id", "pseq")).alias("fp")
+            ),
+            ["fp"],
+            "point_id",
+            start=0,
+        )
         .select("x", "y", "point_id")
+        .persist()
     )
     pts_out = pts_out.join(pt_dict, ["x", "y"])
 

@@ -49,6 +49,52 @@ def test_lsi_lattice_plan_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ordered_index_matches_global_window(spark):
+    """The distributed two-level rank must be byte-identical to the global
+    row_number it replaces, across many partitions and range boundaries."""
+    from pyspark.sql import Window
+
+    from rayjoin_spark.plans.ranking import ordered_index
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("k"), F.col("id").alias("v")
+    )
+    # unique key: (k, v)
+    got = ordered_index(df, ["k", "v"], "idx", start=7, num_partitions=16)
+    want = df.withColumn(
+        "idx", F.row_number().over(Window.orderBy("k", "v")) + 6
+    )
+    assert got.count() == 10_000
+    g = {(r["k"], r["v"]): r["idx"] for r in got.collect()}
+    w = {(r["k"], r["v"]): r["idx"] for r in want.collect()}
+    assert g == w
+    # and the plan has no single-partition exchange
+    assert "SinglePartition" not in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_overlay_writer_no_single_partition(spark):
+    """The overlay writer's dict-encodes must be distributed: no Exchange
+    SinglePartition anywhere in the executed chains/points plans
+    (round-2 verdict: the global point row_number was a 100x scale-killer)."""
+    from rayjoin_spark.operators.overlay import overlay
+    from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice
+
+    ca, pa = lattice_chains(spark, 3)
+    cb, pb = transformed_lattice(spark, 3)
+    scaling = compute_scaling(pa, pb)
+    oc, op = overlay(ca, pa, cb, pb, scaling, GridSpec(16))
+    for df in (oc, op):
+        df.count()  # finalize AQE so the executed plan is real
+        lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            # runtime bloom-filter injection aggregates its (tiny) filter
+            # on one partition by design — the data path never does
+            ctx = "\n".join(lines[i: i + 4])
+            assert "bloom_filter_agg" in ctx, "\n".join(lines[i - 3: i + 6])
+
+
 def test_point_prep_plan_no_shuffle(spark):
     """Scaling + cell assignment of query points is a narrow map — any
     Exchange here would shuffle the full point table for nothing."""
