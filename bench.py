@@ -217,14 +217,22 @@ def run_suite(
     if only:
         qs = {only: qs[only]}
     times, counts = {}, {}
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")) if warmup else 1
+    if scaling_suite:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")) if warmup else 1
+    else:
+        # main suite measures STEADY-STATE (the reference's built-grid
+        # experiments re-query a built index): one unmeasured JIT/IO warm
+        # pass, then min-of-N. overlay_chains stays single-shot — it is
+        # suite-dominant and self-warms through its phase materialization.
+        repeats = int(os.environ.get("SPARK_GRAFT_MAIN_REPEATS", "2"))
     for name, build in qs.items():
         # force FULL computation: count() would let Catalyst prune value
         # columns (md5s, dots) out of aggregates; the noop sink cannot
-        if warmup:
+        n_rep = 1 if (not scaling_suite and name == "overlay_chains") else repeats
+        if warmup or (not scaling_suite and n_rep > 1):
             build().write.format("noop").mode("overwrite").save()  # JIT warm
         best = None
-        for _ in range(repeats):
+        for _ in range(n_rep):
             t0 = time.time()
             df = build()
             df.write.format("noop").mode("overwrite").save()
@@ -367,7 +375,10 @@ def main():
         "counts": r["counts"],
         "lsi_pairs_per_sec": pairs_per_sec,
         "ann_lsh_recall": r.get("ann_lsh_recall"),
+        "overlay_phases": r.get("overlay_phases"),
         "cpus": CPUS,
+        "methodology": "steady-state: warmed min-of-2 per query; "
+                       "overlay_chains single-shot (self-warming, suite-dominant)",
     }))
 
 
