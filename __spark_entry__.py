@@ -305,6 +305,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN (integer coarse quantizer + n_probe
+    bucket search + exact re-rank) — second scale path beside LSH, fully
+    oracle-checked; recall vs ann_topk_dot reported by bench.py."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return simsearch.ann_ivf_topk(emb, qs, k=5).select(
+        "query_id", "corpus_id", "dot", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exhaustive O(n^2) baseline
     (oracle-checkable at any n; the scale path is neardup_embedding_lsh)."""
@@ -353,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "neardup_embedding": q_neardup_embedding,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
     }
@@ -716,6 +730,36 @@ WITH iv AS ({_IV_SQL}),
 SELECT query_id, corpus_id, dot, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
 
+_ANN_IVF_SQL = f"""
+WITH iv AS ({_IV_SQL}),
+ cents AS (SELECT vec_id AS cid, v AS cent,
+                  CAST(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS BIGINT) AS cent_n2
+           FROM iv WHERE vec_id % 37 = 1),
+ ak AS (SELECT c.vec_id AS corpus_id, ct.cid,
+               ct.cent_n2 - 2 * CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(ct.cent AS DOUBLE[])) AS BIGINT) AS akey
+        FROM iv c, cents ct),
+ assign AS (SELECT corpus_id, cid FROM (
+     SELECT *, row_number() OVER (PARTITION BY corpus_id ORDER BY akey, cid) AS rn
+     FROM ak) WHERE rn = 1),
+ q AS (SELECT vec_id AS query_id, v AS qv FROM iv WHERE vec_id % 100 = 0),
+ pk AS (SELECT q.query_id, ct.cid,
+               ct.cent_n2 - 2 * CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(ct.cent AS DOUBLE[])) AS BIGINT) AS qkey
+        FROM q, cents ct),
+ probes AS (SELECT query_id, cid FROM (
+     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qkey, cid) AS pr
+     FROM pk) WHERE pr <= 40),
+ d AS (SELECT p.query_id, a.corpus_id,
+              CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(qq.qv AS DOUBLE[])) AS BIGINT) AS dot
+       FROM probes p JOIN assign a ON a.cid = p.cid
+       JOIN iv c ON c.vec_id = a.corpus_id
+       JOIN q qq ON qq.query_id = p.query_id
+       WHERE a.corpus_id <> p.query_id),
+ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, corpus_id ASC) AS rank
+       FROM d)
+SELECT query_id, corpus_id, dot, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
 _PAGES_SQL = """
 SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
        ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 1021.0 AS x,
@@ -842,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
+        "ann_ivf_topk": _ANN_IVF_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

