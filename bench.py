@@ -36,15 +36,24 @@ def _queries(spark, sf_dir):
     from rayjoin_spark.plans.layers import build_edges
     from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
     from rayjoin_spark.sources import derived
-    from rayjoin_spark.sources.datagen import lattice_chains, transformed_lattice, uniform_points
+    from rayjoin_spark.sources.datagen import (
+        lattice_chains,
+        subdivide_fraction,
+        transformed_lattice,
+        uniform_points,
+    )
 
     d = derived
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
-    # big synthetic lattice pair for the spatial-join headline
+    # big synthetic lattice pair for the spatial-join headline; 5% of
+    # chains are 4-segment polylines so the lead-window CSR edge build and
+    # the overlay writer's multi-fragment splitting show up in timings
     ca, pa = lattice_chains(spark, LATTICE_M)
     cb, pb = transformed_lattice(spark, LATTICE_M)
+    pa = subdivide_fraction(pa, s=4, every=20)
+    pb = subdivide_fraction(pb, s=4, every=20)
     scaling = compute_scaling(pa, pb)
     ea = build_edges(ca, pa, scaling)
     eb = build_edges(cb, pb, scaling)

@@ -489,17 +489,18 @@ def write_cdb(out_chains: DataFrame, out_points: DataFrame, path: str) -> None:
                 f"{cid} {c['n_points']} {c['first_point_id']} {c['last_point_id']} "
                 f"{c['left_face']} {c['right_face']}\n"
             )
-            # skip orphan point rows whose chain sorts before this one —
-            # otherwise one stale row would wedge the merge and silently
-            # drop every later chain's points
-            while pending is not None and pending["chain_id"] < cid:
-                pending = next(point_it, None)
             while True:
                 if pending is None:
                     pending = next(point_it, None)
-                    if pending is not None and pending["chain_id"] < cid:
-                        continue
-                if pending is None or pending["chain_id"] != cid:
+                if pending is None:
+                    break
+                if pending["chain_id"] < cid:
+                    # orphan row (chain absent from chains input): discard
+                    # instead of wedging the merge and dropping every
+                    # later chain's points
+                    pending = None
+                    continue
+                if pending["chain_id"] != cid:
                     break
                 f.write(f"{pending['x']:.6f} {pending['y']:.6f}\n")
                 pending = None

@@ -123,16 +123,18 @@ def write_cdb_text(chains: DataFrame, points: DataFrame, path: str) -> None:
                 f"{cid} {c['np_actual']} {first} {last} "
                 f"{c['left_polygon_id']} {c['right_polygon_id']}\n"
             )
-            # skip orphan point rows sorting before this chain so a stale
-            # row can't wedge the merge and drop later chains' points
-            while pending is not None and pending["chain_id"] < cid:
-                pending = next(point_it, None)
             while True:
                 if pending is None:
                     pending = next(point_it, None)
-                    if pending is not None and pending["chain_id"] < cid:
-                        continue
-                if pending is None or pending["chain_id"] != cid:
+                if pending is None:
+                    break
+                if pending["chain_id"] < cid:
+                    # orphan row (chain absent from chains input): discard
+                    # instead of wedging the merge and dropping later
+                    # chains' points
+                    pending = None
+                    continue
+                if pending["chain_id"] != cid:
                     break
                 f.write(f"{pending['x']:.10e} {pending['y']:.10e}\n")
                 pending = None

@@ -155,6 +155,19 @@ def subdivide_points(points: DataFrame, s: int) -> DataFrame:
     return segs.unionByName(last)
 
 
+def subdivide_fraction(points: DataFrame, s: int = 4, every: int = 20) -> DataFrame:
+    """Multi-point-chain mixture: subdivide every `every`-th chain into
+    s-segment polylines, leave the rest 2-point. The bench lattice uses
+    this so the CSR chain walk (lead-window edge build) and the overlay
+    writer's multi-fragment splitting are exercised AT BENCH SCALE, not
+    just in unit fixtures."""
+    sub = subdivide_points(points.filter(F.pmod(F.col("chain_id"), every) == 0), s)
+    rest = points.filter(F.pmod(F.col("chain_id"), every) != 0).select(
+        "chain_id", F.col("seq").cast("int").alias("seq"), "x", "y"
+    )
+    return rest.unionByName(sub)
+
+
 def uniform_segments(
     spark: SparkSession,
     n: int,

@@ -67,6 +67,29 @@ def _transform_py(points, scale=0.7, angle_deg=13.0, dxo=0.23, dyo=0.37):
     ]
 
 
+def _subdivide_py(points, s: int, every: int):
+    """Mirrors sources/datagen.subdivide_points applied to every `every`-th
+    chain: x + (x2 - x) * t / s with the same IEEE op order as the Spark
+    column expression (multiply, then divide). Applied AFTER any transform,
+    exactly like the Spark-side test builder."""
+    bych: dict = {}
+    for (cid, seq, x, y) in points:
+        bych.setdefault(cid, []).append((seq, x, y))
+    out = []
+    for cid, pts in sorted(bych.items()):
+        pts.sort()
+        if cid % every != 0:
+            out += [(cid, seq, x, y) for (seq, x, y) in pts]
+            continue
+        for k in range(len(pts) - 1):
+            (s0, x0, y0), (_, x1, y1) = pts[k], pts[k + 1]
+            for t in range(s):
+                out.append((cid, s0 * s + t, x0 + (x1 - x0) * t / s, y0 + (y1 - y0) * t / s))
+        last = pts[-1]
+        out.append((cid, last[0] * s, last[1], last[2]))
+    return out
+
+
 # exact bigint limb keys for the PIP argmin (same algebra as
 # operators/pip.py _YK/_SK, with DuckDB's %, which needs the +b fixup)
 def _pm(x: str, b: str = "b") -> str:
@@ -86,13 +109,23 @@ _SK_LO = (
 )
 
 
-def overlay_oracle_sql(m: int = 4, result: str = "chains") -> str:
+def overlay_oracle_sql(
+    m: int = 4,
+    result: str = "chains",
+    subdivide: tuple[int, int] | None = None,
+) -> str:
     """result='chains' -> the writer's chain table; 'points' -> the walk-
     order point stream (chain_id, seq, x, y) — same pipeline, different
-    final SELECT."""
+    final SELECT. subdivide=(s, every) turns every `every`-th chain into
+    an s-segment polyline (multi-point chains through the whole pipeline,
+    mirroring datagen.subdivide_points on the Spark side)."""
     ch_a, pt_a = _lattice_py(m)
     ch_b = ch_a  # same topology, transformed geometry
     pt_b = _transform_py(pt_a)
+    if subdivide is not None:
+        s, every = subdivide
+        pt_a = _subdivide_py(pt_a, s, every)
+        pt_b = _subdivide_py(pt_b, s, every)
 
     xs = [p[2] for p in pt_a] + [p[2] for p in pt_b]
     ys = [p[3] for p in pt_a] + [p[3] for p in pt_b]

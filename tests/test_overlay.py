@@ -145,6 +145,44 @@ def test_overlay_exact_midface_adversarial(spark):
     assert _chain_tuples(oc_dbl) != _chain_tuples(oc_exact)
 
 
+def test_overlay_multipoint_matches_duckdb_oracle(spark):
+    """Multi-point chains through the WHOLE pipeline: subdivide every 2nd
+    chain of both layers into 3-segment polylines and compare the full
+    overlay (chains + points) against the DuckDB one-query oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.sources.datagen import subdivide_fraction
+    from rayjoin_spark.sources.overlay_oracle import overlay_oracle_sql
+
+    m, s, every = 4, 3, 2
+    ca, pa = lattice_chains(spark, m)
+    cb, pb = transformed_lattice(spark, m)
+    pa = subdivide_fraction(pa, s, every)
+    pb = subdivide_fraction(pb, s, every)
+    scaling = compute_scaling(pa, pb)
+    oc, op = overlay(ca, pa, cb, pb, scaling, GridSpec(16))
+    # multi-point chains actually present in the result walk
+    assert oc.agg(F.max("n_points")).collect()[0][0] > 2
+
+    con = duckdb.connect()
+    want_c = sorted(map(tuple, con.sql(
+        overlay_oracle_sql(m, "chains", subdivide=(s, every))
+    ).fetchall()))
+    got_c = sorted(
+        (r["chain_id"], r["n_points"], r["first_point_id"], r["last_point_id"],
+         r["left_face"], r["right_face"])
+        for r in oc.collect()
+    )
+    assert got_c == want_c
+    want_p = sorted(map(tuple, con.sql(
+        overlay_oracle_sql(m, "points", subdivide=(s, every))
+    ).fetchall()))
+    got_p = sorted((r["chain_id"], r["seq"], r["x"], r["y"]) for r in op.collect())
+    assert got_p == want_p
+
+
 def test_overlay_golden_file(spark, tmp_path):
     """End-to-end golden diff, mirroring reference test/test_overlay.sh."""
     ca, pa, cb, pb, scaling, *_ = _setup(spark, 4)
