@@ -118,6 +118,52 @@ def _queries(spark, sf_dir):
 
     overlay_phases: dict = {}
 
+    # big-grid pair: the reference's own experiments run grid_size=15000
+    # (ref expr/env.sh:12); these rows run gsize 4096 on a dense lattice
+    # pair — edge-cells beyond the broadcast cap (shuffled cell join) and
+    # a skip map beyond its cap (hash-sharded by cx), i.e. the 100 TB
+    # physical paths, not the broadcast fast paths
+    mbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_M", "512"))
+    gbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_GSIZE", "4096"))
+    cbg_a, pbg_a = lattice_chains(spark, mbig)
+    cbg_b, pbg_b = transformed_lattice(spark, mbig)
+    bg_scaling = compute_scaling(pbg_a, pbg_b)
+    bg_ea = build_edges(cbg_a, pbg_a, bg_scaling)
+    bg_eb = build_edges(cbg_b, pbg_b, bg_scaling)
+    keep += [bg_ea, bg_eb]
+    bg_pts = uniform_points(spark, 1_000_000, -0.5, mbig + 0.5, -0.5, mbig + 0.5)
+
+    def q_lsi_biggrid():
+        return lsi_join(bg_ea, bg_eb, GridSpec(gbig))
+
+    def q_pip_biggrid():
+        return pip_locate(bg_pts, bg_ea, bg_scaling, GridSpec(gbig))
+
+    def biggrid_check():
+        """Self-check mirroring the CLI --check contract: the grid is
+        physical, so gsize 4096 and 256 must produce IDENTICAL rows
+        (count + order-independent value hash)."""
+
+        def h(df):
+            r = df.agg(
+                F.count("*").alias("n"),
+                # decimal accumulator: a bigint SUM of xxhash64 overflows
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()[0]
+            return r["n"], r["h"]
+
+        lsi_ok = h(q_lsi_biggrid().select("eid_a", "eid_b")) == h(
+            lsi_join(bg_ea, bg_eb, GridSpec(256)).select("eid_a", "eid_b")
+        )
+        pip_ok = h(q_pip_biggrid()) == h(
+            pip_locate(bg_pts, bg_ea, bg_scaling, GridSpec(256))
+        )
+        return {"gsize": gbig, "lsi_match": lsi_ok, "pip_match": pip_ok}
+
+    q_lsi_biggrid.check = biggrid_check
+
     def q_overlay():
         # composite overlay end-to-end on the bench lattice pair, with
         # per-phase wall times (edges/lsi/pip0/pip1) mirroring the
@@ -145,6 +191,8 @@ def _queries(spark, sf_dir):
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "neardup_emb_lsh": q_neardup_emb_lsh,
+        "lsi_biggrid": q_lsi_biggrid,
+        "pip_biggrid": q_pip_biggrid,
     }, keep
 
 
@@ -269,6 +317,9 @@ def run_suite(
     if ph and "overlay_chains" in times:
         ph["output"] = round(max(times["overlay_chains"] - sum(ph.values()), 0.0), 3)
         out["overlay_phases"] = ph
+    check = getattr(qs.get("lsi_biggrid"), "check", None)
+    if check is not None:
+        out["biggrid_check"] = check()
     if "ann_topk" in qs:
         from rayjoin_spark.operators.simsearch import ann_recall
 

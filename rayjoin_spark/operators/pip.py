@@ -42,11 +42,13 @@ Physical plan (all JVM-side, three strategies):
   lets each point jump straight to its candidate cells.
 
 Scale note: each pass is an equi-join co-partitioned on (cx, cy). The
-column-skip broadcast is gsize^2 ints worst case — for gsize beyond ~8k
-on dense layers, switch skip_empty_cells=False (plain +1 walk) or shard
-the skip map. `PipIndex` makes the exploded edge-cells and the skip map
-reusable across pip_locate calls over the same base layer (the overlay
-locates both vertex sets against both maps).
+column-skip map is gsize^2 ints worst case — while its total entry count
+fits `PipIndex.skipmap_max_entries` it is broadcast; beyond that it is
+automatically SHARDED across executors (plain hash join on cx), so dense
+layers at gsize >= 8k never funnel the map through the driver.
+`PipIndex` makes the exploded edge-cells and the skip map reusable
+across pip_locate calls over the same base layer (the overlay locates
+both vertex sets against both maps).
 """
 
 from __future__ import annotations
@@ -144,10 +146,13 @@ class PipIndex:
     join shuffles on (cx, cy), the 100 TB path."""
 
     def __init__(self, base_edges: DataFrame, grid: GridSpec,
-                 broadcast_max_rows: int = 2_000_000):
+                 broadcast_max_rows: int = 2_000_000,
+                 skipmap_max_entries: int = 4_000_000):
         self.grid = grid
         self._bcast_max = broadcast_max_rows
+        self._skipmap_max = skipmap_max_entries
         self._joinable = None
+        self._skipmap = None
         # vertical edges can never qualify: the SoS x-interval (x_min, x_max]
         # / [x_min, x_max) is empty when x1 == x2 (reference
         # src/algo/pip.h:44-46 "this also eliminates vertical edges").
@@ -179,6 +184,22 @@ class PipIndex:
             else:
                 self._joinable = self.edge_cells
         return self._joinable
+
+    def skipmap_joinable(self):
+        """col_cells for the point-side join: broadcast while the total
+        entry count (sum of array sizes <= gsize^2) fits, else a plain
+        frame — the join then SHARDS the skip map across executors by cx
+        (hash shuffle), the gsize>=8k dense-layer path the module
+        docstring promises."""
+        if self._skipmap is None:
+            n = self.col_cells.agg(
+                F.coalesce(F.sum(F.size("cys")), F.lit(0))
+            ).collect()[0][0]
+            if self._skipmap_max and n <= self._skipmap_max:
+                self._skipmap = F.broadcast(self.col_cells)
+            else:
+                self._skipmap = self.col_cells
+        return self._skipmap
 
     def unpersist(self) -> None:
         self.edge_cells.unpersist()
@@ -255,7 +276,7 @@ def pip_locate(
     else:
         # attach the remaining column (non-empty cells at/above the point)
         stepped = (
-            pts.join(F.broadcast(index.col_cells), F.col("pcx") == F.col("cx"), "left")
+            pts.join(index.skipmap_joinable(), F.col("pcx") == F.col("cx"), "left")
             .withColumn("cands", F.filter("cys", lambda c: c >= F.col("pcy")))
             .select("point_id", "px", "py", "pcx", "pcy", "cands")
         )
@@ -325,7 +346,7 @@ def _pip_walk(
     whole-column completion pass. Returns hit rows (point_id, closest_eid,
     face_id)."""
     edge_cells = index.joinable_cells()
-    col_cells = F.broadcast(index.col_cells) if skip_empty_cells else None
+    col_cells = index.skipmap_joinable() if skip_empty_cells else None
 
     active = pts.withColumn("cur_cy", F.col("pcy")).localCheckpoint(eager=True)
     results = []

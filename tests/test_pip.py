@@ -51,6 +51,28 @@ def test_pip_matches_oracle(spark, gsize):
     assert 0 < n_hits < 200  # both hits and misses exercised
 
 
+def test_pip_sharded_skipmap_parity(spark):
+    """Big-grid path: when the column skip-map exceeds the broadcast cap
+    it is hash-join sharded by cx instead — results must be identical,
+    and the executed plan must not broadcast the map."""
+    from rayjoin_spark.operators.pip import PipIndex
+
+    scaling, ea, ea_py, pts = _setup(spark, 4, 150)
+    grid = GridSpec(64)
+    sharded_idx = PipIndex(ea, grid, skipmap_max_entries=1)  # force shard
+    got_sharded = {
+        r["point_id"]: (r["closest_eid"], r["face_id"])
+        for r in pip_locate(pts, ea, scaling, grid, index=sharded_idx).collect()
+    }
+    got_bcast = {
+        r["point_id"]: (r["closest_eid"], r["face_id"])
+        for r in pip_locate(pts, ea, scaling, grid).collect()
+    }
+    assert got_sharded == got_bcast and len(got_sharded) == 150
+    # the oracle agrees too
+    _check(spark, scaling, ea, ea_py, pts, 64, index=sharded_idx)
+
+
 def test_pip_no_skip_walk(spark):
     scaling, ea, ea_py, pts = _setup(spark, 3, 60)
     _check(spark, scaling, ea, ea_py, pts, 16, skip_empty_cells=False)
