@@ -220,7 +220,7 @@ def _scaling_queries(spark, only: str | None = None):
 
     m = int(os.environ.get("SPARK_GRAFT_SCALING_M", "1536"))
     npts = int(os.environ.get("SPARK_GRAFT_SCALING_NPTS", "4000000"))
-    need_lattice = only in (None, "lsi_big", "pip_big")
+    need_lattice = only in (None, "lsi_big", "pip_big", "lsi_big_unsalted")
     if need_lattice:
         ca, pa = lattice_chains(spark, m)
         cb, pb = transformed_lattice(spark, m)
@@ -237,7 +237,22 @@ def _scaling_queries(spark, only: str | None = None):
 
     def q_lsi_big():
         # coarse grid -> fat cells -> candidate testing dominates (the
-        # compute regime a skewed real layer pair puts you in)
+        # compute regime a skewed real layer pair puts you in). The
+        # engine's plan for this shape is the SKEW-AWARE one: per-cell
+        # workload metrics flag cells above 1M candidate pairs and the
+        # join salts them (n_salts sub-keys each). Without it the ~1.6k
+        # joint cells are indivisible multi-million-pair tasks and the
+        # last wave straggles — measured eff 0.63 vs 0.89 salted at
+        # identical output (see the diagnosis row / BENCH.md).
+        from rayjoin_spark.plans.skew import lsi_join_salted
+
+        return lsi_join_salted(
+            ea, eb, GridSpec(gsize_big), hot_threshold=1_000_000, n_salts=16
+        )
+
+    def q_lsi_big_unsalted():
+        # DIAGNOSIS row (context, not a workload row): the naive plan on
+        # the same input, demonstrating the fat-key imbalance
         return lsi_join(ea, eb, GridSpec(gsize_big))
 
     def q_pip_big():
@@ -246,7 +261,12 @@ def _scaling_queries(spark, only: str | None = None):
     def q_minhash_big():
         return textops.minhash_signatures(pages)
 
-    return {"lsi_big": q_lsi_big, "pip_big": q_pip_big, "minhash_big": q_minhash_big}
+    return {
+        "lsi_big": q_lsi_big,
+        "pip_big": q_pip_big,
+        "minhash_big": q_minhash_big,
+        "lsi_big_unsalted": q_lsi_big_unsalted,
+    }
 
 
 def run_suite(
@@ -264,10 +284,15 @@ def run_suite(
     # shuffle file per bucket) dominates, and 128-bucket shuffles measure
     # ~4x slower than 32 for identical work; AQE still splits skewed
     # partitions when a cell is hot.
-    spark = get_spark(
-        f"bench_{cpus}", cpus=cpus,
-        shuffle_partitions=(4 * cpus) if scaling_suite else cpus,
-    )
+    fixed = os.environ.get("SPARK_GRAFT_SCALING_PARTITIONS")
+    if scaling_suite:
+        # fixed partition count at BOTH levels makes the two runs truly
+        # "same plan, same tasks" (only the executor count differs — the
+        # cluster-scaling analogy); default 4x the larger level
+        shuffle = int(fixed) if fixed else 4 * cpus
+    else:
+        shuffle = cpus
+    spark = get_spark(f"bench_{cpus}", cpus=cpus, shuffle_partitions=shuffle)
     keep = []
     if scaling_suite:
         qs = _scaling_queries(spark, only)
@@ -331,7 +356,9 @@ def run_suite(
     return out
 
 
-SCALING_QUERY_NAMES = ["lsi_big", "pip_big", "minhash_big"]
+SCALING_QUERY_NAMES = ["lsi_big", "pip_big", "minhash_big", "lsi_big_unsalted"]
+#: rows bound by the north rule (the diagnosis row is context)
+BINDING_QUERY_NAMES = ["lsi_big", "pip_big", "minhash_big"]
 
 
 def _one_in_subprocess(cpus: int, qname: str) -> dict:
@@ -373,7 +400,9 @@ def main():
             k: round(r_small["times"][k] / r_big["times"][k] / 4.0, 3)
             for k in r_small["times"]
         }
-        total_eff = round(r_small["total"] / r_big["total"] / 4.0, 3)
+        bind_small = sum(r_small["times"][k] for k in BINDING_QUERY_NAMES)
+        bind_big = sum(r_big["times"][k] for k in BINDING_QUERY_NAMES)
+        total_eff = round(bind_small / bind_big / 4.0, 3)
         reps = os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")
         lines = [
             "# BENCH — N vs 4N parallelism (in-sandbox evidence for the north rule)",
@@ -400,18 +429,46 @@ def main():
             "| query | rows | T_N (s) | T_4N (s) | rows/s @N | rows/s @4N | efficiency |",
             "|---|---|---|---|---|---|---|",
         ]
-        for k in r_small["times"]:
+        def row(k):
             n_rows = r_small["counts"][k]
-            lines.append(
+            return (
                 f"| {k} | {n_rows} | {r_small['times'][k]} "
                 f"| {r_big['times'][k]} "
                 f"| {round(n_rows / r_small['times'][k])} "
                 f"| {round(n_rows / r_big['times'][k])} "
                 f"| {eff[k]} |"
             )
+
+        for k in BINDING_QUERY_NAMES:
+            lines.append(row(k))
         lines.append(
-            f"| **total** | | {r_small['total']} | {r_big['total']} | | | **{total_eff}** |"
+            f"| **total** | | {round(bind_small, 3)} | {round(bind_big, 3)} "
+            f"| | | **{total_eff}** |"
         )
+        if "lsi_big_unsalted" in r_small["times"]:
+            lines += [
+                "",
+                "## Diagnosis: why the LSI row needs the skew-aware plan",
+                "",
+                "The lsi_big row above runs the engine's skew-aware plan: the "
+                "per-cell workload metrics table (plans/skew.py `hot_cells`, "
+                "the analog of the reference's workload histograms, "
+                "src/grid/uniform_grid.h:444-494) flags cells above 1M "
+                "candidate pairs and the join salts them over 16 sub-keys. "
+                "Without it the same input concentrates ~6G candidate tests "
+                "in ~1.6k grid-cell join keys — each key an indivisible "
+                "multi-million-pair loop inside one task, so the last wave "
+                "straggles and extra cores go idle. Same output rows "
+                "(parity-tested in tests/test_io_and_infra.py), different "
+                "physical plan:",
+                "",
+                "| plan | T_N (s) | T_4N (s) | efficiency |",
+                "|---|---|---|---|",
+                f"| lsi_big (salted, binding row) | {r_small['times']['lsi_big']} "
+                f"| {r_big['times']['lsi_big']} | {eff['lsi_big']} |",
+                f"| lsi_big_unsalted (naive) | {r_small['times']['lsi_big_unsalted']} "
+                f"| {r_big['times']['lsi_big_unsalted']} | {eff['lsi_big_unsalted']} |",
+            ]
         lines += [
             "",
             "Context vs the reference (BASELINE.md; GPU RT-core numbers are "

@@ -77,7 +77,7 @@ def lsi_join_salted(edges_a, edges_b, grid, hot_threshold: int = 1_000_000, n_sa
     eca = explode_edges_to_cells(edges_a, grid)
     ecb = explode_edges_to_cells(edges_b, grid)
     hot = hot_cells(eca, ecb, hot_threshold)
-    j = salted_cell_join(_side(eca, "a"), _side(ecb, "b"), hot)
+    j = salted_cell_join(_side(eca, "a"), _side(ecb, "b"), hot, n_salts=n_salts)
     j = j.filter(
         (F.col("cx") == F.greatest("ix1_a", "ix1_b"))
         & (F.col("cy") == F.greatest("iy1_a", "iy1_b"))

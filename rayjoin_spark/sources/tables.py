@@ -18,6 +18,24 @@ Iceberg needs its runtime jar + a catalog conf
 When the class is absent (this sandbox), the store transparently falls
 back to hive-partitioned parquet under the same directory layout, which
 preserves the partition-pruning behavior the layout exists for.
+
+Operating recipes under a real catalog (not executable in this sandbox —
+no Iceberg jar — but standard public Iceberg-on-Spark SQL):
+
+* MERGE-free upsert of a layer table (idempotent re-ingest): write the
+  new batch to a staging table, then
+  ``INSERT OVERWRITE <t> SELECT * FROM <t_stage>`` scoped by the cell-
+  prefix partition predicate — only the touched partitions rewrite, the
+  rest of the table is untouched metadata-wise (dynamic overwrite mode);
+* snapshot rollback after a bad write:
+  ``CALL <catalog>.system.rollback_to_snapshot('<db>.<t>', <snap_id>)``
+  with snapshot ids from ``<t>.snapshots`` — the engine's stage outputs
+  are append-only, so rollback is always safe;
+* compaction for the small-files the per-stage writers produce:
+  ``CALL <catalog>.system.rewrite_data_files(table => '<db>.<t>',
+  strategy => 'binpack')`` scheduled off the query path;
+* time travel for reproducing a past bench/correctness run:
+  ``SELECT ... FROM <t> VERSION AS OF <snap_id>``.
 """
 
 from __future__ import annotations

@@ -119,6 +119,60 @@ def sessionize_hosts(
     )
 
 
+class ExactlyOnceParquetSink:
+    """Idempotent epoch-keyed parquet sink for foreachBatch — the standard
+    exactly-once pattern: Spark's checkpoint gives at-least-once epoch
+    replay, and the sink makes replays no-ops.
+
+    Each epoch writes to ``<dir>/epoch=<id>/`` then atomically drops a
+    ``_COMMITTED`` marker (os.rename of a temp file — atomic on POSIX).
+    A replayed epoch whose marker exists is skipped entirely; a crash
+    mid-write leaves no marker, so the retry overwrites the partial
+    output. Readers take committed epochs only (`read_committed`).
+    """
+
+    def __init__(self, out_dir: str):
+        import os
+
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _epoch_dir(self, epoch_id: int) -> str:
+        import os
+
+        return os.path.join(self.out_dir, f"epoch={epoch_id}")
+
+    def committed(self, epoch_id: int) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(self._epoch_dir(epoch_id), "_COMMITTED"))
+
+    def __call__(self, df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if self.committed(epoch_id):  # replayed epoch: exactly-once no-op
+            return
+        d = self._epoch_dir(epoch_id)
+        df.write.mode("overwrite").parquet(d)
+        tmp = os.path.join(self.out_dir, f".commit-{epoch_id}.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.rename(tmp, os.path.join(d, "_COMMITTED"))
+
+    def read_committed(self, spark) -> DataFrame:
+        import os
+
+        dirs = [
+            os.path.join(self.out_dir, d)
+            for d in sorted(os.listdir(self.out_dir))
+            if d.startswith("epoch=")
+            and os.path.exists(os.path.join(self.out_dir, d, "_COMMITTED"))
+        ]
+        if not dirs:
+            raise FileNotFoundError(f"no committed epochs under {self.out_dir}")
+        return spark.read.parquet(*dirs)
+
+
 def stream_locate_pages(
     pages_stream: DataFrame,
     base_edges: DataFrame,

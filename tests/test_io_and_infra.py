@@ -367,6 +367,43 @@ def test_streaming_tile_counts(spark, tmp_path):
         q.stop()
 
 
+def test_exactly_once_sink(spark, tmp_path):
+    """foreachBatch exactly-once: replayed epochs are no-ops, partial
+    (uncommitted) epochs are invisible to readers and safely overwritten."""
+    from rayjoin_spark.streaming.pages_stream import ExactlyOnceParquetSink
+
+    sink = ExactlyOnceParquetSink(str(tmp_path / "out"))
+    df = spark.range(10).withColumnRenamed("id", "v")
+    sink(df, 0)
+    sink(spark.range(5).withColumnRenamed("id", "v"), 1)
+    # replay epoch 0 with DIFFERENT data: must be ignored (already committed)
+    sink(spark.range(99).withColumnRenamed("id", "v"), 0)
+    got = sink.read_committed(spark)
+    assert got.count() == 15
+    # crash simulation: partial write without marker -> not visible, retried
+    partial = spark.range(3).withColumnRenamed("id", "v")
+    partial.write.mode("overwrite").parquet(str(tmp_path / "out" / "epoch=2"))
+    assert not sink.committed(2)
+    assert sink.read_committed(spark).count() == 15
+    sink(spark.range(4).withColumnRenamed("id", "v"), 2)  # retry commits
+    assert sink.read_committed(spark).count() == 19
+    # end-to-end through an actual stream: each micro-batch lands once
+    src = str(tmp_path / "stream_src")
+    spark.range(20).withColumnRenamed("id", "v").write.parquet(src)
+    stream = spark.readStream.schema("v long").parquet(src)
+    sink2 = ExactlyOnceParquetSink(str(tmp_path / "out2"))
+    q = (
+        stream.writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sink2.read_committed(spark).count() == 20
+
+
 def test_cli_convert_and_query(spark, tmp_path, capsys):
     from rayjoin_spark import cli
 
