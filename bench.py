@@ -456,11 +456,14 @@ def main():
                 "src/grid/uniform_grid.h:444-494) flags cells above 1M "
                 "candidate pairs and the join salts them over 16 sub-keys. "
                 "Without it the same input concentrates ~6G candidate tests "
-                "in ~1.6k grid-cell join keys — each key an indivisible "
-                "multi-million-pair loop inside one task, so the last wave "
-                "straggles and extra cores go idle. Same output rows "
-                "(parity-tested in tests/test_io_and_infra.py), different "
-                "physical plan:",
+                "in ~1.6k grid-cell join keys — each an indivisible "
+                "multi-million-pair loop inside one task, so efficiency "
+                "rides on whether the fat keys happen to pack evenly into "
+                "task waves: measured 0.56-0.84 across repeated runs "
+                "(straggler luck). Salting splits every fat key, making the "
+                "balance structural instead of lucky — stable 0.84-0.89 "
+                "across the same runs. Same output rows (parity-tested in "
+                "tests/test_io_and_infra.py), different physical plan:",
                 "",
                 "| plan | T_N (s) | T_4N (s) | efficiency |",
                 "|---|---|---|---|",
@@ -501,6 +504,7 @@ def main():
         "ann_lsh_recall": r.get("ann_lsh_recall"),
         "ann_ivf_recall": r.get("ann_ivf_recall"),
         "overlay_phases": r.get("overlay_phases"),
+        "biggrid_check": r.get("biggrid_check"),
         "cpus": CPUS,
         "methodology": "steady-state: warmed min-of-2 per query; "
                        "overlay_chains single-shot (self-warming, suite-dominant)",
