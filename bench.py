@@ -240,14 +240,18 @@ def _scaling_queries(spark, only: str | None = None):
         # compute regime a skewed real layer pair puts you in). The
         # engine's plan for this shape is the SKEW-AWARE one: per-cell
         # workload metrics flag cells above 1M candidate pairs and the
-        # join salts them (n_salts sub-keys each). Without it the ~1.6k
+        # join splits each into ceil(workload / 2M) salt buckets (capped
+        # at 32) — workload-PROPORTIONAL, so total B-side replication
+        # tracks the actual imbalance instead of a flat 16x (which round 3
+        # measured at 1.6x wall-time overhead). Without salting the ~1.6k
         # joint cells are indivisible multi-million-pair tasks and the
         # last wave straggles — measured eff 0.63 vs 0.89 salted at
         # identical output (see the diagnosis row / BENCH.md).
         from rayjoin_spark.plans.skew import lsi_join_salted
 
         return lsi_join_salted(
-            ea, eb, GridSpec(gsize_big), hot_threshold=1_000_000, n_salts=16
+            ea, eb, GridSpec(gsize_big), hot_threshold=1_000_000,
+            n_salts=32, target_pairs=2_000_000,
         )
 
     def q_lsi_big_unsalted():

@@ -35,10 +35,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rayjoin_spark.plans.cells import explode_edges_to_cells
+from rayjoin_spark.plans.cells import (
+    SPLIT_CELLS_DEFAULT,
+    edge_cell_stats,
+    explode_edges_to_cells,
+)
 from rayjoin_spark.plans.scaling import GridSpec
 
 _EDGE_COLS = ["eid", "x1", "y1", "x2", "y2", "a", "b", "c", "ix1", "iy1"]
+
+#: above this estimated exploded-cell row count the cell join is pinned to
+#: sort-merge — AQE must not broadcast-convert an exploded side from its
+#: (deceptively small) compressed shuffle stats and then die at the 8 GiB
+#: deserialized cap (observed at gsize 15000 over long-edge inputs)
+BROADCAST_GUARD_ROWS = 4_000_000
 
 
 def _side(edge_cells: DataFrame, suffix: str) -> DataFrame:
@@ -158,6 +168,7 @@ def lsi_join(
     grid: GridSpec | None = None,
     with_points: bool = False,
     broadcast: str | None = None,
+    split_long_edges: int | str | None = "auto",
 ) -> DataFrame:
     """The LSI spatial theta join: equi-join on grid cell + exact predicate.
 
@@ -169,19 +180,47 @@ def lsi_join(
     with_points : also emit the exact intersection point columns
     broadcast : 'a' | 'b' | None — broadcast one side's exploded cells
         (use when one layer is small; otherwise AQE decides)
+    split_long_edges : 'auto' (default) | int k | None. 'auto' runs one
+        cheap agg per side; when the longest edge spans more than
+        SPLIT_CELLS_DEFAULT cells the bbox explode switches to parametric
+        fragments (plans/cells.py) and matched pairs are deduped by
+        (eid_a, eid_b) — an output-sized shuffle that only exists when
+        splitting is active. 'auto' also arms the explode-aware broadcast
+        guard: above BROADCAST_GUARD_ROWS estimated exploded rows the join
+        is hinted to sort-merge so AQE cannot broadcast-convert an
+        exploded side. An int forces that fragment length; None disables
+        both (round-3 behavior, quadratic for long edges at fine grids).
     """
     grid = grid or GridSpec()
-    ca = _side(explode_edges_to_cells(edges_a, grid), "a")
-    cb = _side(explode_edges_to_cells(edges_b, grid), "b")
+    k = None
+    guard = False
+    if split_long_edges == "auto":
+        _, span_a, eu_a, es_a = edge_cell_stats(edges_a, grid)
+        _, span_b, eu_b, es_b = edge_cell_stats(edges_b, grid)
+        if max(span_a, span_b) > SPLIT_CELLS_DEFAULT:
+            k = SPLIT_CELLS_DEFAULT
+            guard = (es_a + es_b) > BROADCAST_GUARD_ROWS
+        else:
+            guard = (eu_a + eu_b) > BROADCAST_GUARD_ROWS
+    elif split_long_edges:
+        k = int(split_long_edges)
+    ca = _side(explode_edges_to_cells(edges_a, grid, k), "a")
+    cb = _side(explode_edges_to_cells(edges_b, grid, k), "b")
     if broadcast == "a":
         ca = F.broadcast(ca)
     elif broadcast == "b":
         cb = F.broadcast(cb)
+    elif guard:
+        ca, cb = ca.hint("merge"), cb.hint("merge")
     j = ca.join(cb, ["cx", "cy"], "inner").filter(
         (F.col("cx") == F.greatest("ix1_a", "ix1_b"))
         & (F.col("cy") == F.greatest("iy1_a", "iy1_b"))
     )
     out = lsi_intersect_filter(j)
+    if k:
+        # fragment pairs can re-meet in several sub-bboxes; all copies of a
+        # pair carry identical geometry columns, so any survivor is exact
+        out = out.dropDuplicates(["eid_a", "eid_b"])
     if with_points:
         out = with_xsect_point(out)
         return out.select(

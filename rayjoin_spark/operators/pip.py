@@ -56,7 +56,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rayjoin_spark.plans.cells import explode_edges_to_cells
+from rayjoin_spark.plans.cells import (
+    SPLIT_CELLS_DEFAULT,
+    edge_cell_stats,
+    explode_edges_to_cells,
+)
 from rayjoin_spark.plans.scaling import INTERNAL_MIN, GridSpec, Scaling
 
 # Exact total-order key for xsect_y = n_/b (b > 0), where n_ = -a*px - c,
@@ -147,7 +151,8 @@ class PipIndex:
 
     def __init__(self, base_edges: DataFrame, grid: GridSpec,
                  broadcast_max_rows: int = 2_000_000,
-                 skipmap_max_entries: int = 4_000_000):
+                 skipmap_max_entries: int = 4_000_000,
+                 split_long_edges: int | str | None = "auto"):
         self.grid = grid
         self._bcast_max = broadcast_max_rows
         self._skipmap_max = skipmap_max_entries
@@ -158,8 +163,18 @@ class PipIndex:
         # src/algo/pip.h:44-46 "this also eliminates vertical edges").
         # Dropping them up front keeps grid columns sparse.
         self.base_edges = base_edges.filter(F.col("x1") != F.col("x2"))
+        # long-edge pre-split (plans/cells.py): fragments may duplicate a
+        # (cell, eid) row at seams — harmless for PIP, whose per-point
+        # min_by argmin and acceptance guard are duplicate-insensitive
+        k = None
+        if split_long_edges == "auto":
+            _, span, _, _ = edge_cell_stats(self.base_edges, grid)
+            if span > SPLIT_CELLS_DEFAULT:
+                k = SPLIT_CELLS_DEFAULT
+        elif split_long_edges:
+            k = int(split_long_edges)
         self.edge_cells = (
-            explode_edges_to_cells(self.base_edges, grid)
+            explode_edges_to_cells(self.base_edges, grid, k)
             .select(
                 "cx", "cy", "eid", "x1", "y1", "x2", "y2", "a", "b", "c",
                 "left_polygon_id", "right_polygon_id",
@@ -182,7 +197,11 @@ class PipIndex:
             if self._bcast_max and self.edge_cells.count() <= self._bcast_max:
                 self._joinable = F.broadcast(self.edge_cells)
             else:
-                self._joinable = self.edge_cells
+                # explode-aware broadcast guard: pin the point-vs-cells
+                # join to sort-merge so AQE cannot broadcast-convert the
+                # exploded side from compressed shuffle stats (its
+                # deserialized size blows the 8 GiB cap at fine grids)
+                self._joinable = self.edge_cells.hint("merge")
         return self._joinable
 
     def skipmap_joinable(self):

@@ -11,6 +11,20 @@ internally — we never materialize it.
 Also provides the per-cell workload metrics the reference exposes as
 histograms (src/grid/uniform_grid.h:360-494), which drive explicit salting
 of hot cells at scale (see operators/skew.py).
+
+Long edges at fine grids: the bbox rectangle explode is QUADRATIC in the
+edge's cell span for diagonal edges (a unit lattice diagonal at gsize 15000
+spans ~234x234 cells = 54k rows; the reference's continental inputs never
+hit this because their edges are tiny relative to its 15000 grid,
+expr/env.sh:12). `explode_edges_to_cells(..., max_cells_per_edge=k)`
+pre-splits each edge into ceil(span/k) parametric fragments and explodes
+each fragment's own (conservative, +-1-widened) sub-bbox — linear in the
+span. Geometry columns are untouched (fragments carry the PARENT edge's
+coordinates/equation/eid), so every downstream exact predicate is
+unchanged; candidate completeness holds because any point ON the edge lies
+in some fragment's widened sub-bbox. Consumers that relied on "one row per
+(cell, edge)" must dedup pairs by eid after their predicate (operators/
+lsi.py does; PIP's min_by argmin is duplicate-insensitive).
 """
 
 from __future__ import annotations
@@ -19,6 +33,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rayjoin_spark.plans.scaling import GridSpec
+
+#: default fragment length (in cells) for long-edge pre-splitting; also the
+#: auto-split trigger: spans <= this explode exactly as before
+SPLIT_CELLS_DEFAULT = 8
 
 
 def cell_of(grid: GridSpec, col):
@@ -42,7 +60,9 @@ def with_cell_bbox(edges: DataFrame, grid: GridSpec) -> DataFrame:
     )
 
 
-def explode_edges_to_cells(edges: DataFrame, grid: GridSpec) -> DataFrame:
+def explode_edges_to_cells(
+    edges: DataFrame, grid: GridSpec, max_cells_per_edge: int | None = None
+) -> DataFrame:
     """One row per (cell, edge) the edge's bbox covers.
 
     Equivalent of the reference's `iterate_cell` double loop
@@ -50,11 +70,83 @@ def explode_edges_to_cells(edges: DataFrame, grid: GridSpec) -> DataFrame:
     The output keeps ix1/iy1 so downstream joins can dedup candidate pairs
     without ever computing the exact intersection point (see
     operators/lsi.py).
+
+    With ``max_cells_per_edge=k`` set, edges spanning more than k cells are
+    pre-split into parametric fragments (see module docstring): ix1..iy2
+    become the FRAGMENT's conservative sub-bbox, a pair of edges may emit
+    the same (cell, eid_a, eid_b) candidate more than once, and the output
+    may contain duplicate (cell, eid) rows at fragment seams.
     """
-    e = with_cell_bbox(edges, grid)
+    if max_cells_per_edge:
+        e = _fragment_cell_bboxes(edges, grid, max_cells_per_edge)
+    else:
+        e = with_cell_bbox(edges, grid)
     return e.withColumn("cx", F.explode(F.sequence("ix1", "ix2"))).withColumn(
         "cy", F.explode(F.sequence("iy1", "iy2"))
     )
+
+
+def _fragment_cell_bboxes(edges: DataFrame, grid: GridSpec, k: int) -> DataFrame:
+    """Replace each edge's bbox with ceil(span/k) fragment sub-bboxes.
+
+    Fragment f of n covers the parameter range [f/n, (f+1)/n] of the
+    segment; its endpoints are computed in exact int64 (x1 + (x2-x1)*f DIV n
+    is within 1 of the true value — DIV truncates toward zero, floor is
+    within 1) and widened by +-1 snapped unit, then clamped to the parent
+    bbox, so the union of fragment bboxes covers every point of the segment
+    while never exceeding the parent bbox. A span<=k edge has n=1 and its
+    fragment bbox IS the exact parent bbox (f=0 endpoints are x1 and x2;
+    the +-1 widen is clamped away) — the unsplit plan, bit-identical.
+    """
+    e = with_cell_bbox(edges, grid)
+    span = F.greatest(F.col("ix2") - F.col("ix1"), F.col("iy2") - F.col("iy1")) + 1
+    e = e.withColumn(
+        "_nf",
+        F.when(span <= k, F.lit(1)).otherwise(F.ceil(span / F.lit(k))).cast("bigint"),
+    ).withColumn("_f", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_nf") - 1)))
+    fx0 = F.expr("x1 + ((x2 - x1) * _f) DIV _nf")
+    fx1 = F.expr("x1 + ((x2 - x1) * (_f + 1)) DIV _nf")
+    fy0 = F.expr("y1 + ((y2 - y1) * _f) DIV _nf")
+    fy1 = F.expr("y1 + ((y2 - y1) * (_f + 1)) DIV _nf")
+    lox = F.greatest(F.least(fx0, fx1) - 1, F.least("x1", "x2"))
+    hix = F.least(F.greatest(fx0, fx1) + 1, F.greatest("x1", "x2"))
+    loy = F.greatest(F.least(fy0, fy1) - 1, F.least("y1", "y2"))
+    hiy = F.least(F.greatest(fy0, fy1) + 1, F.greatest("y1", "y2"))
+    return (
+        e.withColumn("ix1", grid.cell_of(lox))
+        .withColumn("ix2", grid.cell_of(hix))
+        .withColumn("iy1", grid.cell_of(loy))
+        .withColumn("iy2", grid.cell_of(hiy))
+        .drop("_nf", "_f")
+    )
+
+
+def edge_cell_stats(
+    edges: DataFrame, grid: GridSpec, k: int = SPLIT_CELLS_DEFAULT
+) -> tuple[int, int, int, int]:
+    """One cheap narrow agg over the (pre-explode) edge table:
+    (n_edges, max_span_cells, est_rows_unsplit, est_rows_split).
+
+    est_rows_unsplit = exact total bbox-explode rows; est_rows_split = an
+    upper-bound estimate under max_cells_per_edge=k fragmentation (each
+    fragment bbox <= (k+3)^2 cells incl. the +-1 widen and DIV slack).
+    Drives the auto-split decision and the explode-aware broadcast guard in
+    operators/lsi.py and operators/pip.py.
+    """
+    e = with_cell_bbox(edges, grid)
+    sx = F.col("ix2") - F.col("ix1") + 1
+    sy = F.col("iy2") - F.col("iy1") + 1
+    span = F.greatest(sx, sy)
+    frag_est = F.when(span <= k, sx * sy).otherwise(
+        F.ceil(span / F.lit(k)) * F.least(sx, F.lit(k + 3)) * F.least(sy, F.lit(k + 3))
+    )
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.max(span), F.lit(0)).alias("mx"),
+        F.coalesce(F.sum(sx * sy), F.lit(0)).alias("eu"),
+        F.coalesce(F.sum(frag_est), F.lit(0)).alias("es"),
+    ).collect()[0]
+    return int(row["n"]), int(row["mx"]), int(row["eu"]), int(row["es"])
 
 
 def cell_counts(edge_cells: DataFrame) -> DataFrame:

@@ -80,6 +80,12 @@ def test_salted_lsi_row_parity(spark):
     got = [(r["eid_a"], r["eid_b"]) for r in salted.collect()]
     assert len(got) == len(set(got))
     assert set(got) == plain
+    # workload-proportional salt counts (n_salts acts as the cap): tiny
+    # target so per-cell bucket counts genuinely vary across cells
+    prop = lsi_join_salted(ea, eb, grid, hot_threshold=0, n_salts=8, target_pairs=10)
+    got2 = [(r["eid_a"], r["eid_b"]) for r in prop.collect()]
+    assert len(got2) == len(set(got2))
+    assert set(got2) == plain
 
 
 def test_skewed_fixture_salting(spark):
