@@ -280,10 +280,12 @@ def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature pipeline: image rows decode REAL PNG payloads
-    with the stdlib+NumPy codec (width/height actually parsed); audio/video
-    fall back to the digest stub. Oracle-checked: dims/bytes/hashes/decoder
-    are literal-derivable from the deterministic fixture (_multimodal_sql);
-    the float feature vector is pytest-checked instead."""
+    with the stdlib+NumPy codec (width/height actually parsed); audio rows
+    decode REAL PCM16 WAVs (RIFF parse, sample rate/channels/frames/means);
+    only video falls back to the digest stub. Oracle-checked:
+    dims/bytes/hashes/decoder are literal-derivable from the deterministic
+    fixture (_multimodal_sql); the float feature vector is pytest-checked
+    instead."""
     from rayjoin_spark.functions.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, 200)).select(
@@ -734,7 +736,9 @@ _ANN_IVF_SQL = f"""
 WITH iv AS ({_IV_SQL}),
  cents AS (SELECT vec_id AS cid, v AS cent,
                   CAST(list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS BIGINT) AS cent_n2
-           FROM iv WHERE vec_id % 37 = 1),
+           FROM iv
+           WHERE vec_id % (SELECT GREATEST(37, CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT))
+                           FROM iv) = 1),
  ak AS (SELECT c.vec_id AS corpus_id, ct.cid,
                ct.cent_n2 - 2 * CAST(list_dot_product(CAST(c.v AS DOUBLE[]), CAST(ct.cent AS DOUBLE[])) AS BIGINT) AS akey
         FROM iv c, cents ct),
@@ -819,24 +823,20 @@ FROM s GROUP BY user_id, sid
 
 def _multimodal_sql(n: int = 200) -> str:
     """Literal-lookup oracle for the multimodal feature pipeline: the
-    fixture's 8 PNG variants are deterministic (functions/multimodal.py
-    synthetic_media), so n_bytes/sha256/width/height/decoder are
-    re-derivable as constants keyed by media_id % 8; audio/video payloads
-    are 'payload:<id>' strings whose sha256 DuckDB computes natively."""
+    fixture's 8 PNG and 8 WAV variants are deterministic
+    (functions/multimodal.py synthetic_media), so n_bytes/sha256/width/
+    height/decoder are re-derivable as constants keyed by media_id % 8;
+    video payloads are 'payload:<id>' strings whose sha256 DuckDB
+    computes natively."""
     import hashlib
 
-    from rayjoin_spark.functions.multimodal import encode_png
+    from rayjoin_spark.functions.multimodal import _png_variants, _wav_variants
 
-    variants = []
-    for k in range(8):
-        px = [
-            [((k * 37 + x * 11 + y * 53) % 256, (k * 59 + x * 17) % 256, (y * 29 + k) % 256)
-             for x in range(4)]
-            for y in range(3)
-        ]
-        variants.append(encode_png(4, 3, px))
-    sha_arr = "[" + ",".join(f"'{hashlib.sha256(v).hexdigest()}'" for v in variants) + "]"
-    nb_arr = "[" + ",".join(str(len(v)) for v in variants) + "]"
+    pngs, wavs = _png_variants(), _wav_variants()
+    sha_arr = "[" + ",".join(f"'{hashlib.sha256(v).hexdigest()}'" for v in pngs) + "]"
+    nb_arr = "[" + ",".join(str(len(v)) for v in pngs) + "]"
+    wsha_arr = "[" + ",".join(f"'{hashlib.sha256(v).hexdigest()}'" for v in wavs) + "]"
+    wnb_arr = "[" + ",".join(str(len(v)) for v in wavs) + "]"
     return f"""
 WITH ids AS (SELECT CAST(unnest(range(0, {n})) AS BIGINT) AS media_id),
  k AS (
@@ -846,13 +846,16 @@ WITH ids AS (SELECT CAST(unnest(range(0, {n})) AS BIGINT) AS media_id),
 )
 SELECT media_id, kind,
   CAST(CASE WHEN kind = 'image' THEN {nb_arr}[CAST(media_id % 8 AS INT) + 1]
+            WHEN kind = 'audio' THEN {wnb_arr}[CAST(media_id % 8 AS INT) + 1]
             ELSE length('payload:' || CAST(media_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
   CASE WHEN kind = 'image' THEN {sha_arr}[CAST(media_id % 8 AS INT) + 1]
+       WHEN kind = 'audio' THEN {wsha_arr}[CAST(media_id % 8 AS INT) + 1]
        ELSE sha256('payload:' || CAST(media_id AS VARCHAR)) END AS sha256,
   CAST(CASE WHEN kind = 'image' THEN 4 END AS INTEGER) AS width,
   CAST(CASE WHEN kind = 'image' THEN 3 END AS INTEGER) AS height,
   TRUE AS decode_ok,
-  CASE WHEN kind = 'image' THEN 'png' ELSE 'stub' END AS decoder
+  CASE WHEN kind = 'image' THEN 'png'
+       WHEN kind = 'audio' THEN 'wav' ELSE 'stub' END AS decoder
 FROM k
 """
 

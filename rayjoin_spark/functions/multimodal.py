@@ -3,8 +3,10 @@ with typed metadata, processed in Arrow-batched pandas iterators.
 
 The IMAGE path is a REAL decoder: a pure-stdlib PNG codec (zlib inflate +
 scanline unfiltering, 8-bit gray/RGB/RGBA) parses width/height and
-per-channel means — no external imaging library needed. Non-PNG payloads
-(and the audio/video kinds) fall back to a clearly-marked deterministic
+per-channel means — no external imaging library needed. The AUDIO path is
+also REAL: a stdlib RIFF/WAVE parser (PCM16) extracting sample rate,
+channel count, frame count and per-channel means. Only VIDEO (and
+unrecognized payloads) falls back to the clearly-marked deterministic
 digest feature (`_decode_stub`): the Spark-side contract — schema, batch
 shape, partition sizing, UDF signature — is identical either way, so
 swapping the stub for ffmpeg keeps every plan unchanged.
@@ -157,11 +159,61 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, ch, [float(s) / n_px / 255.0 for s in sums]
 
 
+# ------------------------------------------------------------------ WAV
+def encode_wav(sample_rate: int, frames: list[tuple]) -> bytes:
+    """Minimal PCM16 RIFF/WAVE writer for fixtures/round-trips; `frames`
+    is a list of per-frame channel tuples of int16 samples."""
+    ch = len(frames[0])
+    data = b"".join(struct.pack("<" + "h" * ch, *fr) for fr in frames)
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, list[float]]:
+    """Parse a PCM16 RIFF/WAVE payload with the stdlib + NumPy: returns
+    (sample_rate, n_channels, n_frames, per-channel means in [-1, 1)).
+    Malformed input raises ValueError (degrade-to-error-row contract,
+    same as decode_png)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("bad fmt chunk")
+            audio_fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits})")
+            if ch == 0:
+                raise ValueError("zero channels")
+            fmt = (ch, sr)
+        elif tag == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    ch, sr = fmt
+    n_frames = len(pcm) // (ch * 2)
+    if n_frames == 0:
+        raise ValueError("empty audio")
+    arr = np.frombuffer(pcm[: n_frames * ch * 2], dtype="<i2").reshape(n_frames, ch)
+    means = arr.astype(np.float64).mean(axis=0) / 32768.0
+    return sr, ch, n_frames, [float(m) for m in means]
+
+
 # ------------------------------------------------------------------ kernels
 def _decode_stub(payload: bytes) -> list[float]:
-    """STUB decode for non-PNG payloads (audio/video and opaque blobs):
-    deterministic fake feature from the payload digest. Real audio/video
-    decode would be ffmpeg — not in this environment by design."""
+    """STUB decode for unrecognized payloads (video and opaque blobs):
+    deterministic fake feature from the payload digest. Real video decode
+    would be ffmpeg — not in this environment by design."""
     d = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in d[:8]]
 
@@ -172,6 +224,10 @@ def _decode_one(kind: str, b: bytes):
         w, h, ch, means = decode_png(b)
         feat = [float(w), float(h), float(ch)] + means[:4] + [0.0] * (4 - len(means[:4]))
         return w, h, [float(v) for v in (feat + [1.0])[:8]], "png", None
+    if kind == "audio" and b[:4] == b"RIFF":
+        sr, ch, nf, means = decode_wav(b)
+        feat = [float(sr), float(ch), float(nf)] + means[:4] + [0.0] * (4 - len(means[:4]))
+        return None, None, [float(v) for v in (feat + [2.0])[:8]], "wav", None
     return None, None, [float(v) for v in _decode_stub(b)], "stub", None
 
 
@@ -228,10 +284,9 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
-    """Deterministic fake media table. image rows carry REAL tiny PNGs
-    (8 deterministic 4x3 RGB variants, stdlib-encoded) so the decode path
-    is exercised end-to-end; audio/video stay digest-stub payloads."""
+def _png_variants() -> list[bytes]:
+    """The 8 deterministic 4x3 RGB fixture PNGs (shared with the driver's
+    literal-lookup oracle, __spark_entry__._multimodal_sql)."""
     variants = []
     for k in range(8):
         px = [
@@ -240,7 +295,30 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
             for y in range(3)
         ]
         variants.append(encode_png(4, 3, px))
-    png_arr = F.array(*[F.lit(bytearray(v)) for v in variants])
+    return variants
+
+
+def _wav_variants() -> list[bytes]:
+    """8 deterministic tiny PCM16 WAV fixtures (1-2 channels, 16-23
+    frames, varied sample rates) — same oracle-sharing contract."""
+    variants = []
+    for k in range(8):
+        ch = 1 + (k % 2)
+        frames = [
+            tuple(((k * 997 + i * 131 + c * 73) % 2048) - 1024 for c in range(ch))
+            for i in range(16 + k)
+        ]
+        variants.append(encode_wav(8000 + 100 * k, frames))
+    return variants
+
+
+def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
+    """Deterministic fake media table. image rows carry REAL tiny PNGs,
+    audio rows REAL tiny PCM16 WAVs (8 deterministic variants each,
+    stdlib-encoded) so both decode paths run end-to-end; video stays a
+    digest-stub payload."""
+    png_arr = F.array(*[F.lit(bytearray(v)) for v in _png_variants()])
+    wav_arr = F.array(*[F.lit(bytearray(v)) for v in _wav_variants()])
     i = F.col("id")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -249,6 +327,7 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
     blob = F.encode(F.concat(F.lit("payload:"), i.cast("string")), "UTF-8")
     payload = (
         F.when(kind == "image", F.element_at(png_arr, (F.pmod(i, 8) + 1).cast("int")))
+        .when(kind == "audio", F.element_at(wav_arr, (F.pmod(i, 8) + 1).cast("int")))
         .otherwise(blob)
         if real_png
         else blob
@@ -258,6 +337,7 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
         kind.alias("kind"),
         payload.alias("payload"),
         F.when(kind == "image", F.lit("image/png"))
+        .when(kind == "audio", F.lit("audio/wav") if real_png else F.lit("application/octet-stream"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime"),
         F.lit(None).cast("int").alias("width"),

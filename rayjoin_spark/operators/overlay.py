@@ -63,12 +63,34 @@ from rayjoin_spark.plans.ranking import ordered_index
 from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
 
+# Exact order key for the parametric position t = t_num / den of an
+# intersection along its edge (den > 0). Different xsects on one edge have
+# DIFFERENT denominators, so a window ORDER BY needs a common-scale key:
+# floor(t * 2^118) as a lexicographic triple of int64 limbs
+# (hi = floor(t_num/den), then two 59-bit fractional limbs). Bounds at the
+# 2^29 snap grid: |t_num| <= 2^118 fits decimal(38,0); |hi| <= 2^60 fits
+# bigint; distinct rationals t1 != t2 on one edge differ by
+# >= 1/(den1*den2) >= 2^-118, so distinct values always get distinct keys
+# (the round-3 double-`t` key collapsed sub-ulp-separated pairs and could
+# mis-order them — reference src/app/map_overlay_grid.h:152-161 compares
+# EXACT rational squared distances). `x - pmod(x, den) DIV den` is the
+# exact floor for the possibly-negative hi limb; the fractional limbs are
+# non-negative so plain DIV (truncation) IS floor. 2^59 = 576460752303423488.
+_TK_HI_SQL = "CAST((_tn - pmod(_tn, den)) DIV den AS BIGINT)"
+_TK_LO1_SQL = "CAST((pmod(_tn, den) * 576460752303423488) DIV den AS BIGINT)"
+_TK_LO2_SQL = """
+CAST((pmod(pmod(_tn, den) * 576460752303423488, den) * 576460752303423488)
+     DIV den AS BIGINT)
+"""
+
+
 def _xsects_along_edges(xs: DataFrame, edges: DataFrame, side: str) -> DataFrame:
     """Attach edge geometry; order intersections along each edge of the
-    given side ('a' = map0, 'b' = map1) by the parametric position from
-    p1 (reference src/app/map_overlay_grid.h:152-161). Returns one row per
-    (eid, xsect) with xidx (order along edge) and the unscaled-double
-    intersection point."""
+    given side ('a' = map0, 'b' = map1) by the EXACT parametric position
+    from p1 (reference src/app/map_overlay_grid.h:152-161 orders by exact
+    rational squared distance; our limb key is the same total order).
+    Returns one row per (eid, xsect) with xidx (order along edge) and the
+    unscaled-double intersection point."""
     eid = f"eid_{side}"
     e = edges.select(
         F.col("eid").alias(eid),
@@ -80,13 +102,20 @@ def _xsects_along_edges(xs: DataFrame, edges: DataFrame, side: str) -> DataFrame
         F.col("y2").alias("_y2"),
     )
     j = xs.join(e, eid)
-    t = (F.col("xsect_xd") - F.col("_x1")) * (F.col("_x2") - F.col("_x1")) + (
-        F.col("xsect_yd") - F.col("_y1")
-    ) * (F.col("_y2") - F.col("_y1"))
+    dec = "decimal(38,0)"
+    t_num = (
+        (F.col("num_x") - F.col("_x1").cast(dec) * F.col("den"))
+        * (F.col("_x2") - F.col("_x1")).cast(dec)
+        + (F.col("num_y") - F.col("_y1").cast(dec) * F.col("den"))
+        * (F.col("_y2") - F.col("_y1")).cast(dec)
+    ).cast(dec)
     other = "eid_b" if side == "a" else "eid_a"
-    w = Window.partitionBy(eid).orderBy("t", "xsect_xd", "xsect_yd", other)
+    w = Window.partitionBy(eid).orderBy("_tk_hi", "_tk_lo1", "_tk_lo2", other)
     return (
-        j.withColumn("t", t)
+        j.withColumn("_tn", t_num)
+        .withColumn("_tk_hi", F.expr(_TK_HI_SQL))
+        .withColumn("_tk_lo1", F.expr(_TK_LO1_SQL))
+        .withColumn("_tk_lo2", F.expr(_TK_LO2_SQL))
         .withColumn("xidx", F.row_number().over(w) - 1)
         .select(
             F.col(eid).alias("eid"),
@@ -95,7 +124,6 @@ def _xsects_along_edges(xs: DataFrame, edges: DataFrame, side: str) -> DataFrame
             F.col(other).alias("other_eid"),
             "xsect_xd",
             "xsect_yd",
-            "t",
             "xidx",
             (F.col("_x2") - F.col("_x1")).alias("dx"),
             (F.col("_y2") - F.col("_y1")).alias("dy"),
@@ -237,9 +265,12 @@ def overlay(
             )
             ex = ex.join(midf, ["eid", "xidx"], "left")
         ex = ex.drop("dx", "dy")
-        if timings is not None:
-            vert = vert.persist()
-            _mark(f"pip{im}", vert, ex)
+        # persist in BOTH modes: the timings path must not change the
+        # physical plan under measurement (vert feeds the event stream
+        # once, but timed phase counts would otherwise materialize a
+        # different caching shape than production runs)
+        vert = vert.persist()
+        _mark(f"pip{im}", vert, ex)
 
         # --- phase 4: event stream -> fragments ---
         # xsect j on edge seq occupies positions (seq,1,j,0) [closes frag j]

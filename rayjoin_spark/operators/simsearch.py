@@ -262,19 +262,26 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
+    target_centroids: int | None = 4096,
 ) -> DataFrame:
     """IVF-style approximate top-k — the second scale path beside LSH.
 
     Coarse quantizer: every corpus vector whose id satisfies
-    ``id % centroid_mod == 1`` is a centroid (deterministic, no k-means
-    iterations — a data-derived codebook both engines can re-create).
+    ``id % mod == 1`` is a centroid (deterministic, no k-means iterations
+    — a data-derived codebook both engines can re-create), where
+    ``mod = max(centroid_mod, ceil(n / target_centroids))`` so the
+    codebook is CAPPED at ~target_centroids regardless of corpus size
+    (one cheap count job). A fixed modulus alone would grow the "codebook"
+    linearly with the corpus — an O(n) broadcast and an O(n^2/mod)
+    assignment, not a codebook. Pass ``target_centroids=None`` to use the
+    raw modulus (test-scale determinism without the count job).
     Each corpus vector is assigned to its nearest centroid by exact
     integer L2 (argmin of |cent|^2 - 2*v.cent; |v|^2 is constant per row).
     A query probes its ``n_probe`` nearest centroids and exact-re-ranks
     only those buckets' vectors.
 
-    100 TB shape: centroids are broadcast (codebook-sized); assignment is
-    one scan + map-side argmin; the candidate fetch is an equi-join on
+    100 TB shape: centroids are broadcast (bounded codebook); assignment
+    is one scan + map-side argmin; the candidate fetch is an equi-join on
     centroid id (bucket join, no crossJoin on the query path). Recall
     degrades gracefully with n_probe — unlike banded sign-LSH it has no
     small-bucket-collision floor, covering the regimes where 2-bit bands
@@ -291,6 +298,9 @@ def ann_ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _int_vec(F.col(vec_col)).alias("cv")
     )
+    if target_centroids:
+        n = corpus.count()
+        centroid_mod = max(centroid_mod, -(-n // target_centroids))
     cents = c.filter(F.pmod(F.col("corpus_id"), centroid_mod) == 1).select(
         F.col("corpus_id").alias("cid"),
         F.col("cv").alias("cent"),

@@ -107,6 +107,19 @@ class CheckpointManager:
         os.replace(tmp, self._lineage_path)
 
 
+def _content_digest(df: DataFrame) -> str:
+    """(row count, order-independent content hash) of a DataFrame in ONE
+    agg job: sum of per-row xxhash64 over all columns, cast decimal(38,0)
+    so the sum cannot overflow bigint under ANSI."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("d"),
+    ).collect()[0]
+    return f"{row['n']}x{row['d']}"
+
+
 def checkpointed_overlay(
     spark: SparkSession,
     chains_a: DataFrame,
@@ -125,13 +138,15 @@ def checkpointed_overlay(
     from rayjoin_spark.plans.layers import build_edges
 
     cm = CheckpointManager(spark, base_dir, run_id)
-    # fingerprint captures the INPUTS too (row counts + the affine snap
-    # params, which encode the joint bbox): rerunning in the same
-    # base_dir/run_id with different layers invalidates the cached stages
-    # instead of silently replaying stale edges/xsects
-    n_in = [df.count() for df in (chains_a, points_a, chains_b, points_b)]
+    # fingerprint captures the INPUTS too: per-input (row count, order-
+    # independent xxhash64 content digest) + the affine snap params.
+    # Rerunning in the same base_dir/run_id with different layers — even
+    # ones with EQUAL row counts and joint bbox — invalidates the cached
+    # stages instead of silently replaying stale edges/xsects. One agg per
+    # input, same job count as the old count()-only fingerprint.
+    d_in = [_content_digest(df) for df in (chains_a, points_a, chains_b, points_b)]
     fp = (
-        f"grid={grid.grid_size};rows={','.join(map(str, n_in))};"
+        f"grid={grid.grid_size};in={','.join(d_in)};"
         f"scale={scaling.rx!r},{scaling.ry!r},{scaling.dx!r},{scaling.dy!r}"
     )
     # each stage's parquet output FEEDS the next phase (a resumed run

@@ -54,12 +54,17 @@ def ordered_index(
         part = part.repartitionByRange(num_partitions, *cols)
     else:
         part = part.repartitionByRange(*cols)
-    # persist freezes the sampled range boundaries AND the stamped ids:
-    # both are plan-nondeterministic under recomputation
+    # localCheckpoint(eager) — NOT persist(): the sampled range boundaries
+    # and the stamped ids are both plan-nondeterministic under
+    # recomputation, and a best-effort cache that loses blocks (executor
+    # failure, MEMORY_AND_DISK eviction) would silently recompute them
+    # with DIFFERENT values, desyncing the driver-collected offset table
+    # from the joined _mid stamps. Checkpointing pins the stamped rows;
+    # losing them now FAILS the job instead of corrupting ids.
     part = (
         part.sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     per_part = (
         part.groupBy(F.shiftright(F.col("_mid"), _MID_BITS).alias("_pid"))

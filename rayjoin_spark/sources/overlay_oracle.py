@@ -216,32 +216,50 @@ lsij AS (
          CASE WHEN den0 < 0 THEN -numx0 ELSE numx0 END AS num_x,
          CASE WHEN den0 < 0 THEN -numy0 ELSE numy0 END AS num_y
   FROM xraw
-), xpts AS (
-  SELECT eid_a, eid_b,
-         CAST(CASE WHEN num_x < lo_x * den THEN lo_x * den
-                   WHEN num_x > hi_x * den THEN hi_x * den
-                   ELSE num_x END AS DOUBLE) / CAST(den AS DOUBLE) AS xd,
-         CAST(CASE WHEN num_y < lo_y * den THEN lo_y * den
-                   WHEN num_y > hi_y * den THEN hi_y * den
-                   ELSE num_y END AS DOUBLE) / CAST(den AS DOUBLE) AS yd
+), xclamp AS (
+  SELECT eid_a, eid_b, den,
+         CASE WHEN num_x < lo_x * den THEN lo_x * den
+              WHEN num_x > hi_x * den THEN hi_x * den
+              ELSE num_x END AS num_x,
+         CASE WHEN num_y < lo_y * den THEN lo_y * den
+              WHEN num_y > hi_y * den THEN hi_y * den
+              ELSE num_y END AS num_y
   FROM xnorm
+), xpts AS (
+  SELECT eid_a, eid_b, num_x, num_y, den,
+         CAST(num_x AS DOUBLE) / CAST(den AS DOUBLE) AS xd,
+         CAST(num_y AS DOUBLE) / CAST(den AS DOUBLE) AS yd
+  FROM xclamp
 ),
 -- ============ phase 3: order xsects along each side's edges + midfaces
+-- (EXACT parametric order: t = t_num/den as 3 integer limbs of
+-- floor(t * 2^118), mirroring the engine's _TK_*_SQL limb key — the
+-- reference compares exact rational squared distances,
+-- src/app/map_overlay_grid.h:152-161)
 xboth AS (
   SELECT 0 AS map_id, x.eid_a AS eid, e.chain_id, e.seq, x.eid_b AS other_eid,
-         x.xd, x.yd,
-         (x.xd - e.x1) * (e.x2 - e.x1) + (x.yd - e.y1) * (e.y2 - e.y1) AS t,
+         x.xd, x.yd, x.den,
+         (x.num_x - e.x1 * x.den) * (e.x2 - e.x1)
+         + (x.num_y - e.y1 * x.den) * (e.y2 - e.y1) AS t_num,
          e.x2 - e.x1 AS dxe, e.y2 - e.y1 AS dye
   FROM xpts x JOIN edges e ON e.map_id = 0 AND e.eid = x.eid_a
   UNION ALL
-  SELECT 1, x.eid_b, e.chain_id, e.seq, x.eid_a, x.xd, x.yd,
-         (x.xd - e.x1) * (e.x2 - e.x1) + (x.yd - e.y1) * (e.y2 - e.y1),
+  SELECT 1, x.eid_b, e.chain_id, e.seq, x.eid_a, x.xd, x.yd, x.den,
+         (x.num_x - e.x1 * x.den) * (e.x2 - e.x1)
+         + (x.num_y - e.y1 * x.den) * (e.y2 - e.y1),
          e.x2 - e.x1, e.y2 - e.y1
   FROM xpts x JOIN edges e ON e.map_id = 1 AND e.eid = x.eid_b
+), xlimb AS (
+  SELECT *, ((t_num % den) + den) % den AS pm FROM xboth
 ), xidxd AS (
-  SELECT *, row_number() OVER (PARTITION BY map_id, eid
-                               ORDER BY t, xd, yd, other_eid) - 1 AS xidx
-  FROM xboth
+  SELECT *, row_number() OVER (
+      PARTITION BY map_id, eid
+      ORDER BY (t_num - pm) // den,
+               (pm * 576460752303423488::HUGEINT) // den,
+               (((pm * 576460752303423488::HUGEINT) % den)
+                 * 576460752303423488::HUGEINT) // den,
+               other_eid) - 1 AS xidx
+  FROM xlimb
 ), xsm AS (
   SELECT x.*, CASE WHEN ((o.a * x.dxe + o.b * x.dye) > 0) = (o.x1 <= o.x2)
                    THEN o.left_pid ELSE o.right_pid END AS midface

@@ -10,8 +10,10 @@ and located with the exact-arithmetic PIP. This is deliberately a
 DIFFERENT method than the engine (which derives the entered face
 topologically from the crossed edge's left/right ids, operators/
 overlay.py) — agreement between the two is the exactness cross-check.
-Only the ordering of intersections along an edge uses double `t`, the
-engine's (and reference's) convention."""
+The ordering of intersections along an edge is also EXACT (Fraction
+parametric position, ties by other-edge id) — mirroring the engine's
+int-limb order key and the reference's exact rational squared-distance
+compare (src/app/map_overlay_grid.h:152-161)."""
 
 from __future__ import annotations
 
@@ -47,7 +49,11 @@ def overlay_oracle(edges_by_map, chains_by_map, points_by_map, scaling):
                 x, y = xsect_point_py(ea, eb)
                 xd, yd = _xd(x), _xd(y)
                 for im, (e, oe) in enumerate([(ea, eb), (eb, ea)]):
-                    t = (xd - e["x1"]) * (e["x2"] - e["x1"]) + (yd - e["y1"]) * (
+                    # EXACT parametric order along the edge (Fraction dot
+                    # product) — mirrors the engine's limb-key ordering and
+                    # the reference's exact squared-distance compare
+                    # (src/app/map_overlay_grid.h:152-161)
+                    t = (x - e["x1"]) * (e["x2"] - e["x1"]) + (y - e["y1"]) * (
                         e["y2"] - e["y1"]
                     )
                     xs_by_edge[im].setdefault(e["eid"], []).append(
@@ -55,7 +61,7 @@ def overlay_oracle(edges_by_map, chains_by_map, points_by_map, scaling):
                     )
     for im in range(2):
         for lst in xs_by_edge[im].values():
-            lst.sort(key=lambda r: (r["t"], r["xd"], r["yd"], r["other"]))
+            lst.sort(key=lambda r: (r["t"], r["other"]))
 
     def snap(x, y):
         return int(x * scaling.rx + scaling.dx), int(y * scaling.ry + scaling.dy)

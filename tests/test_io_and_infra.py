@@ -185,8 +185,18 @@ def test_multimodal_features(spark):
     imgs = [r for r in rows if r["kind"] == "image"]
     assert imgs and all(r["decoder"] == "png" for r in imgs)
     assert all((r["width"], r["height"]) == (4, 3) for r in imgs)
-    others = [r for r in rows if r["kind"] != "image"]
-    assert all(r["decoder"] == "stub" and r["width"] is None for r in others)
+    # audio rows went through the REAL WAV decoder: feature carries the
+    # parsed sample rate / channels / frame count (+ the 2.0 audio tag)
+    auds = [r for r in rows if r["kind"] == "audio"]
+    assert auds and all(r["decoder"] == "wav" and r["width"] is None for r in auds)
+    for r in auds:
+        k = r["media_id"] % 8
+        assert r["feature"][0] == float(8000 + 100 * k)
+        assert r["feature"][1] == float(1 + (k % 2))
+        assert r["feature"][2] == float(16 + k)
+        assert r["feature"][7] == 2.0
+    vids = [r for r in rows if r["kind"] == "video"]
+    assert vids and all(r["decoder"] == "stub" and r["width"] is None for r in vids)
     # deterministic: same payload -> same sha/feature
     again = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)
@@ -249,6 +259,34 @@ def test_png_codec_roundtrip():
     flat2 = [v for row in rows for v in row]
     want2 = [sum(flat2[c::3]) / 8 / 255.0 for c in range(3)]
     assert all(abs(a - b) < 1e-12 for a, b in zip(means2, want2))
+
+
+def test_wav_codec_roundtrip():
+    """stdlib WAV encode -> decode round-trip: exact rate/channels/frames
+    + per-channel means; malformed payloads raise ValueError."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from rayjoin_spark.functions.multimodal import decode_wav, encode_wav
+
+    frames = [(100 * i - 300, -50 * i) for i in range(7)]
+    data = encode_wav(22050, frames)
+    sr, ch, nf, means = decode_wav(data)
+    assert (sr, ch, nf) == (22050, 2, 7)
+    want = [sum(f[c] for f in frames) / 7 / 32768.0 for c in range(2)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(means, want))
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    with _pytest.raises(ValueError):
+        decode_wav(data[:20])  # truncated: no data chunk
+    # float-format WAV (fmt=3) is unsupported -> ValueError, not garbage
+    bad = bytearray(data)
+    fmt_off = data.index(b"fmt ") + 8
+    bad[fmt_off:fmt_off + 2] = _struct.pack("<H", 3)
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad))
 
 
 def test_multimodal_malformed_payloads(spark):
