@@ -118,15 +118,22 @@ def _queries(spark, sf_dir):
 
     overlay_phases: dict = {}
 
-    # big-grid pair: the reference's own experiments run grid_size=15000
-    # (ref expr/env.sh:12); these rows run gsize 4096 on a dense lattice
-    # pair — edge-cells beyond the broadcast cap (shuffled cell join) and
-    # a skip map beyond its cap (hash-sharded by cx), i.e. the 100 TB
-    # physical paths, not the broadcast fast paths
-    mbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_M", "512"))
-    gbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_GSIZE", "4096"))
+    # big-grid pair at the reference's own operating point gsize=15000
+    # (ref expr/env.sh:12). Its continental inputs have edges spanning only
+    # a few cells at that grid; mirror the ratio by subdividing the lattice
+    # (s=24 -> unit edges become ~6-cell sub-edges). Edge-cells beyond the
+    # broadcast cap (shuffled cell join, merge-hint guard) and a skip map
+    # beyond its cap (hash-sharded by cx) — the 100 TB physical paths, not
+    # the broadcast fast paths.
+    mbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_M", "96"))
+    sbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_SUBDIV", "24"))
+    gbig = int(os.environ.get("SPARK_GRAFT_BIGGRID_GSIZE", "15000"))
+    from rayjoin_spark.sources.datagen import subdivide_points
+
     cbg_a, pbg_a = lattice_chains(spark, mbig)
     cbg_b, pbg_b = transformed_lattice(spark, mbig)
+    pbg_a = subdivide_points(pbg_a, sbig)
+    pbg_b = subdivide_points(pbg_b, sbig)
     bg_scaling = compute_scaling(pbg_a, pbg_b)
     bg_ea = build_edges(cbg_a, pbg_a, bg_scaling)
     bg_eb = build_edges(cbg_b, pbg_b, bg_scaling)
@@ -139,10 +146,26 @@ def _queries(spark, sf_dir):
     def q_pip_biggrid():
         return pip_locate(bg_pts, bg_ea, bg_scaling, GridSpec(gbig))
 
+    # long-edge regime at the SAME fine grid: a coarse lattice whose unit
+    # edges span ~800 cells at gsize 15000 — the round-3 crash shape
+    # (quadratic bbox explode, then AQE broadcast-converting the exploded
+    # side). Runs via the auto fragment pre-split + merge guard.
+    mle = int(os.environ.get("SPARK_GRAFT_LONGEDGE_M", "16"))
+    cle_a, ple_a = lattice_chains(spark, mle)
+    cle_b, ple_b = transformed_lattice(spark, mle)
+    le_scaling = compute_scaling(ple_a, ple_b)
+    le_ea = build_edges(cle_a, ple_a, le_scaling)
+    le_eb = build_edges(cle_b, ple_b, le_scaling)
+    keep += [le_ea, le_eb]
+
+    def q_lsi_longedge():
+        return lsi_join(le_ea, le_eb, GridSpec(gbig))
+
     def biggrid_check():
         """Self-check mirroring the CLI --check contract: the grid is
-        physical, so gsize 4096 and 256 must produce IDENTICAL rows
-        (count + order-independent value hash)."""
+        physical, so gsize 15000 (incl. the fragment-split long-edge row)
+        and a coarse grid must produce IDENTICAL rows (count +
+        order-independent value hash)."""
 
         def h(df):
             r = df.agg(
@@ -160,14 +183,22 @@ def _queries(spark, sf_dir):
         pip_ok = h(q_pip_biggrid()) == h(
             pip_locate(bg_pts, bg_ea, bg_scaling, GridSpec(256))
         )
-        return {"gsize": gbig, "lsi_match": lsi_ok, "pip_match": pip_ok}
+        le_ok = h(q_lsi_longedge().select("eid_a", "eid_b")) == h(
+            lsi_join(le_ea, le_eb, GridSpec(64)).select("eid_a", "eid_b")
+        )
+        return {
+            "gsize": gbig,
+            "lsi_match": lsi_ok,
+            "pip_match": pip_ok,
+            "longedge_match": le_ok,
+        }
 
     q_lsi_biggrid.check = biggrid_check
 
     def q_overlay():
         # composite overlay end-to-end on the bench lattice pair, with
-        # per-phase wall times (edges/lsi/pip0/pip1) mirroring the
-        # reference's phase logs (expr/draw/overlay/*_grid.log)
+        # per-phase wall times (edges/lsi/pip0/pip1/writer sub-phases)
+        # mirroring the reference's phase logs (expr/draw/overlay/*.log)
         from rayjoin_spark.operators.overlay import overlay
 
         overlay_phases.clear()
@@ -175,6 +206,16 @@ def _queries(spark, sf_dir):
         return oc
 
     q_overlay.phases = overlay_phases
+
+    def q_overlay_biggrid():
+        # fine-grid overlay smoke: same pipeline at gsize 8192, where the
+        # bench lattice's ~84-cell edge spans force the fragment pre-split
+        # inside BOTH the LSI and the PIP indexes (oracle parity at fine
+        # grids is pinned by tests/test_overlay.py at test scale)
+        from rayjoin_spark.operators.overlay import overlay
+
+        oc, _ = overlay(ca, pa, cb, pb, scaling, GridSpec(8192))
+        return oc
 
     return {
         "lsi_lattice": q_lsi_lattice,
@@ -193,6 +234,8 @@ def _queries(spark, sf_dir):
         "neardup_emb_lsh": q_neardup_emb_lsh,
         "lsi_biggrid": q_lsi_biggrid,
         "pip_biggrid": q_pip_biggrid,
+        "lsi_longedge": q_lsi_longedge,
+        "overlay_biggrid": q_overlay_biggrid,
     }, keep
 
 
@@ -318,7 +361,11 @@ def run_suite(
     for name, build in qs.items():
         # force FULL computation: count() would let Catalyst prune value
         # columns (md5s, dots) out of aggregates; the noop sink cannot
-        n_rep = 1 if (not scaling_suite and name == "overlay_chains") else repeats
+        n_rep = (
+            1
+            if (not scaling_suite and name in ("overlay_chains", "overlay_biggrid"))
+            else repeats
+        )
         if warmup or (not scaling_suite and n_rep > 1):
             build().write.format("noop").mode("overwrite").save()  # JIT warm
         best = None

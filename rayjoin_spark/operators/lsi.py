@@ -169,6 +169,7 @@ def lsi_join(
     with_points: bool = False,
     broadcast: str | None = None,
     split_long_edges: int | str | None = "auto",
+    stats: tuple | None = None,
 ) -> DataFrame:
     """The LSI spatial theta join: equi-join on grid cell + exact predicate.
 
@@ -190,13 +191,17 @@ def lsi_join(
         is hinted to sort-merge so AQE cannot broadcast-convert an
         exploded side. An int forces that fragment length; None disables
         both (round-3 behavior, quadratic for long edges at fine grids).
+    stats : optional precomputed (edge_cell_stats(edges_a, grid),
+        edge_cell_stats(edges_b, grid)) so callers that already ran the
+        aggs (overlay shares them with its PipIndexes) skip the two jobs.
     """
     grid = grid or GridSpec()
     k = None
     guard = False
     if split_long_edges == "auto":
-        _, span_a, eu_a, es_a = edge_cell_stats(edges_a, grid)
-        _, span_b, eu_b, es_b = edge_cell_stats(edges_b, grid)
+        if stats is None:
+            stats = (edge_cell_stats(edges_a, grid), edge_cell_stats(edges_b, grid))
+        (_, span_a, eu_a, es_a), (_, span_b, eu_b, es_b) = stats
         if max(span_a, span_b) > SPLIT_CELLS_DEFAULT:
             k = SPLIT_CELLS_DEFAULT
             guard = (es_a + es_b) > BROADCAST_GUARD_ROWS

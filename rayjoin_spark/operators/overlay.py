@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from rayjoin_spark.operators.lsi import lsi_join
 from rayjoin_spark.operators.pip import PipIndex, pip_locate
+from rayjoin_spark.plans.cells import edge_cell_stats
 from rayjoin_spark.plans.layers import build_edges, EID_STRIDE_DEFAULT
 from rayjoin_spark.plans.ranking import ordered_index
 from rayjoin_spark.plans.scaling import GridSpec, Scaling
@@ -177,16 +178,26 @@ def overlay(
 
     _mark("edges", edges_a, edges_b)
 
+    # one long-edge/guard stats agg per side, shared by the LSI join and
+    # both PIP indexes (each would otherwise run its own job)
+    stats_a = edge_cell_stats(edges_a, grid)
+    stats_b = edge_cell_stats(edges_b, grid)
+
     # --- phase 1: LSI with exact points (shared by both maps) ---
     xs = (
         prebuilt_xs
         if prebuilt_xs is not None
-        else lsi_join(edges_a, edges_b, grid, with_points=True)
+        else lsi_join(
+            edges_a, edges_b, grid, with_points=True, stats=(stats_a, stats_b)
+        )
     ).persist()
     _mark("lsi", xs)
 
     # PIP indexes over each layer, shared by both locates against it
-    idx = [PipIndex(edges_a, grid), PipIndex(edges_b, grid)]
+    idx = [
+        PipIndex(edges_a, grid, stats=stats_a),
+        PipIndex(edges_b, grid, stats=stats_b),
+    ]
 
     frags = []
     for im, (chains, points, edges, other_edges) in enumerate(
@@ -235,7 +246,7 @@ def overlay(
                     F.when(entered_left, F.col("o_left")).otherwise(F.col("o_right")),
                 )
                 .drop("o_a", "o_b", "o_x1", "o_x2", "o_left", "o_right")
-            ).persist()
+            )
         else:
             ex = ex.persist()
             nxt_w = Window.partitionBy("eid").orderBy("xidx")
@@ -265,12 +276,20 @@ def overlay(
             )
             ex = ex.join(midf, ["eid", "xidx"], "left")
         ex = ex.drop("dx", "dy")
-        # persist in BOTH modes: the timings path must not change the
-        # physical plan under measurement (vert feeds the event stream
-        # once, but timed phase counts would otherwise materialize a
-        # different caching shape than production runs)
-        vert = vert.persist()
-        _mark(f"pip{im}", vert, ex)
+        # localCheckpoint (NOT persist) in BOTH modes — two reasons:
+        # (1) the timings path must not change the physical plan under
+        #     measurement; (2) ex/vert are RESULT-sized frames referenced
+        #     from the ~20 joined subtrees of the writer below, and Spark
+        #     re-ANALYZES each reference's full lineage per transformation
+        #     (persist does not truncate the analyzed plan) — with the
+        #     PIP/LSI trees attached that was ~14 s of pure driver CPU at
+        #     bench scale. Truncating here cuts every writer-side copy to
+        #     an RDD scan; materialization is executor-parallel.
+        t_pip = time.time()
+        vert = vert.localCheckpoint(eager=True)
+        ex = ex.localCheckpoint(eager=True)
+        if timings is not None:
+            timings[f"pip{im}"] = round(time.time() - t_pip, 3)
 
         # --- phase 4: event stream -> fragments ---
         # xsect j on edge seq occupies positions (seq,1,j,0) [closes frag j]
@@ -397,7 +416,10 @@ def overlay(
     # Truncating here cuts each copy to an RDD scan. The frame is
     # OUTPUT-sized and the write is partition-parallel on executors — not
     # a serial scaling constant.
+    t_ck = time.time()
     events = events.localCheckpoint(eager=True)
+    if timings is not None:
+        timings["out_events"] = round(time.time() - t_ck, 3)
 
     # canonical fragment order + per-fragment point seq
     ord_w = Window.partitionBy("map_id", "chain_id", "frag").orderBy(
@@ -420,6 +442,7 @@ def overlay(
         "out_chain_id",
         start=1,
     ).persist()
+    _mark("out_fragids", frag_ids)
 
     # face dict-encode in first-encounter order (reference create_polygon):
     # key = sorted pair, 0 if either side exterior
@@ -447,6 +470,7 @@ def overlay(
         "face_id",
         start=1,
     ).persist()
+    _mark("out_facedict", face_dict)
     fd1 = face_dict.select(
         F.col("k1").alias("lk"), F.col("k2").alias("lv"), F.col("face_id").alias("left_face")
     )
@@ -483,6 +507,7 @@ def overlay(
         .select("x", "y", "point_id")
         .persist()
     )
+    _mark("out_ptdict", pt_dict)
     pts_out = pts_out.join(pt_dict, ["x", "y"])
 
     ends = pts_out.groupBy("out_chain_id").agg(

@@ -152,12 +152,15 @@ class PipIndex:
     def __init__(self, base_edges: DataFrame, grid: GridSpec,
                  broadcast_max_rows: int = 2_000_000,
                  skipmap_max_entries: int = 4_000_000,
-                 split_long_edges: int | str | None = "auto"):
+                 split_long_edges: int | str | None = "auto",
+                 stats: tuple | None = None):
         self.grid = grid
         self._bcast_max = broadcast_max_rows
         self._skipmap_max = skipmap_max_entries
         self._joinable = None
         self._skipmap = None
+        self._n_rows = None
+        self._n_cells = None
         # vertical edges can never qualify: the SoS x-interval (x_min, x_max]
         # / [x_min, x_max) is empty when x1 == x2 (reference
         # src/algo/pip.h:44-46 "this also eliminates vertical edges").
@@ -166,10 +169,15 @@ class PipIndex:
         # long-edge pre-split (plans/cells.py): fragments may duplicate a
         # (cell, eid) row at seams — harmless for PIP, whose per-point
         # min_by argmin and acceptance guard are duplicate-insensitive
+        # `stats` = a precomputed edge_cell_stats(base_edges, grid) tuple
+        # (overlay shares one agg between its lsi_join and PipIndexes);
+        # NOTE it describes base_edges BEFORE the vertical-edge filter —
+        # fine for the split decision (a conservative over-estimate)
         k = None
         if split_long_edges == "auto":
-            _, span, _, _ = edge_cell_stats(self.base_edges, grid)
-            if span > SPLIT_CELLS_DEFAULT:
+            if stats is None:
+                stats = edge_cell_stats(self.base_edges, grid)
+            if stats[1] > SPLIT_CELLS_DEFAULT:
                 k = SPLIT_CELLS_DEFAULT
         elif split_long_edges:
             k = int(split_long_edges)
@@ -190,11 +198,24 @@ class PipIndex:
             .persist()
         )
 
+    def _sizes(self) -> tuple[int, int]:
+        """(n edge-cell rows, n distinct non-empty cells) in ONE agg job —
+        the distinct-cell count equals the skip map's total entry count
+        (sum of its array sizes). Also materializes the edge_cells persist;
+        runs exactly once per index."""
+        if self._n_rows is None:
+            row = self.edge_cells.agg(
+                F.count("*").alias("n"),
+                F.count_distinct("cx", "cy").alias("nc"),
+            ).collect()[0]
+            self._n_rows, self._n_cells = int(row["n"]), int(row["nc"])
+        return self._n_rows, self._n_cells
+
     def joinable_cells(self):
-        """edge_cells, broadcast-wrapped when small (the count also
-        materializes the persist — a job that happens exactly once)."""
+        """edge_cells, broadcast-wrapped when small."""
         if self._joinable is None:
-            if self._bcast_max and self.edge_cells.count() <= self._bcast_max:
+            n_rows, _ = self._sizes()
+            if self._bcast_max and n_rows <= self._bcast_max:
                 self._joinable = F.broadcast(self.edge_cells)
             else:
                 # explode-aware broadcast guard: pin the point-vs-cells
@@ -206,15 +227,12 @@ class PipIndex:
 
     def skipmap_joinable(self):
         """col_cells for the point-side join: broadcast while the total
-        entry count (sum of array sizes <= gsize^2) fits, else a plain
-        frame — the join then SHARDS the skip map across executors by cx
-        (hash shuffle), the gsize>=8k dense-layer path the module
-        docstring promises."""
+        entry count (<= gsize^2) fits, else a plain frame — the join then
+        SHARDS the skip map across executors by cx (hash shuffle), the
+        gsize>=8k dense-layer path the module docstring promises."""
         if self._skipmap is None:
-            n = self.col_cells.agg(
-                F.coalesce(F.sum(F.size("cys")), F.lit(0))
-            ).collect()[0][0]
-            if self._skipmap_max and n <= self._skipmap_max:
+            _, n_cells = self._sizes()
+            if self._skipmap_max and n_cells <= self._skipmap_max:
                 self._skipmap = F.broadcast(self.col_cells)
             else:
                 self._skipmap = self.col_cells

@@ -19,23 +19,28 @@ When the class is absent (this sandbox), the store transparently falls
 back to hive-partitioned parquet under the same directory layout, which
 preserves the partition-pruning behavior the layout exists for.
 
-Operating recipes under a real catalog (not executable in this sandbox —
-no Iceberg jar — but standard public Iceberg-on-Spark SQL):
+Upsert + snapshot semantics are part of the SEAM, not just a doc recipe:
 
-* MERGE-free upsert of a layer table (idempotent re-ingest): write the
-  new batch to a staging table, then
-  ``INSERT OVERWRITE <t> SELECT * FROM <t_stage>`` scoped by the cell-
-  prefix partition predicate — only the touched partitions rewrite, the
-  rest of the table is untouched metadata-wise (dynamic overwrite mode);
-* snapshot rollback after a bad write:
-  ``CALL <catalog>.system.rollback_to_snapshot('<db>.<t>', <snap_id>)``
-  with snapshot ids from ``<t>.snapshots`` — the engine's stage outputs
-  are append-only, so rollback is always safe;
-* compaction for the small-files the per-stage writers produce:
-  ``CALL <catalog>.system.rewrite_data_files(table => '<db>.<t>',
-  strategy => 'binpack')`` scheduled off the query path;
-* time travel for reproducing a past bench/correctness run:
-  ``SELECT ... FROM <t> VERSION AS OF <snap_id>``.
+* ``upsert(df, name, partition_by)`` — partition-scoped overwrite (the
+  MERGE-free idempotent re-ingest): only the cell-prefix partitions
+  present in ``df`` are replaced. Iceberg: ``writeTo().overwritePartitions()``
+  (dynamic overwrite, touched-partition metadata swap). Fallback: a NEW
+  hardlink-snapshot version directory + a dynamic
+  ``partitionOverwriteMode`` write into it — untouched partitions cost
+  one hardlink per file, no data copy.
+* ``snapshots(name)`` / ``rollback(name, snapshot)`` — Iceberg reads the
+  ``<t>.snapshots`` metadata table / calls
+  ``CALL <catalog>.system.rollback_to_snapshot(...)``. Fallback keeps
+  every overwrite/upsert as a ``v=<N>`` directory with an atomically
+  swapped ``_CURRENT`` pointer file — rollback repoints, exactly
+  Iceberg's snapshot-pointer model. (Deviation: fallback ``append``
+  writes in place and does not snapshot.)
+
+Other real-catalog recipes (standard public Iceberg-on-Spark SQL):
+compaction via ``CALL <catalog>.system.rewrite_data_files(table =>
+'<db>.<t>', strategy => 'binpack')`` off the query path; time travel via
+``SELECT ... FROM <t> VERSION AS OF <snap_id>`` to reproduce a past
+bench/correctness run.
 """
 
 from __future__ import annotations
@@ -110,9 +115,50 @@ class TableStore:
     def _ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
 
-    def _path(self, name: str) -> str:
+    def _table_dir(self, name: str) -> str:
         return os.path.join(self.warehouse, self.namespace, name)
 
+    # ------------------------------------------- fallback snapshot layout
+    def _pointer_file(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "_CURRENT")
+
+    def _version_dir(self, name: str, v: int) -> str:
+        return os.path.join(self._table_dir(name), f"v={v}")
+
+    def _current_version(self, name: str) -> int:
+        with open(self._pointer_file(name)) as f:
+            return int(f.read().strip())
+
+    def _set_current(self, name: str, v: int) -> None:
+        tmp = self._pointer_file(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer_file(name))
+
+    def _next_version(self, name: str) -> int:
+        d = self._table_dir(name)
+        os.makedirs(d, exist_ok=True)
+        vs = [int(e.split("=", 1)[1]) for e in os.listdir(d) if e.startswith("v=")]
+        return max(vs, default=0) + 1
+
+    def _path(self, name: str) -> str:
+        """Current fallback data directory (resolves the version pointer)."""
+        return self._version_dir(name, self._current_version(name))
+
+    @staticmethod
+    def _hardlink_tree(src: str, dst: str) -> None:
+        """Snapshot `src` into `dst` with hardlinks — O(#files), no data
+        copy (parquet files are immutable once written; a dynamic
+        overwrite REPLACES partition files rather than mutating them, so
+        shared links are safe)."""
+        for root, _, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            tgt = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(tgt, exist_ok=True)
+            for fn in files:
+                os.link(os.path.join(root, fn), os.path.join(tgt, fn))
+
+    # ------------------------------------------------------------- verbs
     def write(
         self,
         df: DataFrame,
@@ -128,11 +174,69 @@ class TableStore:
                 w.createOrReplace()
             else:
                 w.append()
-        else:
-            w = df.write.mode(mode)
+        elif mode == "append":
+            # fallback deviation (documented): appends land in the current
+            # version in place, no snapshot
+            w = df.write.mode("append")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(self._path(name))
+        else:
+            v = self._next_version(name)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._version_dir(name, v))
+            self._set_current(name, v)
+
+    def upsert(self, df: DataFrame, name: str, partition_by: list[str]) -> None:
+        """Partition-scoped overwrite (MERGE-free idempotent re-ingest):
+        replaces ONLY the partitions present in `df`, keeps the rest.
+        Iceberg: dynamic overwritePartitions (a metadata swap of touched
+        partitions). Fallback: hardlink-snapshot the current version, then
+        a spark.sql.sources.partitionOverwriteMode=dynamic write into the
+        new version — prior versions stay readable for rollback."""
+        if self.iceberg:
+            df.writeTo(self._ident(name)).overwritePartitions()
+            return
+        v = self._next_version(name)
+        new_dir = self._version_dir(name, v)
+        self._hardlink_tree(self._path(name), new_dir)
+        old = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(new_dir)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        self._set_current(name, v)
+
+    def snapshots(self, name: str) -> list[int]:
+        """Snapshot ids, oldest first (Iceberg: the snapshots metadata
+        table; fallback: the version directories)."""
+        if self.iceberg:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._ident(name)}.snapshots "
+                "ORDER BY committed_at"
+            ).collect()
+            return [r["snapshot_id"] for r in rows]
+        d = self._table_dir(name)
+        return sorted(
+            int(e.split("=", 1)[1]) for e in os.listdir(d) if e.startswith("v=")
+        )
+
+    def rollback(self, name: str, snapshot: int) -> None:
+        """Point the table back at an earlier snapshot (bad-write undo).
+        Iceberg: system.rollback_to_snapshot; fallback: atomic repoint of
+        the _CURRENT pointer file."""
+        if self.iceberg:
+            self.spark.sql(
+                f"CALL {self.catalog}.system.rollback_to_snapshot("
+                f"'{self.namespace}.{name}', {snapshot})"
+            )
+            return
+        if not os.path.isdir(self._version_dir(name, snapshot)):
+            raise ValueError(f"unknown snapshot {snapshot} for table {name}")
+        self._set_current(name, snapshot)
 
     def read(self, name: str) -> DataFrame:
         if self.iceberg:
