@@ -47,6 +47,35 @@ def q_lsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsi_join(ea, eb, DERIVED_GRID).select("eid_a", "eid_b")
 
 
+def q_lsi_finegrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSI join at a 128x finer grid (gsize 8192): the derived edges
+    span up to ~270 cells there, so candidate generation runs the
+    long-edge fragment pre-split + (eid_a, eid_b) dedup path
+    (plans/cells.py). Grid size is physical, not semantic — the oracle is
+    byte-identical to lsi_join's."""
+    from rayjoin_spark.plans.scaling import GridSpec
+
+    ea = derived.edges_a(spark, sf_dir)
+    eb = derived.edges_b(spark, sf_dir)
+    return lsi_join(ea, eb, GridSpec(8192)).select("eid_a", "eid_b")
+
+
+def q_pip_finegrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pip_locate at gsize 4096: the PipIndex explodes via fragments and
+    (beyond its caps) exercises the sharded-skip-map/merge-guard paths;
+    results are grid-invariant so the oracle is pip_locate's."""
+    from rayjoin_spark.plans.scaling import GridSpec
+
+    ea = derived.edges_a(spark, sf_dir)
+    pts = derived.query_points(spark, sf_dir)
+    out = pip_locate(pts, ea, DERIVED_SCALING, GridSpec(4096))
+    return out.select(
+        "point_id",
+        "closest_eid",
+        F.col("face_id").cast("bigint").alias("face_id"),
+    )
+
+
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = derived.edges_a(spark, sf_dir)
     pts = derived.query_points(spark, sf_dir)
@@ -344,7 +373,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lsi_join": q_lsi,
+        "lsi_join_finegrid": q_lsi_finegrid,
         "pip_locate": q_pip,
+        "pip_locate_finegrid": q_pip_finegrid,
         "grid_cell_counts": q_grid_cells,
         "cell_workload_hist": q_cell_workload,
         "tile_counts": q_tiles,
@@ -869,7 +900,9 @@ def _overlay_oracle_sql_cached(result: str = "chains") -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lsi_join": _LSI_SQL,
+        "lsi_join_finegrid": _LSI_SQL,
         "pip_locate": _PIP_SQL,
+        "pip_locate_finegrid": _PIP_SQL,
         "grid_cell_counts": _GRID_CELLS_AGG_SQL,
         "cell_workload_hist": _WORKLOAD_SQL,
         "tile_counts": _TILES_SQL,

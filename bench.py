@@ -294,7 +294,8 @@ def _scaling_queries(spark, only: str | None = None):
 
         return lsi_join_salted(
             ea, eb, GridSpec(gsize_big), hot_threshold=1_000_000,
-            n_salts=32, target_pairs=2_000_000,
+            n_salts=int(os.environ.get("SPARK_GRAFT_SALT_CAP", "32")),
+            target_pairs=int(os.environ.get("SPARK_GRAFT_SALT_TARGET", "2000000")),
         )
 
     def q_lsi_big_unsalted():

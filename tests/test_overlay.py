@@ -183,6 +183,34 @@ def test_overlay_multipoint_matches_duckdb_oracle(spark):
     assert got_p == want_p
 
 
+def test_overlay_fine_grid_matches_duckdb_oracle(spark):
+    """The WHOLE overlay at a FINE grid (gsize 2048 on an m=4 lattice:
+    unit edges span ~340 cells, so the fragment pre-split fires inside
+    both the LSI join and both PipIndexes) must still match the DuckDB
+    one-query oracle — grid size is physical, never semantic. This is the
+    test-scale correctness half of the bench's overlay_biggrid row."""
+    import duckdb
+
+    from rayjoin_spark.sources.overlay_oracle import overlay_oracle_sql
+
+    m = 4
+    ca, pa = lattice_chains(spark, m)
+    cb, pb = transformed_lattice(spark, m)
+    scaling = compute_scaling(pa, pb)
+    oc, op = overlay(ca, pa, cb, pb, scaling, GridSpec(2048))
+    con = duckdb.connect()
+    want_c = sorted(map(tuple, con.sql(overlay_oracle_sql(m, "chains")).fetchall()))
+    got_c = sorted(
+        (r["chain_id"], r["n_points"], r["first_point_id"], r["last_point_id"],
+         r["left_face"], r["right_face"])
+        for r in oc.collect()
+    )
+    assert got_c == want_c
+    want_p = sorted(map(tuple, con.sql(overlay_oracle_sql(m, "points")).fetchall()))
+    got_p = sorted((r["chain_id"], r["seq"], r["x"], r["y"]) for r in op.collect())
+    assert got_p == want_p
+
+
 def test_overlay_golden_file(spark, tmp_path):
     """End-to-end golden diff, mirroring reference test/test_overlay.sh."""
     ca, pa, cb, pb, scaling, *_ = _setup(spark, 4)
