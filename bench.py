@@ -283,19 +283,20 @@ def _scaling_queries(spark, only: str | None = None):
         # compute regime a skewed real layer pair puts you in). The
         # engine's plan for this shape is the SKEW-AWARE one: per-cell
         # workload metrics flag cells above 1M candidate pairs and the
-        # join splits each into ceil(workload / 2M) salt buckets (capped
-        # at 32) — workload-PROPORTIONAL, so total B-side replication
-        # tracks the actual imbalance instead of a flat 16x (which round 3
-        # measured at 1.6x wall-time overhead). Without salting the ~1.6k
-        # joint cells are indivisible multi-million-pair tasks and the
-        # last wave straggles — measured eff 0.63 vs 0.89 salted at
-        # identical output (see the diagnosis row / BENCH.md).
+        # join splits each into ceil(workload / 250k) 2-D salt buckets
+        # (capped at 32; p x q factoring, plans/skew.py) — workload-
+        # PROPORTIONAL bucket granularity at ~2*sqrt(ns) replication.
+        # Without salting the ~1.6k joint cells are indivisible
+        # multi-million-pair tasks and efficiency rides on hash-packing
+        # luck (measured 0.56-0.84 run-to-run); fine buckets make the
+        # balance structural at ~1.15x wall vs naive at N=2 (same-batch
+        # A/B) — see the diagnosis row / BENCH.md.
         from rayjoin_spark.plans.skew import lsi_join_salted
 
         return lsi_join_salted(
             ea, eb, GridSpec(gsize_big), hot_threshold=1_000_000,
             n_salts=int(os.environ.get("SPARK_GRAFT_SALT_CAP", "32")),
-            target_pairs=int(os.environ.get("SPARK_GRAFT_SALT_TARGET", "2000000")),
+            target_pairs=int(os.environ.get("SPARK_GRAFT_SALT_TARGET", "250000")),
         )
 
     def q_lsi_big_unsalted():

@@ -8,6 +8,7 @@ src/query.cc, src/overlay.cc) re-expressed:
     ...         query   --poly1 a_dir --poly2 b_dir --query pip
     ...         overlay --poly1 a_dir --poly2 b_dir --output out.cdb
     ...         convert --cdb in.cdb --out dir/
+    ...         convert --poly-csv polys.csv --head-eq-tail --out dir/
 
 --poly1/--poly2 accept either a CDB text file or a directory holding
 chains.parquet + points.parquet (the converted cache). --mode is accepted
@@ -86,8 +87,21 @@ def main(argv=None):
              "output (reference run_overlay.cu:33-141 check mode)",
     )
 
-    c = sub.add_parser("convert", help="CDB text -> parquet cache")
-    c.add_argument("--cdb", required=True)
+    c = sub.add_parser(
+        "convert", help="CDB text / polygon CSV -> parquet cache"
+    )
+    src_grp = c.add_mutually_exclusive_group(required=True)
+    src_grp.add_argument("--cdb")
+    src_grp.add_argument(
+        "--poly-csv",
+        help="polygon-per-line CSV (reference src/map/polygon_parser.h "
+             "ParsePolygons format: header count, then '<id> <x>,<y> ...')",
+    )
+    c.add_argument(
+        "--head-eq-tail", action="store_true",
+        help="close open rings by re-appending the first vertex "
+             "(reference ParsePolygons head_eq_tail)",
+    )
     c.add_argument("--out", required=True)
 
     g = sub.add_parser(
@@ -104,8 +118,22 @@ def main(argv=None):
     spark = get_spark("rayjoin_cli")
 
     if args.cmd == "convert":
-        cdb_to_parquet(spark, args.cdb, args.out)
-        print(json.dumps({"converted": args.cdb, "out": args.out}))
+        if args.poly_csv:
+            from rayjoin_spark.sources.polygon_csv import (
+                polygons_to_chains,
+                read_polygon_csv,
+            )
+
+            chains, points = polygons_to_chains(
+                read_polygon_csv(spark, args.poly_csv, args.head_eq_tail)
+            )
+            chains.write.mode("overwrite").parquet(f"{args.out}/chains.parquet")
+            points.write.mode("overwrite").parquet(f"{args.out}/points.parquet")
+            src = args.poly_csv
+        else:
+            cdb_to_parquet(spark, args.cdb, args.out)
+            src = args.cdb
+        print(json.dumps({"converted": src, "out": args.out}))
         return 0
 
     if args.cmd == "gen":

@@ -82,3 +82,25 @@ def test_polygons_to_chains_feeds_the_engine(spark, tmp_path):
     edges = build_edges(chains, points, compute_scaling(points, points))
     n_edges = edges.count()
     assert n_edges == (5 - 1) + (4 - 1) + (5 - 1)
+
+
+def test_cli_convert_poly_csv(spark, tmp_path, capsys):
+    """convert --poly-csv produces a parquet cache the query subcommand
+    loads like any converted CDB layer."""
+    import json
+
+    from rayjoin_spark import cli
+
+    path = _write(tmp_path, FIXTURE)
+    out = str(tmp_path / "conv")
+    assert cli.main(
+        ["convert", "--poly-csv", path, "--head-eq-tail", "--out", out]
+    ) == 0
+    assert cli.main(
+        ["query", "--poly1", out, "--poly2", out, "--query", "lsi",
+         "--grid-size", "8"]
+    ) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert rec["query"] == "lsi" and rec["rows"] >= 0
