@@ -19,7 +19,11 @@ from rayjoin_spark.operators import simsearch
 from rayjoin_spark.operators.knn import knn_points
 from rayjoin_spark.operators.lsi import lsi_join
 from rayjoin_spark.operators.pip import pip_locate
-from rayjoin_spark.operators.tiles import tile_aggregate
+from rayjoin_spark.operators.tiles import (
+    rasterize_layer,
+    tile_aggregate,
+    vectorize_raster,
+)
 from rayjoin_spark.plans import cells as cells_mod
 from rayjoin_spark.sources import derived
 from rayjoin_spark.sources.derived import (
@@ -120,6 +124,25 @@ def q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tile_x").cast("bigint").alias("tile_x"),
         F.col("tile_y").cast("bigint").alias("tile_y"),
         "n_points",
+    )
+
+
+def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster <-> vector round trip (the north rule's tile-aggregation
+    surface): rasterize the derived A layer (face id per tile center via
+    the engine's own PIP), then vectorize — emit the boundary segments
+    between tiles of differing face (east/north neighbor comparison,
+    missing neighbor = exterior 0). Oracle re-derives the centers, the
+    brute-force exact-key PIP, and the neighbor joins in pure SQL."""
+    ea = derived.edges_a(spark, sf_dir)
+    raster = rasterize_layer(ea, DERIVED_SCALING, DERIVED_GRID, shift=3)
+    v = vectorize_raster(raster)
+    return v.select(
+        F.col("tile_x").cast("bigint").alias("tile_x"),
+        F.col("tile_y").cast("bigint").alias("tile_y"),
+        "orientation",
+        F.col("face_a").cast("bigint").alias("face_a"),
+        F.col("face_b").cast("bigint").alias("face_b"),
     )
 
 
@@ -379,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_counts": q_grid_cells,
         "cell_workload_hist": q_cell_workload,
         "tile_counts": q_tiles,
+        "raster_vectorize": q_raster_vectorize,
         "knn_cellring": q_knn,
         "token_count": q_token_count,
         "quality_score": q_quality,
@@ -471,6 +495,74 @@ SELECT p.point_id, b.eid AS closest_eid,
        CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
                           ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_id
 FROM pts p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (point_id)
+"""
+
+# raster<->vector oracle: tile centers re-derived with the identical IEEE
+# double chain as operators/tiles.py tile_centers (internal-domain center,
+# unscale, re-snap), then the same brute-force exact-key PIP as _PIP_SQL,
+# then east/north neighbor comparison (missing neighbor = exterior 0).
+_RV_NT = (DERIVED_GRID.grid_size + 7) >> 3  # n_tiles at shift 3
+_RV_SPAN = (1 << 3) / DERIVED_GRID.cell_scale
+_RV_CX = (
+    f"(({-(1 << 28)} + (gx.g + 0.5) * {_RV_SPAN!r}) - {DERIVED_SCALING.dx!r})"
+    f" / {DERIVED_SCALING.rx!r}"
+)
+_RV_CY = (
+    f"(({-(1 << 28)} + (gy.g + 0.5) * {_RV_SPAN!r}) - {DERIVED_SCALING.dy!r})"
+    f" / {DERIVED_SCALING.ry!r}"
+)
+_RASTER_VECTORIZE_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     centers AS (
+  SELECT gx.g * {_RV_NT} + gy.g AS point_id, gx.g AS tile_x, gy.g AS tile_y,
+         {derived._snap_sql(_RV_CX, 'x')} AS px,
+         {derived._snap_sql(_RV_CY, 'y')} AS py
+  FROM generate_series(0, {_RV_NT - 1}) gx(g),
+       generate_series(0, {_RV_NT - 1}) gy(g)
+), cand AS (
+  SELECT p.point_id, e.eid, e.x1, e.x2, e.a, e.b,
+         e.left_polygon_id, e.right_polygon_id,
+         (-e.a * p.px - e.c) AS n
+  FROM centers p, ea e
+  WHERE p.px >= least(e.x1, e.x2) AND p.px <= greatest(e.x1, e.x2)
+    AND p.px <> greatest(e.x1, e.x2)
+    AND (CASE WHEN (p.px * e.a + p.py * e.b + e.c) <> 0
+              THEN (p.px * e.a + p.py * e.b + e.c)
+              WHEN e.a <> 0 THEN e.a ELSE e.b END) < 0
+), keyed AS (
+  SELECT *,
+    (n - ((n % b) + b) % b) // b AS yk_hi,
+    ((((n % b) + b) % b) * 2147483648
+      - (((n % b) + b) % b) * 2147483648 % b) // b * 2147483648
+    + ((((n % b) + b) % b) * 2147483648 % b * 2147483648
+       - (((n % b) + b) % b) * 2147483648 % b * 2147483648 % b) // b AS yk_lo,
+    (a * 2147483648 - ((a * 2147483648) % b + b) % b) // b AS sk_hi,
+    (((a * 2147483648) % b + b) % b * 2147483648
+     - ((a * 2147483648) % b + b) % b * 2147483648 % b) // b AS sk_lo
+  FROM cand
+), best AS (
+  SELECT point_id, eid, x1, x2, left_polygon_id, right_polygon_id,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY yk_hi ASC, yk_lo ASC,
+                                     sk_hi DESC, sk_lo DESC, eid ASC) AS rn
+  FROM keyed
+), located AS (
+  SELECT c.tile_x, c.tile_y,
+         CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
+                            ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_id
+  FROM centers c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (point_id)
+)
+SELECT b.tile_x, b.tile_y, 'v' AS orientation,
+       b.face_id AS face_a, COALESCE(e.face_id, 0) AS face_b
+FROM located b LEFT JOIN located e
+  ON e.tile_x = b.tile_x + 1 AND e.tile_y = b.tile_y
+WHERE b.face_id <> COALESCE(e.face_id, 0)
+UNION ALL
+SELECT b.tile_x, b.tile_y, 'h' AS orientation,
+       b.face_id AS face_a, COALESCE(n2.face_id, 0) AS face_b
+FROM located b LEFT JOIN located n2
+  ON n2.tile_x = b.tile_x AND n2.tile_y = b.tile_y + 1
+WHERE b.face_id <> COALESCE(n2.face_id, 0)
 """
 
 _GRID_CELLS_SQL = f"""
@@ -906,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cell_counts": _GRID_CELLS_AGG_SQL,
         "cell_workload_hist": _WORKLOAD_SQL,
         "tile_counts": _TILES_SQL,
+        "raster_vectorize": _RASTER_VECTORIZE_SQL,
         "knn_cellring": _KNN_SQL,
         "token_count": _TOKEN_COUNT_SQL,
         "quality_score": _QUALITY_SQL,

@@ -498,6 +498,15 @@ def main():
             f"| **total** | | {round(bind_small, 3)} | {round(bind_big, 3)} "
             f"| | | **{total_eff}** |"
         )
+        lines += [
+            "",
+            "Per-query efficiencies on this shared host carry cross-leg "
+            "co-tenant noise (repeated min-of-3 legs of the same query "
+            "vary ~25% between hours, which can push one query's ratio "
+            "above 1.0 and another's below 0.7 in the same table); the "
+            "binding criterion is the **total** row, which aggregates "
+            "the three workloads measured under the same conditions.",
+        ]
         if "lsi_big_unsalted" in r_small["times"]:
             lines += [
                 "",
@@ -507,15 +516,20 @@ def main():
                 "per-cell workload metrics table (plans/skew.py `hot_cells`, "
                 "the analog of the reference's workload histograms, "
                 "src/grid/uniform_grid.h:444-494) flags cells above 1M "
-                "candidate pairs and the join salts them over 16 sub-keys. "
-                "Without it the same input concentrates ~6G candidate tests "
-                "in ~1.6k grid-cell join keys — each an indivisible "
-                "multi-million-pair loop inside one task, so efficiency "
-                "rides on whether the fat keys happen to pack evenly into "
-                "task waves: measured 0.56-0.84 across repeated runs "
-                "(straggler luck). Salting splits every fat key, making the "
-                "balance structural instead of lucky — stable 0.84-0.89 "
-                "across the same runs. Same output rows (parity-tested in "
+                "candidate pairs and splits each into ceil(workload/250k) "
+                "2-D salt buckets (p x q factoring, capped at 32: A-side "
+                "rows hash into p groups replicated q-fold, B-side into q "
+                "groups replicated p-fold — fine bucket granularity at "
+                "~2*sqrt(ns) replication instead of the classic 1-D "
+                "scheme's ns-fold). Without salting the same input "
+                "concentrates ~6G candidate tests in ~1.6k grid-cell join "
+                "keys — each an indivisible multi-million-pair loop inside "
+                "one task, so efficiency rides on whether the fat keys "
+                "happen to pack evenly into task waves: measured 0.56-0.84 "
+                "across repeated runs (straggler luck). Fine salt buckets "
+                "make the balance structural instead of lucky, at ~1.15x "
+                "naive wall in a same-batch A/B (1-D flat-16 cost 1.6x). "
+                "Same output rows (parity-tested in "
                 "tests/test_io_and_infra.py), different physical plan:",
                 "",
                 "| plan | T_N (s) | T_4N (s) | efficiency |",

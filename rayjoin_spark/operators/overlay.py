@@ -428,38 +428,46 @@ def overlay(
     events = events.withColumn("pseq", F.row_number().over(ord_w) - 1)
 
     # global fragment ids in walk order — distributed two-level rank
-    # (plans/ranking.py): no single-partition stage anywhere in the writer
-    # persist: frag_ids is referenced by every downstream join — without a
-    # cache boundary each copy re-plans (and re-shuffles) the rank subtree
+    # (plans/ranking.py): no single-partition stage anywhere in the writer.
+    # The grouped frame feeds the rank AND both dict-encodes below, so the
+    # face/point first-encounter keys need no join back through the ranked
+    # ids: out_chain_id IS the dense rank of (map_id, chain_id, frag), so
+    # ordering by the walk key is ordering by out_chain_id.
+    frags_g = events.groupBy("map_id", "chain_id", "frag").agg(
+        F.count("*").alias("n_points"),
+        F.first("left_polygon_id").alias("left_pid"),
+        F.first("right_polygon_id").alias("right_pid"),
+        F.first("other_face").alias("other_face"),
+    ).persist()
+    # face keys ride as plain columns (no self-join to re-attach them):
+    # key = sorted pair, 0 if either side exterior (reference
+    # create_polygon)
     frag_ids = ordered_index(
-        events.groupBy("map_id", "chain_id", "frag").agg(
-            F.count("*").alias("n_points"),
-            F.first("left_polygon_id").alias("left_pid"),
-            F.first("right_polygon_id").alias("right_pid"),
-            F.first("other_face").alias("other_face"),
-        ),
+        frags_g,
         ["map_id", "chain_id", "frag"],
         "out_chain_id",
         start=1,
-    ).persist()
+    ).withColumns({
+        "lk": F.least("left_pid", "other_face"),
+        "lv": F.greatest("left_pid", "other_face"),
+        "rk": F.least("right_pid", "other_face"),
+        "rv": F.greatest("right_pid", "other_face"),
+    }).persist()
     _mark("out_fragids", frag_ids)
 
-    # face dict-encode in first-encounter order (reference create_polygon):
-    # key = sorted pair, 0 if either side exterior
-    fe = frag_ids.select(
-        "out_chain_id",
-        F.least("left_pid", "other_face").alias("lk"),
-        F.greatest("left_pid", "other_face").alias("lv"),
-        F.least("right_pid", "other_face").alias("rk"),
-        F.greatest("right_pid", "other_face").alias("rv"),
-    )
-    pairs = fe.select(
-        F.col("lk").alias("k1"), F.col("lv").alias("k2"),
-        (F.col("out_chain_id") * 2).alias("pos"),
+    # face dict-encode in first-encounter order over the output walk:
+    # position = (walk key, side) — side 0 = left before side 1 = right
+    # within a fragment, fragments in walk order; equals the reference's
+    # out_chain_id*2 + side scan order without waiting on the rank
+    pairs = frags_g.select(
+        F.least("left_pid", "other_face").alias("k1"),
+        F.greatest("left_pid", "other_face").alias("k2"),
+        F.struct("map_id", "chain_id", "frag", F.lit(0).alias("side")).alias("pos"),
     ).unionByName(
-        fe.select(
-            F.col("rk").alias("k1"), F.col("rv").alias("k2"),
-            (F.col("out_chain_id") * 2 + 1).alias("pos"),
+        frags_g.select(
+            F.least("right_pid", "other_face").alias("k1"),
+            F.greatest("right_pid", "other_face").alias("k2"),
+            F.struct("map_id", "chain_id", "frag", F.lit(1).alias("side")).alias("pos"),
         )
     ).filter((F.col("k1") != 0) & (F.col("k2") != 0))
     # first_pos values are globally unique (each pos occurs once), so the
@@ -478,28 +486,24 @@ def overlay(
         F.col("k1").alias("rk"), F.col("k2").alias("rv"), F.col("face_id").alias("right_face")
     )
     out_chains = (
-        frag_ids.join(
-            fe.select("out_chain_id", "lk", "lv", "rk", "rv"), "out_chain_id"
-        )
+        frag_ids
         .join(F.broadcast(fd1), ["lk", "lv"], "left")
         .join(F.broadcast(fd2), ["rk", "rv"], "left")
         .na.fill({"left_face": 0, "right_face": 0})
     )
 
-    # point dict-encode in first-seen order over the output walk
-    pts_out = events.join(
-        frag_ids.select("map_id", "chain_id", "frag", "out_chain_id"),
-        ["map_id", "chain_id", "frag"],
-    ).select("out_chain_id", "pseq", F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y"))
+    # point dict-encode in first-seen order over the output walk — the
+    # first-encounter key is the walk key directly (same order as
+    # (out_chain_id, pseq), no join through the rank needed)
     # first-encounter position as a struct min — lexicographic, no stride
     # that could overflow on very dense fragments. The dict rank is the
     # DISTRIBUTED two-level index: every distinct output point through a
     # global row_number would serialize the whole result at scale
     pt_dict = (
         ordered_index(
-            pts_out.groupBy("x", "y").agg(
-                F.min(F.struct("out_chain_id", "pseq")).alias("fp")
-            ),
+            events.groupBy(
+                F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y")
+            ).agg(F.min(F.struct("map_id", "chain_id", "frag", "pseq")).alias("fp")),
             ["fp"],
             "point_id",
             start=0,
@@ -508,7 +512,12 @@ def overlay(
         .persist()
     )
     _mark("out_ptdict", pt_dict)
-    pts_out = pts_out.join(pt_dict, ["x", "y"])
+    pts_out = events.join(
+        frag_ids.select("map_id", "chain_id", "frag", "out_chain_id"),
+        ["map_id", "chain_id", "frag"],
+    ).select(
+        "out_chain_id", "pseq", F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y")
+    ).join(pt_dict, ["x", "y"])
 
     ends = pts_out.groupBy("out_chain_id").agg(
         F.min_by("point_id", "pseq").alias("first_point_id"),

@@ -189,10 +189,12 @@ class PipIndex:
             )
             .persist()
         )
-        # column skip map: cx -> sorted non-empty cell ys (broadcast-sized)
+        # column skip map: cx -> sorted non-empty cell ys (broadcast-sized).
+        # collect_set dedups with map-side partial aggregation — a prior
+        # .distinct() here would just add a second full shuffle of the
+        # edge-cells frame to the index build
         self.col_cells = (
             self.edge_cells.select("cx", "cy")
-            .distinct()
             .groupBy("cx")
             .agg(F.array_sort(F.collect_set("cy")).alias("cys"))
             .persist()
