@@ -161,10 +161,14 @@ def overlay(
     """
     grid = grid or GridSpec()
 
-    def _mark(name: str, *frames: DataFrame) -> None:
+    def _mark(name: str, *frames: DataFrame, since: float | None = None) -> None:
+        """Record a phase: forces `frames` and, when `since` is given,
+        charges the phase from that start time — ordered_index stages run
+        eager jobs (range sample + checkpoint + offsets collect) at
+        CONSTRUCTION, so timing only the count would hide them."""
         if timings is None:
             return
-        t0 = time.time()
+        t0 = time.time() if since is None else since
         for fr in frames:
             fr.count()
         timings[name] = round(time.time() - t0, 3)
@@ -433,6 +437,7 @@ def overlay(
     # face/point first-encounter keys need no join back through the ranked
     # ids: out_chain_id IS the dense rank of (map_id, chain_id, frag), so
     # ordering by the walk key is ordering by out_chain_id.
+    t_fragids = time.time()
     frags_g = events.groupBy("map_id", "chain_id", "frag").agg(
         F.count("*").alias("n_points"),
         F.first("left_polygon_id").alias("left_pid"),
@@ -453,12 +458,13 @@ def overlay(
         "rk": F.least("right_pid", "other_face"),
         "rv": F.greatest("right_pid", "other_face"),
     }).persist()
-    _mark("out_fragids", frag_ids)
+    _mark("out_fragids", frag_ids, since=t_fragids)
 
     # face dict-encode in first-encounter order over the output walk:
     # position = (walk key, side) — side 0 = left before side 1 = right
     # within a fragment, fragments in walk order; equals the reference's
     # out_chain_id*2 + side scan order without waiting on the rank
+    t_facedict = time.time()
     pairs = frags_g.select(
         F.least("left_pid", "other_face").alias("k1"),
         F.greatest("left_pid", "other_face").alias("k2"),
@@ -478,7 +484,7 @@ def overlay(
         "face_id",
         start=1,
     ).persist()
-    _mark("out_facedict", face_dict)
+    _mark("out_facedict", face_dict, since=t_facedict)
     fd1 = face_dict.select(
         F.col("k1").alias("lk"), F.col("k2").alias("lv"), F.col("face_id").alias("left_face")
     )
@@ -499,6 +505,7 @@ def overlay(
     # that could overflow on very dense fragments. The dict rank is the
     # DISTRIBUTED two-level index: every distinct output point through a
     # global row_number would serialize the whole result at scale
+    t_ptdict = time.time()
     pt_dict = (
         ordered_index(
             events.groupBy(
@@ -511,7 +518,7 @@ def overlay(
         .select("x", "y", "point_id")
         .persist()
     )
-    _mark("out_ptdict", pt_dict)
+    _mark("out_ptdict", pt_dict, since=t_ptdict)
     pts_out = events.join(
         frag_ids.select("map_id", "chain_id", "frag", "out_chain_id"),
         ["map_id", "chain_id", "frag"],
