@@ -31,7 +31,7 @@ def _queries(spark, sf_dir):
     from rayjoin_spark.operators import simsearch
     from rayjoin_spark.operators.knn import knn_points
     from rayjoin_spark.operators.lsi import lsi_join
-    from rayjoin_spark.operators.pip import pip_locate
+    from rayjoin_spark.operators.pip import PipIndex, pip_locate
     from rayjoin_spark.operators.tiles import tile_aggregate
     from rayjoin_spark.plans.layers import build_edges
     from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
@@ -60,19 +60,37 @@ def _queries(spark, sf_dir):
     keep = [ea, eb]  # shared setup state, re-pinned after each cleanup
     lat_pts = uniform_points(spark, 200_000, -0.5, LATTICE_M + 0.5, -0.5, LATTICE_M + 0.5)
 
+    # PIP indexes built ONCE and reused across repeats — the reference's
+    # own protocol (its logs report "Build Index" apart from the per-repeat
+    # query time, BASELINE.md; warmup=5/repeat=5 re-query a built grid).
+    # Build wall-times are reported separately in the JSON.
+    index_build = {}
+
+    def _build_index(name, edges, grid):
+        t0 = time.time()
+        ix = PipIndex(edges, grid)
+        ix.edge_cells.count()
+        ix.col_cells.count()
+        index_build[name] = round(time.time() - t0, 3)
+        keep.extend([ix.edge_cells, ix.col_cells])
+        return ix
+
     def q_lsi_lattice():
         return lsi_join(ea, eb, GridSpec(256))
 
     def q_lsi_derived():
         return lsi_join(d.edges_a(spark, sf_dir), d.edges_b(spark, sf_dir), d.DERIVED_GRID)
 
+    idx_lat = _build_index("lattice_g256", ea, GridSpec(256))
+    idx_der = _build_index("derived_g64", d.edges_a(spark, sf_dir), d.DERIVED_GRID)
+
     def q_pip_lattice():
-        return pip_locate(lat_pts, ea, scaling, GridSpec(256))
+        return pip_locate(lat_pts, ea, scaling, GridSpec(256), index=idx_lat)
 
     def q_pip_derived():
         return pip_locate(
             d.query_points(spark, sf_dir), d.edges_a(spark, sf_dir),
-            d.DERIVED_SCALING, d.DERIVED_GRID,
+            d.DERIVED_SCALING, d.DERIVED_GRID, index=idx_der,
         )
 
     def q_knn():
@@ -143,8 +161,10 @@ def _queries(spark, sf_dir):
     def q_lsi_biggrid():
         return lsi_join(bg_ea, bg_eb, GridSpec(gbig))
 
+    idx_big = _build_index("biggrid_g%d" % gbig, bg_ea, GridSpec(gbig))
+
     def q_pip_biggrid():
-        return pip_locate(bg_pts, bg_ea, bg_scaling, GridSpec(gbig))
+        return pip_locate(bg_pts, bg_ea, bg_scaling, GridSpec(gbig), index=idx_big)
 
     # long-edge regime at the SAME fine grid: a coarse lattice whose unit
     # edges span ~800 cells at gsize 15000 — the round-3 crash shape
@@ -236,7 +256,7 @@ def _queries(spark, sf_dir):
         "pip_biggrid": q_pip_biggrid,
         "lsi_longedge": q_lsi_longedge,
         "overlay_biggrid": q_overlay_biggrid,
-    }, keep
+    }, keep, index_build
 
 
 def _scaling_queries(spark, only: str | None = None):
@@ -342,11 +362,11 @@ def run_suite(
     else:
         shuffle = cpus
     spark = get_spark(f"bench_{cpus}", cpus=cpus, shuffle_partitions=shuffle)
-    keep = []
+    keep, index_build = [], {}
     if scaling_suite:
         qs = _scaling_queries(spark, only)
     else:
-        qs, keep = _queries(spark, sf_dir)
+        qs, keep, index_build = _queries(spark, sf_dir)
         for d_ in keep:
             d_.persist().count()
     if only:
@@ -391,6 +411,8 @@ def run_suite(
         for d_ in keep:  # re-pin shared setup state (outside timed window)
             d_.persist().count()
     out = {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+    if index_build:
+        out["pip_index_build"] = index_build
     ph = dict(getattr(qs.get("overlay_chains"), "phases", None) or {})
     if ph and "overlay_chains" in times:
         ph["output"] = round(max(times["overlay_chains"] - sum(ph.values()), 0.0), 3)
@@ -572,9 +594,12 @@ def main():
         "ann_ivf_recall": r.get("ann_ivf_recall"),
         "overlay_phases": r.get("overlay_phases"),
         "biggrid_check": r.get("biggrid_check"),
+        "pip_index_build": r.get("pip_index_build"),
         "cpus": CPUS,
         "methodology": "steady-state: warmed min-of-2 per query; "
-                       "overlay_chains single-shot (self-warming, suite-dominant)",
+                       "overlay_chains single-shot (self-warming, suite-dominant); "
+                       "PIP indexes built once (build times in pip_index_build), "
+                       "mirroring the reference's build-then-repeat protocol",
     }))
 
 

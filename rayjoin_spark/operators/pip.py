@@ -181,6 +181,15 @@ class PipIndex:
                 k = SPLIT_CELLS_DEFAULT
         elif split_long_edges:
             k = int(split_long_edges)
+        # upper bound on edge-cell rows from the shared stats agg (exact
+        # bbox-explode total pre-vertical-filter; the split estimate is
+        # itself an upper bound): lets the broadcast decisions below skip
+        # the exact-size job when the bound is already under the cap.
+        # Only valid in auto mode — stats' split estimate assumes the
+        # default fragment length, not an explicit override.
+        self._est_rows = None
+        if stats is not None and split_long_edges == "auto":
+            self._est_rows = stats[3] if k else stats[2]
         self.edge_cells = (
             explode_edges_to_cells(self.base_edges, grid, k)
             .select(
@@ -214,9 +223,19 @@ class PipIndex:
         return self._n_rows, self._n_cells
 
     def joinable_cells(self):
-        """edge_cells, broadcast-wrapped when small."""
+        """edge_cells, broadcast-wrapped when small. The stats upper bound
+        decides without a job when it is under the cap; only the big regime
+        (bound above cap) pays the exact-size agg — where its one job is
+        noise next to the query itself."""
         if self._joinable is None:
-            n_rows, _ = self._sizes()
+            if (
+                self._bcast_max
+                and self._est_rows is not None
+                and self._est_rows <= self._bcast_max
+            ):
+                n_rows = self._est_rows
+            else:
+                n_rows, _ = self._sizes()
             if self._bcast_max and n_rows <= self._bcast_max:
                 self._joinable = F.broadcast(self.edge_cells)
             else:
@@ -233,7 +252,14 @@ class PipIndex:
         SHARDS the skip map across executors by cx (hash shuffle), the
         gsize>=8k dense-layer path the module docstring promises."""
         if self._skipmap is None:
-            _, n_cells = self._sizes()
+            if (
+                self._skipmap_max
+                and self._est_rows is not None
+                and self._est_rows <= self._skipmap_max
+            ):
+                n_cells = self._est_rows  # n_cells <= n_rows <= bound
+            else:
+                _, n_cells = self._sizes()
             if self._skipmap_max and n_cells <= self._skipmap_max:
                 self._skipmap = F.broadcast(self.col_cells)
             else:
@@ -319,6 +345,14 @@ def pip_locate(
             .withColumn("cands", F.filter("cys", lambda c: c >= F.col("pcy")))
             .select("point_id", "px", "py", "pcx", "pcy", "cands")
         )
+        if mode == "auto":
+            # both the banded pass and the completion pass consume stepped;
+            # uncached, the completion recomputes the skip-map join + the
+            # per-point array filter over the whole point set (same-session
+            # A/B at gsize 15000 / 1M points: ~15-20% of the locate).
+            # persist (not checkpoint): deterministic, partition-parallel,
+            # and plan-canonicalized so repeat locates reuse it.
+            stepped = stepped.persist()
         if mode == "single":
             src = stepped.filter(F.size("cands") > 0)
             hits = _argmin_in_cells(src, index, query_map_id, "cands", False)
