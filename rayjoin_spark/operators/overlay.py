@@ -438,11 +438,20 @@ def overlay(
     # ids: out_chain_id IS the dense rank of (map_id, chain_id, frag), so
     # ordering by the walk key is ordering by out_chain_id.
     t_fragids = time.time()
+    # first/last point COORDS per fragment ride in the agg (walk order =
+    # (p0..p3) order, the same order pseq numbers): the chains output then
+    # resolves its endpoint point-ids with two FRAGMENT-level joins against
+    # pt_dict instead of materializing the point-level events x frag_ids x
+    # pt_dict joins (those remain only on the points-output path)
+    _walk = F.struct("p0", "p1", "p2", "p3")
+    _pt = F.struct(F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y"))
     frags_g = events.groupBy("map_id", "chain_id", "frag").agg(
         F.count("*").alias("n_points"),
         F.first("left_polygon_id").alias("left_pid"),
         F.first("right_polygon_id").alias("right_pid"),
         F.first("other_face").alias("other_face"),
+        F.min_by(_pt, _walk).alias("fp"),
+        F.max_by(_pt, _walk).alias("lp"),
     ).persist()
     # face keys ride as plain columns (no self-join to re-attach them):
     # key = sorted pair, 0 if either side exterior (reference
@@ -526,11 +535,22 @@ def overlay(
         "out_chain_id", "pseq", F.col("xd_raw").alias("x"), F.col("yd_raw").alias("y")
     ).join(pt_dict, ["x", "y"])
 
-    ends = pts_out.groupBy("out_chain_id").agg(
-        F.min_by("point_id", "pseq").alias("first_point_id"),
-        F.max_by("point_id", "pseq").alias("last_point_id"),
+    # endpoint ids at FRAGMENT granularity: the first/last coords from the
+    # frags_g agg look up pt_dict directly (exact double equality — the
+    # dict was keyed on the same xd_raw/yd_raw values)
+    first_ids = (
+        out_chains.select("out_chain_id", F.col("fp.x").alias("x"), F.col("fp.y").alias("y"))
+        .join(pt_dict, ["x", "y"])
+        .select("out_chain_id", F.col("point_id").alias("first_point_id"))
     )
-    out_chains = out_chains.join(ends, "out_chain_id").select(
+    last_ids = (
+        out_chains.select("out_chain_id", F.col("lp.x").alias("x"), F.col("lp.y").alias("y"))
+        .join(pt_dict, ["x", "y"])
+        .select("out_chain_id", F.col("point_id").alias("last_point_id"))
+    )
+    out_chains = out_chains.join(first_ids, "out_chain_id").join(
+        last_ids, "out_chain_id"
+    ).select(
         F.col("out_chain_id").alias("chain_id"),
         "n_points",
         "first_point_id",
