@@ -334,10 +334,10 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature pipeline: image rows decode REAL PNG payloads
     with the stdlib+NumPy codec (width/height actually parsed); audio rows
     decode REAL PCM16 WAVs (RIFF parse, sample rate/channels/frames/means);
-    only video falls back to the digest stub. Oracle-checked:
-    dims/bytes/hashes/decoder are literal-derivable from the deterministic
-    fixture (_multimodal_sql); the float feature vector is pytest-checked
-    instead."""
+    video rows decode REAL YUV4MPEG2 clips (header parse, dims/frame
+    count/fps/plane means). Oracle-checked: dims/bytes/hashes/decoder are
+    literal-derivable from the deterministic fixture (_multimodal_sql);
+    the float feature vector is pytest-checked instead."""
     from rayjoin_spark.functions.multimodal import extract_features, synthetic_media
 
     return extract_features(synthetic_media(spark, 200)).select(
@@ -946,39 +946,49 @@ FROM s GROUP BY user_id, sid
 
 def _multimodal_sql(n: int = 200) -> str:
     """Literal-lookup oracle for the multimodal feature pipeline: the
-    fixture's 8 PNG and 8 WAV variants are deterministic
+    fixture's 8 PNG, 8 WAV and 8 Y4M variants are all deterministic
     (functions/multimodal.py synthetic_media), so n_bytes/sha256/width/
-    height/decoder are re-derivable as constants keyed by media_id % 8;
-    video payloads are 'payload:<id>' strings whose sha256 DuckDB
-    computes natively."""
+    height/decoder are re-derivable as constants keyed by media_id % 8."""
     import hashlib
 
-    from rayjoin_spark.functions.multimodal import _png_variants, _wav_variants
+    from rayjoin_spark.functions.multimodal import (
+        _png_variants, _wav_variants, _y4m_variants,
+    )
 
-    pngs, wavs = _png_variants(), _wav_variants()
-    sha_arr = "[" + ",".join(f"'{hashlib.sha256(v).hexdigest()}'" for v in pngs) + "]"
-    nb_arr = "[" + ",".join(str(len(v)) for v in pngs) + "]"
-    wsha_arr = "[" + ",".join(f"'{hashlib.sha256(v).hexdigest()}'" for v in wavs) + "]"
-    wnb_arr = "[" + ",".join(str(len(v)) for v in wavs) + "]"
+    def arrs(variants):
+        sha = "[" + ",".join(
+            f"'{hashlib.sha256(v).hexdigest()}'" for v in variants
+        ) + "]"
+        nb = "[" + ",".join(str(len(v)) for v in variants) + "]"
+        return sha, nb
+
+    sha_arr, nb_arr = arrs(_png_variants())
+    wsha_arr, wnb_arr = arrs(_wav_variants())
+    vsha_arr, vnb_arr = arrs(_y4m_variants())
+    # video fixture widths alternate 4/6 with k = media_id % 8 (height 4)
+    vw_arr = "[" + ",".join(str(4 + 2 * (k % 2)) for k in range(8)) + "]"
     return f"""
 WITH ids AS (SELECT CAST(unnest(range(0, {n})) AS BIGINT) AS media_id),
  k AS (
   SELECT media_id,
-         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(media_id % 8 AS INT) + 1 AS v
   FROM ids
 )
 SELECT media_id, kind,
-  CAST(CASE WHEN kind = 'image' THEN {nb_arr}[CAST(media_id % 8 AS INT) + 1]
-            WHEN kind = 'audio' THEN {wnb_arr}[CAST(media_id % 8 AS INT) + 1]
-            ELSE length('payload:' || CAST(media_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
-  CASE WHEN kind = 'image' THEN {sha_arr}[CAST(media_id % 8 AS INT) + 1]
-       WHEN kind = 'audio' THEN {wsha_arr}[CAST(media_id % 8 AS INT) + 1]
-       ELSE sha256('payload:' || CAST(media_id AS VARCHAR)) END AS sha256,
-  CAST(CASE WHEN kind = 'image' THEN 4 END AS INTEGER) AS width,
-  CAST(CASE WHEN kind = 'image' THEN 3 END AS INTEGER) AS height,
+  CAST(CASE WHEN kind = 'image' THEN {nb_arr}[v]
+            WHEN kind = 'audio' THEN {wnb_arr}[v]
+            ELSE {vnb_arr}[v] END AS BIGINT) AS n_bytes,
+  CASE WHEN kind = 'image' THEN {sha_arr}[v]
+       WHEN kind = 'audio' THEN {wsha_arr}[v]
+       ELSE {vsha_arr}[v] END AS sha256,
+  CAST(CASE WHEN kind = 'image' THEN 4
+            WHEN kind = 'video' THEN {vw_arr}[v] END AS INTEGER) AS width,
+  CAST(CASE WHEN kind = 'image' THEN 3
+            WHEN kind = 'video' THEN 4 END AS INTEGER) AS height,
   TRUE AS decode_ok,
   CASE WHEN kind = 'image' THEN 'png'
-       WHEN kind = 'audio' THEN 'wav' ELSE 'stub' END AS decoder
+       WHEN kind = 'audio' THEN 'wav' ELSE 'y4m' END AS decoder
 FROM k
 """
 

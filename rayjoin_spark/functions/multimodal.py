@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched pandas iterators.
 
-The IMAGE path is a REAL decoder: a pure-stdlib PNG codec (zlib inflate +
-scanline unfiltering, 8-bit gray/RGB/RGBA) parses width/height and
-per-channel means — no external imaging library needed. The AUDIO path is
-also REAL: a stdlib RIFF/WAVE parser (PCM16) extracting sample rate,
-channel count, frame count and per-channel means. Only VIDEO (and
-unrecognized payloads) falls back to the clearly-marked deterministic
-digest feature (`_decode_stub`): the Spark-side contract — schema, batch
-shape, partition sizing, UDF signature — is identical either way, so
-swapping the stub for ffmpeg keeps every plan unchanged.
+All three media kinds now have REAL decoders with zero external deps:
+IMAGE is a pure-stdlib PNG codec (zlib inflate + scanline unfiltering,
+8-bit gray/RGB/RGBA) parsing width/height and per-channel means; AUDIO is
+a stdlib RIFF/WAVE parser (PCM16) extracting sample rate, channel count,
+frame count and per-channel means; VIDEO is a YUV4MPEG2 (.y4m) parser —
+text header + raw planar 4:2:0 frames — extracting dimensions, frame
+count, frame rate and per-plane (Y/U/V) means, plus a frame-sampling op
+(`sample_video_frames`). Unrecognized payloads fall back to the
+clearly-marked deterministic digest feature (`_decode_stub`): the
+Spark-side contract — schema, batch shape, partition sizing, UDF
+signature — is identical either way, so swapping in ffmpeg for compressed
+containers keeps every plan unchanged.
 """
 
 from __future__ import annotations
@@ -209,11 +212,147 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[float]]:
     return sr, ch, n_frames, [float(m) for m in means]
 
 
+# ------------------------------------------------------------------ Y4M
+Y4M_SIG = b"YUV4MPEG2 "
+_Y4M_C420 = {"420", "420jpeg", "420mpeg2", "420paldv"}
+
+
+def encode_y4m(
+    width: int, height: int, fps: tuple[int, int], frames: list[tuple]
+) -> bytes:
+    """Minimal YUV4MPEG2 writer for fixtures/round-trips; `frames` is a
+    list of (y_bytes, u_bytes, v_bytes) planar 4:2:0 planes
+    (len(y) == w*h, len(u) == len(v) == (w//2)*(h//2))."""
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n"
+    out = [head.encode("ascii")]
+    for y, u, v in frames:
+        out.append(b"FRAME\n")
+        out.extend((bytes(y), bytes(u), bytes(v)))
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, int, int, int, list[float]]:
+    """Parse a YUV4MPEG2 (4:2:0, 8-bit) payload with the stdlib + NumPy:
+    returns (width, height, n_frames, fps_num, fps_den, per-plane Y/U/V
+    means over all frames in [0, 1]). Malformed input raises ValueError
+    (degrade-to-error-row contract, same as decode_png/decode_wav)."""
+    if not data.startswith(Y4M_SIG):
+        raise ValueError("not a Y4M stream")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise ValueError("unterminated Y4M header")
+    width = height = None
+    fps_num, fps_den = 30, 1
+    for tok in data[len(Y4M_SIG):nl].decode("ascii", "strict").split():
+        tag, val = tok[0], tok[1:]
+        if tag == "W":
+            width = int(val)
+        elif tag == "H":
+            height = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == "C" and val not in _Y4M_C420:
+            raise ValueError(f"unsupported Y4M colorspace C{val}")
+    if not width or not height or fps_num <= 0 or fps_den <= 0:
+        raise ValueError("bad Y4M header")
+    if width % 2 or height % 2:
+        raise ValueError("4:2:0 needs even dimensions")
+    y_sz, c_sz = width * height, (width // 2) * (height // 2)
+    frame_sz = y_sz + 2 * c_sz
+    pos, n_frames = nl + 1, 0
+    sums = np.zeros(3, dtype=np.int64)
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if data[pos:pos + 5] != b"FRAME" or fnl < 0:
+            raise ValueError("bad FRAME marker")
+        pos = fnl + 1
+        if pos + frame_sz > len(data):
+            raise ValueError("truncated frame payload")
+        planes = np.frombuffer(data[pos:pos + frame_sz], dtype=np.uint8)
+        sums[0] += int(planes[:y_sz].sum(dtype=np.int64))
+        sums[1] += int(planes[y_sz:y_sz + c_sz].sum(dtype=np.int64))
+        sums[2] += int(planes[y_sz + c_sz:].sum(dtype=np.int64))
+        pos += frame_sz
+        n_frames += 1
+    if n_frames == 0:
+        raise ValueError("empty video")
+    means = [
+        float(sums[0]) / (n_frames * y_sz) / 255.0,
+        float(sums[1]) / (n_frames * c_sz) / 255.0,
+        float(sums[2]) / (n_frames * c_sz) / 255.0,
+    ]
+    return width, height, n_frames, fps_num, fps_den, means
+
+
+def _y4m_frame_y_means(data: bytes, every: int) -> list[tuple[int, float]]:
+    """(frame_idx, y_mean) for every `every`-th frame — the frame-sample
+    kernel behind sample_video_frames. Reuses the header validation of
+    decode_y4m's parse path."""
+    width, height, _, _, _, _ = decode_y4m(data)
+    y_sz = width * height
+    c_sz = (width // 2) * (height // 2)
+    frame_sz = y_sz + 2 * c_sz
+    pos = data.find(b"\n") + 1
+    out, idx = [], 0
+    while pos < len(data):
+        pos = data.find(b"\n", pos) + 1  # skip FRAME line (validated above)
+        if idx % every == 0:
+            y = np.frombuffer(data[pos:pos + y_sz], dtype=np.uint8)
+            out.append((idx, float(y.sum(dtype=np.int64)) / y_sz / 255.0))
+        pos += frame_sz
+        idx += 1
+    return out
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sampling over Y4M video payloads: one output row per sampled
+    frame (every `every`-th), carrying the frame index and its luma mean.
+    Non-video / undecodable rows degrade to a single decode_ok=false row.
+    Arrow-batched mapInPandas, same partition-sizing guidance as
+    extract_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ymeans, oks, errs = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    for idx, ym in _y4m_frame_y_means(b, every):
+                        ids.append(mid)
+                        idxs.append(idx)
+                        ymeans.append(ym)
+                        oks.append(True)
+                        errs.append(None)
+                except ValueError as e:
+                    ids.append(mid)
+                    idxs.append(None)
+                    ymeans.append(None)
+                    oks.append(False)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "y_mean": pd.array(ymeans, dtype="Float64"),
+                    "decode_ok": oks,
+                    "error": errs,
+                }
+            )
+
+    return media.mapInPandas(
+        op,
+        schema="media_id long, frame_idx int, y_mean double, "
+               "decode_ok boolean, error string",
+    )
+
+
 # ------------------------------------------------------------------ kernels
 def _decode_stub(payload: bytes) -> list[float]:
-    """STUB decode for unrecognized payloads (video and opaque blobs):
-    deterministic fake feature from the payload digest. Real video decode
-    would be ffmpeg — not in this environment by design."""
+    """STUB decode for unrecognized payloads (opaque blobs, compressed
+    containers): deterministic fake feature from the payload digest. Real
+    compressed-video decode would be ffmpeg — not in this environment by
+    design; raw Y4M goes through the real decode_y4m path."""
     d = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in d[:8]]
 
@@ -228,6 +367,10 @@ def _decode_one(kind: str, b: bytes):
         sr, ch, nf, means = decode_wav(b)
         feat = [float(sr), float(ch), float(nf)] + means[:4] + [0.0] * (4 - len(means[:4]))
         return None, None, [float(v) for v in (feat + [2.0])[:8]], "wav", None
+    if kind == "video" and b.startswith(Y4M_SIG):
+        w, h, nf, fn, fd, means = decode_y4m(b)
+        feat = [float(nf), float(fn) / float(fd)] + means + [0.0, 0.0, 3.0]
+        return w, h, [float(v) for v in feat], "y4m", None
     return None, None, [float(v) for v in _decode_stub(b)], "stub", None
 
 
@@ -312,13 +455,31 @@ def _wav_variants() -> list[bytes]:
     return variants
 
 
+def _y4m_variants() -> list[bytes]:
+    """8 deterministic tiny Y4M videos (4x4 / 6x4, 2-4 frames, varied
+    frame rates) — same oracle-sharing contract as the PNG/WAV variants."""
+    variants = []
+    for k in range(8):
+        w, h = (4 + 2 * (k % 2)), 4
+        y_sz, c_sz = w * h, (w // 2) * (h // 2)
+        frames = []
+        for f in range(2 + (k % 3)):
+            y = bytes((k * 31 + f * 67 + i * 13) % 256 for i in range(y_sz))
+            u = bytes((k * 17 + f * 29 + i * 7) % 256 for i in range(c_sz))
+            v = bytes((k * 23 + f * 41 + i * 11) % 256 for i in range(c_sz))
+            frames.append((y, u, v))
+        variants.append(encode_y4m(w, h, (24 + k, 1), frames))
+    return variants
+
+
 def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
     """Deterministic fake media table. image rows carry REAL tiny PNGs,
-    audio rows REAL tiny PCM16 WAVs (8 deterministic variants each,
-    stdlib-encoded) so both decode paths run end-to-end; video stays a
-    digest-stub payload."""
+    audio rows REAL tiny PCM16 WAVs, video rows REAL tiny Y4M clips
+    (8 deterministic variants each, stdlib-encoded) so all three decode
+    paths run end-to-end."""
     png_arr = F.array(*[F.lit(bytearray(v)) for v in _png_variants()])
     wav_arr = F.array(*[F.lit(bytearray(v)) for v in _wav_variants()])
+    y4m_arr = F.array(*[F.lit(bytearray(v)) for v in _y4m_variants()])
     i = F.col("id")
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -328,6 +489,7 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
     payload = (
         F.when(kind == "image", F.element_at(png_arr, (F.pmod(i, 8) + 1).cast("int")))
         .when(kind == "audio", F.element_at(wav_arr, (F.pmod(i, 8) + 1).cast("int")))
+        .when(kind == "video", F.element_at(y4m_arr, (F.pmod(i, 8) + 1).cast("int")))
         .otherwise(blob)
         if real_png
         else blob
@@ -338,6 +500,7 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
         payload.alias("payload"),
         F.when(kind == "image", F.lit("image/png"))
         .when(kind == "audio", F.lit("audio/wav") if real_png else F.lit("application/octet-stream"))
+        .when(kind == "video", F.lit("video/x-yuv4mpeg") if real_png else F.lit("application/octet-stream"))
         .otherwise(F.lit("application/octet-stream"))
         .alias("mime"),
         F.lit(None).cast("int").alias("width"),

@@ -250,8 +250,16 @@ def test_multimodal_features(spark):
         assert r["feature"][1] == float(1 + (k % 2))
         assert r["feature"][2] == float(16 + k)
         assert r["feature"][7] == 2.0
+    # video rows went through the REAL Y4M decoder: parsed dims + frame
+    # count + fps (+ the 3.0 video tag)
     vids = [r for r in rows if r["kind"] == "video"]
-    assert vids and all(r["decoder"] == "stub" and r["width"] is None for r in vids)
+    assert vids and all(r["decoder"] == "y4m" for r in vids)
+    for r in vids:
+        k = r["media_id"] % 8
+        assert (r["width"], r["height"]) == (4 + 2 * (k % 2), 4)
+        assert r["feature"][0] == float(2 + (k % 3))  # n_frames
+        assert r["feature"][1] == float(24 + k)  # fps
+        assert r["feature"][7] == 3.0
     # deterministic: same payload -> same sha/feature
     again = {r["media_id"]: r["sha256"] for r in extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["sha256"] for r in rows)
@@ -342,6 +350,76 @@ def test_wav_codec_roundtrip():
     bad[fmt_off:fmt_off + 2] = _struct.pack("<H", 3)
     with _pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def test_y4m_codec_roundtrip():
+    """stdlib Y4M encode -> decode round-trip: exact dims/frames/fps +
+    per-plane means; malformed payloads raise ValueError; frame-sample
+    kernel returns every k-th frame's luma mean."""
+    import pytest as _pytest
+
+    from rayjoin_spark.functions.multimodal import (
+        _y4m_frame_y_means, decode_y4m, encode_y4m,
+    )
+
+    frames = []
+    for f in range(5):
+        y = bytes((f * 40 + i) % 256 for i in range(4 * 4))
+        u = bytes((f * 7 + i) % 256 for i in range(4))
+        v = bytes((f * 9 + i) % 256 for i in range(4))
+        frames.append((y, u, v))
+    data = encode_y4m(4, 4, (25, 1), frames)
+    w, h, nf, fn, fd, means = decode_y4m(data)
+    assert (w, h, nf, fn, fd) == (4, 4, 5, 25, 1)
+    want = [
+        sum(sum(fr[p]) for fr in frames) / (5 * len(frames[0][p])) / 255.0
+        for p in range(3)
+    ]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(means, want))
+
+    samp = _y4m_frame_y_means(data, 2)
+    assert [i for i, _ in samp] == [0, 2, 4]
+    for idx, ym in samp:
+        assert abs(ym - sum(frames[idx][0]) / 16 / 255.0) < 1e-12
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F0:1\n")  # bad fps
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W3 H4 F25:1\nFRAME\n")  # odd width
+    with _pytest.raises(ValueError):
+        decode_y4m(data[: len(data) - 3])  # truncated frame payload
+    with _pytest.raises(ValueError):
+        decode_y4m(data.replace(b"C420jpeg", b"C444mono"))  # colorspace
+
+
+def test_sample_video_frames(spark):
+    """Frame-sampling DataFrame op: one row per sampled frame for Y4M
+    payloads; non-video payloads degrade to decode_ok=false rows."""
+    from pyspark.sql import types as T
+
+    from rayjoin_spark.functions.multimodal import (
+        _y4m_variants, sample_video_frames,
+    )
+
+    vars_ = _y4m_variants()
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    media = spark.createDataFrame(
+        [(0, bytearray(vars_[0])), (1, bytearray(vars_[2])),
+         (2, bytearray(b"not a video"))],
+        schema,
+    )
+    rows = sample_video_frames(media, every=2).collect()
+    good = [r for r in rows if r["decode_ok"]]
+    bad = [r for r in rows if not r["decode_ok"]]
+    # variant 0 has 2 frames (samples frame 0), variant 2 has 4 (0 and 2)
+    assert sorted((r["media_id"], r["frame_idx"]) for r in good) == [
+        (0, 0), (1, 0), (1, 2)
+    ]
+    assert all(0.0 <= r["y_mean"] <= 1.0 for r in good)
+    assert len(bad) == 1 and bad[0]["media_id"] == 2 and bad[0]["error"]
 
 
 def test_multimodal_malformed_payloads(spark):
