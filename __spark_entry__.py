@@ -205,6 +205,25 @@ def q_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster assignment: LSH candidates -> exact Jaccard verify
+    (integer threshold 2*n_inter >= union, i.e. J >= 0.5 with zero
+    float-compare risk) -> distributed connected components (min-label
+    propagation + pointer jumping) -> canonical doc per cluster. The
+    full 'which rows do I keep' answer of a training-data dedup pass;
+    oracle = DuckDB recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    sigs = textops.minhash_signatures(docs)
+    cands = textops.neardup_candidates(textops.lsh_bands(sigs))
+    jac = textops.ngram_jaccard(docs, cands)
+    verified = jac.filter(
+        F.col("n_inter") * 2 >= F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).select("id_a", "id_b")
+    return textops.neardup_components(docs, verified).select(
+        "doc_id", "cluster_id", "cluster_size", "is_canonical"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -412,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash,
         "lsh_bands": q_lsh_bands,
         "neardup_jaccard": q_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "simhash16": q_simhash,
         "ann_topk_dot": q_ann,
         "pages_geocode": q_pages_geocode,
@@ -739,6 +759,28 @@ JOIN ns na ON na.doc_id = p.id_a
 JOIN ns nb ON nb.doc_id = p.id_b
 """
 
+_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE verified AS (
+  SELECT id_a, id_b FROM ({_NEARDUP_SQL})
+  WHERE n_inter * 2 >= n_a + n_b - n_inter
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+), lab AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), sz AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id
+)
+SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+       lab.doc_id = lab.cluster_id AS is_canonical
+FROM lab JOIN sz USING (cluster_id)
+"""
+
 _SIMHASH_SQL = """
 WITH sh AS (
   SELECT doc_id, md5(substr(t, CAST(pos AS INT), 9)) AS h
@@ -1018,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SQL,
         "lsh_bands": _LSH_BANDS_SQL,
         "neardup_jaccard": _NEARDUP_SQL,
+        "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
         "simhash16": _SIMHASH_SQL,
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,

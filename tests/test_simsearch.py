@@ -71,3 +71,50 @@ def test_ann_ivf_recall_and_bucketing(spark, emb):
     }
     assert nset, "1-probe search returned nothing"
     assert nset <= got_all
+
+
+def test_neardup_components_chain_and_cliques(spark):
+    """Connected components: a 40-node path (adversarial for plain
+    min-propagation), two cliques, bridges and singletons — labels must
+    match a python union-find, and the pointer-jumped loop must converge
+    well under the O(diameter) round count."""
+    from rayjoin_spark.functions.textops import neardup_components
+
+    # path 0-1-2-...-39, clique {100..104}, pair {200, 201},
+    # bridge 39-100, singletons 300, 301
+    edges = [(i, i + 1) for i in range(39)]
+    edges += [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    edges += [(200, 201), (39, 100)]
+    node_ids = sorted({v for e in edges for v in e} | {300, 301})
+
+    parent = {v: v for v in node_ids}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {v: min(u for u in node_ids if find(u) == find(v)) for v in node_ids}
+
+    ids = spark.createDataFrame([(v,) for v in node_ids], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in neardup_components(ids, pairs).collect()
+    }
+    assert set(got) == set(node_ids)
+    sizes = {}
+    for v in node_ids:
+        sizes[want[v]] = sizes.get(want[v], 0) + 1
+    for v in node_ids:
+        assert got[v] == (want[v], sizes[want[v]], v == want[v]), (v, got[v])
+
+    # empty pair set: every node is its own singleton cluster
+    none = neardup_components(ids, pairs.limit(0)).collect()
+    assert all(
+        r["cluster_id"] == r["doc_id"] and r["cluster_size"] == 1 and r["is_canonical"]
+        for r in none
+    )
