@@ -224,6 +224,28 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-language keep fractions for the stratified-sampling driver query
+#: (downsample dominant en, keep all zh — the usual rebalancing shape)
+_STRATA_FRACTIONS = {"en": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 1.0}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: md5-threshold Bernoulli
+    keyed on doc_id — a pure codegen filter (no sampleBy), reproducible
+    across engines, so the DuckDB oracle selects the identical rows."""
+    return textops.sample_stratified(
+        _docs(spark, sf_dir), _STRATA_FRACTIONS, strata_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 40, stride 30) — the
+    pretraining-prep fan-out between cleaning and tokenization."""
+    return textops.chunk_documents(
+        _docs(spark, sf_dir), size=40, stride=30
+    ).select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -432,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bands": q_lsh_bands,
         "neardup_jaccard": q_neardup,
         "neardup_clusters": q_neardup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "doc_chunks": q_doc_chunks,
         "simhash16": q_simhash,
         "ann_topk_dot": q_ann,
         "pages_geocode": q_pages_geocode,
@@ -759,6 +783,34 @@ JOIN ns na ON na.doc_id = p.id_a
 JOIN ns nb ON nb.doc_id = p.id_b
 """
 
+def _sample_stratified_sql() -> str:
+    from rayjoin_spark.functions.textops import hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{hex_threshold(frac)}'"
+        for lang, frac in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang {cases} ELSE '00000000' END
+"""
+
+
+_DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, (greatest(len(toks), 1) - 1) // 30 + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_id * 30 + 1, chunk_id * 30 + 40)) AS BIGINT) AS n_chunk_tokens
+FROM e
+"""
+
+
 _NEARDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE verified AS (
   SELECT id_a, id_b FROM ({_NEARDUP_SQL})
@@ -1061,6 +1113,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bands": _LSH_BANDS_SQL,
         "neardup_jaccard": _NEARDUP_SQL,
         "neardup_clusters": _NEARDUP_CLUSTERS_SQL,
+        "sample_stratified": _sample_stratified_sql(),
+        "doc_chunks": _DOC_CHUNKS_SQL,
         "simhash16": _SIMHASH_SQL,
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,

@@ -216,6 +216,95 @@ def ngram_jaccard(
     )
 
 
+def hex_threshold(fraction: float, digits: int = 8) -> str:
+    """Lowercase hex string t such that P[md5_digest < t] == fraction to
+    16^-digits precision under plain string comparison — the shared
+    Spark/DuckDB sampling literal. fraction >= 1 returns 'g', which
+    sorts after every hex digest ('g' > 'f'); a plain all-f threshold
+    would wrongly drop digests with an all-f prefix."""
+    assert 0.0 <= fraction <= 1.0
+    v = int(fraction * (16 ** digits))
+    if v >= 16 ** digits:
+        return "g"
+    return format(v, f"0{digits}x")
+
+
+def sample_deterministic(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff
+    md5(key || salt) < hex_threshold(fraction) as a plain string compare
+    (hex is lexicographically ordered, so an 8-hex-digit threshold
+    prefix-compares correctly against the full 32-char digest). Unlike
+    df.sample(), the selection is a pure column predicate: reproducible
+    across runs/engines/partitionings, pushes down past the scan, and
+    re-running on changed data keeps previously-selected keys stable —
+    what a 100-TB curation pipeline actually needs. Change `salt` for an
+    independent resample."""
+    h = F.md5(F.encode(F.concat(F.col(key_col).cast("string"), F.lit(salt)), "UTF-8"))
+    return df.filter(h < F.lit(hex_threshold(fraction)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: dict,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: `fractions` maps stratum value
+    -> keep fraction (strata absent from the map get default_fraction).
+    Same md5-threshold selection as sample_deterministic, so the whole
+    thing is one codegen filter — no sampleBy() nondeterminism, no
+    per-stratum scans."""
+    h = F.md5(F.encode(F.concat(F.col(key_col).cast("string"), F.lit(salt)), "UTF-8"))
+    thr = F.lit(hex_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(hex_threshold(frac))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pretraining-prep step between cleaning and tokenization. Chunk c
+    covers whitespace tokens [c*stride, c*stride + size); starts run
+    0, stride, 2*stride, ... while < n_tokens, so tails shorter than
+    `size` still emit (no data loss) and consecutive chunks overlap by
+    size - stride tokens. Pure codegen (split/sequence/explode/slice);
+    the explode fan-out is ~n_tokens/stride per doc — bounded and
+    uniform, safe at any scale."""
+    assert size > 0 and 0 < stride
+    toks = _tokens(F.col(text))
+    d = df.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).withColumn(
+        "chunk_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.greatest(F.col("_n"), F.lit(1)) - 1) / stride).cast("bigint"),
+            )
+        ),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, size)
+    return d.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+    )
+
+
 def neardup_components(
     ids: DataFrame,
     pairs: DataFrame,

@@ -118,3 +118,49 @@ def test_neardup_components_chain_and_cliques(spark):
         r["cluster_id"] == r["doc_id"] and r["cluster_size"] == 1 and r["is_canonical"]
         for r in none
     )
+
+
+def test_sampling_and_chunking(spark):
+    """Deterministic sampling: fraction accuracy, salt independence,
+    subset stability. Chunking: overlap/tail/empty-text edge cases."""
+    from rayjoin_spark.functions.textops import (
+        chunk_documents, hex_threshold, sample_deterministic, sample_stratified,
+    )
+
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "g"  # sorts after every hex digest
+    assert hex_threshold(0.5) == "80000000"
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod("id", 4) == 0, "en").otherwise("de").alias("lang"),
+    )
+    s = sample_deterministic(df, 0.25, key_col="doc_id")
+    n = s.count()
+    assert abs(n / 4000 - 0.25) < 0.03
+    # deterministic + monotone: smaller fraction selects a subset
+    sub = {r["doc_id"] for r in sample_deterministic(df, 0.1).collect()}
+    assert sub < {r["doc_id"] for r in s.collect()}
+    # a different salt decorrelates the selection
+    other = {r["doc_id"] for r in sample_deterministic(df, 0.25, salt="x").collect()}
+    inter = len(sub and other and ({r["doc_id"] for r in s.collect()} & other))
+    assert abs(inter / 4000 - 0.0625) < 0.03
+
+    st = sample_stratified(df, {"en": 1.0, "de": 0.0}, strata_col="lang")
+    rows = st.collect()
+    assert len(rows) == 1000 and all(r["lang"] == "en" for r in rows)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    ch = {(r["doc_id"], r["chunk_id"]): r for r in
+          chunk_documents(docs, size=4, stride=3).collect()}
+    # doc 1: 10 tokens -> starts 0,3,6,9
+    assert sorted(c for d, c in ch if d == 1) == [0, 1, 2, 3]
+    assert ch[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert ch[(1, 1)]["chunk_text"] == "t3 t4 t5 t6"  # overlap of 1
+    assert ch[(1, 3)]["chunk_text"] == "t9" and ch[(1, 3)]["n_chunk_tokens"] == 1
+    assert ch[(2, 0)]["chunk_text"] == "a b" and len([1 for d, _ in ch if d == 2]) == 1
+    # empty text: one chunk, the empty token
+    assert ch[(3, 0)]["n_chunk_tokens"] == 1 and ch[(3, 0)]["chunk_text"] == ""
