@@ -119,6 +119,25 @@ def sessionize_hosts(
     )
 
 
+def dedup_pages_stream(
+    pages_stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: canonical content fingerprint (md5 of
+    lowercased whitespace-collapsed text, same normalization as the
+    batch `fingerprint` op) + dropDuplicatesWithinWatermark, so a page
+    whose content was already seen within the watermark horizon is
+    dropped across micro-batches. The watermark BOUNDS the dedup state
+    (plain dropDuplicates on a stream grows state forever — the thing
+    that kills a long-running 100-TB ingest); duplicates farther apart
+    than the horizon are left to the batch dedup pass downstream."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        pages_stream.withColumn("fingerprint", F.md5(F.encode(norm, "UTF-8")))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 class ExactlyOnceParquetSink:
     """Idempotent epoch-keyed parquet sink for foreachBatch — the standard
     exactly-once pattern: Spark's checkpoint gives at-least-once epoch

@@ -141,3 +141,56 @@ def test_morton_cellcodes(spark):
     ).collect()[0]
     # cx=101b -> bits 0,4; cy=011b -> bits 1,3  => 1+2+8+16 = 27
     assert row["m"] == 27
+
+
+def test_streaming_dedup_pages(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: duplicate content is dropped
+    ACROSS micro-batches (state carries the fingerprint), whitespace
+    variants collapse to one row, distinct texts all survive."""
+    import datetime as dt
+
+    from rayjoin_spark.streaming.pages_stream import dedup_pages_stream
+
+    base = dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc)
+
+    def row(url, sec, text):
+        return (url, base + dt.timedelta(seconds=sec), text)
+
+    batch1 = [
+        row("https://a/1", 0, "Hello  world"),
+        row("https://a/2", 10, "hello world"),   # ws/case variant of /1
+        row("https://b/1", 20, "other text"),
+    ]
+    batch2 = [
+        row("https://c/1", 30, "HELLO   world"),  # dup of batch-1 content
+        row("https://c/2", 40, "fresh content"),
+    ]
+    src = str(tmp_path / "dedup_in")
+    schema_str = "url string, warc_ts timestamp, text string"
+    spark.createDataFrame(batch1, schema_str).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema_str).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(src)
+    )
+    q = (
+        dedup_pages_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dedup_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM dedup_out").collect()
+    finally:
+        q.stop()
+    texts = sorted(r["text"].lower().split()[0] for r in got)
+    # exactly one row per distinct normalized content
+    assert len(got) == 3, got
+    fps = [r["fingerprint"] for r in got]
+    assert len(set(fps)) == 3
+    assert sorted(t for t in texts) == ["fresh", "hello", "other"]
