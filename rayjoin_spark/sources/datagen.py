@@ -113,12 +113,18 @@ def uniform_points(
     max_x: float,
     min_y: float,
     max_y: float,
+    seed: int = 0,
 ) -> DataFrame:
     """Pseudo-uniform query points (mirrors GeneratePIPQueries,
     reference src/run_query.cu:146-167) — hash positions are pure int
-    arithmetic reproducible in any SQL engine."""
-    hx = F.pmod(F.col("id") * F.lit(_MULT_X), F.lit(_MOD))
-    hy = F.pmod(F.col("id") * F.lit(_MULT_Y), F.lit(_MOD))
+    arithmetic reproducible in any SQL engine. `seed` offsets the hash
+    stream (point_ids stay 0..n-1) so repeated benchmark queries against
+    a built index can use distinct point sets — identical plans would
+    otherwise be satisfied from plan-canonicalized caches and measure a
+    cache scan instead of a locate."""
+    h_id = F.col("id") + F.lit(seed * 1_000_003)
+    hx = F.pmod(h_id * F.lit(_MULT_X), F.lit(_MOD))
+    hy = F.pmod(h_id * F.lit(_MULT_Y), F.lit(_MOD))
     return spark.range(n).select(
         F.col("id").alias("point_id"),
         (F.lit(min_x) + hx / F.lit(float(_MOD)) * F.lit(max_x - min_x)).alias("x"),
