@@ -250,6 +250,62 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by integer-monotone tf-idf (keyword
+    extraction; the score never compares floats, so the ranking is
+    engine-exact)."""
+    return textops.tfidf_topk(_docs(spark, sf_dir), k=5).select(
+        "doc_id", "term", "tf", "score", "rank"
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: duplicate word-3-gram
+    fraction per doc (exact counts + one IEEE division)."""
+    return textops.repetition_ratio(_docs(spark, sf_dir), n=3).select(
+        "doc_id", "total_ngrams", "distinct_ngrams", "rep_ratio"
+    )
+
+
+def q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 export-shard assignment (32 shards) + per-shard
+    balance stats — the pre-flight of a sharded training-data write."""
+    return textops.shard_stats(_docs(spark, sf_dir), n_shards=32).select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_docs",
+        "total_size",
+        "min_key",
+        "max_key",
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-then-split sequence packing (budget 256
+    tokens, 16 md5 shards): every doc gets (shard, pack_id, offset)."""
+    return textops.pack_sequences(_docs(spark, sf_dir), budget=256, n_shards=16).select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        "start_off",
+        "pack_id",
+        "pack_off",
+    )
+
+
+def q_face_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-face polygon statistics (shoelace-by-incident-side) on
+    the derived A layer: twice-signed-area, boundary edge count, and the
+    exact squared-length perimeter proxy, all integer arithmetic."""
+    from rayjoin_spark.operators.faces import face_stats
+
+    return face_stats(derived.edges_a(spark, sf_dir)).select(
+        F.col("face_id").cast("bigint").alias("face_id"),
+        "area2",
+        "n_edges",
+        "perim2_sum",
+    )
+
+
 def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     qs = emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
@@ -470,6 +526,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf,
         "neardup_embedding": q_neardup_embedding,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
+        "tfidf_topk": q_tfidf_topk,
+        "repetition_ratio": q_repetition,
+        "shard_stats": q_shard_stats,
+        "pack_sequences": q_pack_sequences,
+        "face_stats": q_face_stats,
     }
 
 
@@ -855,6 +916,105 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """
 
+_TFIDF_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+   scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ((nd.n_docs * 1000000) // dfreq.df_t) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+), ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM t)
+), per AS (
+  SELECT doc_id, COUNT(*) AS total_ngrams, COUNT(DISTINCT gram) AS distinct_ngrams
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+       CAST(COALESCE(per.distinct_ngrams, 0) AS BIGINT) AS distinct_ngrams,
+       (COALESCE(per.total_ngrams, 0) - COALESCE(per.distinct_ngrams, 0))
+         / CAST(greatest(COALESCE(per.total_ngrams, 0), 1) AS DOUBLE) AS rep_ratio
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+#: shard = first 12 hex chars of md5(key) as int, mod n — mirrors
+#: rayjoin_spark.functions.textops.shard_assign
+def _shard_sql(n: int) -> str:
+    return (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+        f" % {n}"
+    )
+
+
+_SHARD_STATS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars, {_shard_sql(32)} AS shard FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size,
+       MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+FROM s GROUP BY shard
+"""
+
+_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         {_shard_sql(16)} AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+  FROM d
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       end_off - n_tokens AS start_off,
+       (end_off - n_tokens) // 256 AS pack_id,
+       (end_off - n_tokens) % 256 AS pack_off
+FROM c
+"""
+
+_FACE_STATS_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+sides AS (
+  SELECT left_polygon_id AS face_id,
+         CAST(x1 * y2 - x2 * y1 AS HUGEINT) AS sc,
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1) AS len2
+  FROM ea
+  UNION ALL
+  SELECT right_polygon_id,
+         -CAST(x1 * y2 - x2 * y1 AS HUGEINT),
+         (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)
+  FROM ea
+)
+SELECT CAST(face_id AS BIGINT) AS face_id,
+       CAST(SUM(sc) AS BIGINT) AS area2,
+       COUNT(*) AS n_edges,
+       CAST(SUM(len2) AS BIGINT) AS perim2_sum
+FROM sides GROUP BY face_id
+"""
+
 _ANN_SQL = """
 WITH iv AS (
   SELECT vec_id, list_transform(embedding,
@@ -1123,6 +1283,11 @@ def oracle_sql() -> dict[str, str]:
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,
         "ann_lsh_topk": _ANN_LSH_SQL,
         "ann_ivf_topk": _ANN_IVF_SQL,
+        "tfidf_topk": _TFIDF_SQL,
+        "repetition_ratio": _REPETITION_SQL,
+        "shard_stats": _SHARD_STATS_SQL,
+        "pack_sequences": _PACK_SQL,
+        "face_stats": _FACE_STATS_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

