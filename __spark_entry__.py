@@ -292,6 +292,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap between the corpus
+    and a deterministic held-out eval split (doc_id % 97 == 0); one row
+    per contaminated (train, eval) pair. The eval gram table is
+    broadcast — the corpus side is a single linear scan."""
+    docs = _docs(spark, sf_dir)
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.decontaminate(train, evalset, n=3).select(
+        "doc_id", "eval_id", "n_shared_grams"
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministically injected emails/IPv4s
+    (the raw corpus has none): counts per class + fingerprint of the
+    redacted text."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1"),
+        ),
+    )
+    return textops.redact_pii(docs).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        F.md5(F.encode(F.col("redacted"), "UTF-8")).alias("red_fp"),
+    )
+
+
 def q_face_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-face polygon statistics (shoelace-by-incident-side) on
     the derived A layer: twice-signed-area, boundary edge count, and the
@@ -531,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": q_shard_stats,
         "pack_sequences": q_pack_sequences,
         "face_stats": q_face_stats,
+        "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -995,6 +1033,38 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
 FROM c
 """
 
+_DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM t)
+)
+SELECT b.doc_id AS doc_id, a.doc_id AS eval_id, COUNT(*) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram
+WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0
+GROUP BY b.doc_id, a.doc_id
+"""
+
+_REDACT_PII_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         concat(text, ' contact u', CAST(doc_id AS VARCHAR), '@example.com or 10.',
+                CAST(doc_id % 200 AS VARCHAR), '.0.1') AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+  FROM injected
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(t2, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')) AS red_fp
+FROM e
+"""
+
 _FACE_STATS_SQL = f"""
 WITH ea AS ({EDGES_A_SQL}),
 sides AS (
@@ -1288,6 +1358,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_stats": _SHARD_STATS_SQL,
         "pack_sequences": _PACK_SQL,
         "face_stats": _FACE_STATS_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "redact_pii": _REDACT_PII_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

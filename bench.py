@@ -394,22 +394,34 @@ def run_suite(
         # pass, then min-of-N. overlay_chains stays single-shot — it is
         # suite-dominant and self-warms through its phase materialization.
         repeats = int(os.environ.get("SPARK_GRAFT_MAIN_REPEATS", "2"))
+    cold_times = {}
     for name, build in qs.items():
         # force FULL computation: count() would let Catalyst prune value
         # columns (md5s, dots) out of aggregates; the noop sink cannot
-        n_rep = (
-            1
-            if (not scaling_suite and name in ("overlay_chains", "overlay_biggrid"))
-            else repeats
+        #
+        # the two composite overlays are too expensive for an unmeasured
+        # warm pass + min-of-N; instead they run exactly twice with NO
+        # warm pass — the first (cold) time is reported separately as
+        # {name}_cold_s, and min-of-2 is the row. Rationale: this host's
+        # wall clock is contention-noisy for driver-bound composites
+        # (same-code cold runs measured 35 s to 182 s in one batch), so a
+        # single-shot row is a lottery; min-of-2 keeps the row comparable
+        # while the _cold_s field preserves the honest first-run cost.
+        overlay_like = (not scaling_suite) and name in (
+            "overlay_chains",
+            "overlay_biggrid",
         )
-        if warmup or (not scaling_suite and n_rep > 1):
+        n_rep = 2 if overlay_like else repeats
+        if warmup or (not scaling_suite and not overlay_like and n_rep > 1):
             build().write.format("noop").mode("overwrite").save()  # JIT warm
         best = None
-        for _ in range(n_rep):
+        for i in range(n_rep):
             t0 = time.time()
             df = build()
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            if overlay_like and i == 0:
+                cold_times[f"{name}_cold_s"] = round(dt, 3)
             best = dt if best is None else min(best, dt)  # min-of-N: the
             # machine is shared; min is the least noise-contaminated sample
         times[name] = round(best, 3)
@@ -425,6 +437,7 @@ def run_suite(
         for d_ in keep:  # re-pin shared setup state (outside timed window)
             d_.persist().count()
     out = {"times": times, "counts": counts, "total": round(sum(times.values()), 3)}
+    out.update(cold_times)
     if index_build:
         out["pip_index_build"] = index_build
     ph = dict(getattr(qs.get("overlay_chains"), "phases", None) or {})
@@ -606,12 +619,17 @@ def main():
         "lsi_pairs_per_sec": pairs_per_sec,
         "ann_lsh_recall": r.get("ann_lsh_recall"),
         "ann_ivf_recall": r.get("ann_ivf_recall"),
+        "overlay_chains_cold_s": r.get("overlay_chains_cold_s"),
+        "overlay_biggrid_cold_s": r.get("overlay_biggrid_cold_s"),
         "overlay_phases": r.get("overlay_phases"),
         "biggrid_check": r.get("biggrid_check"),
         "pip_index_build": r.get("pip_index_build"),
         "cpus": CPUS,
         "methodology": "steady-state: warmed min-of-2 per query; "
-                       "overlay_chains single-shot (self-warming, suite-dominant); "
+                       "overlays min-of-2 with NO warm pass (first-run cost kept "
+                       "as overlay_chains_cold_s / overlay_biggrid_cold_s; host "
+                       "wall clock for driver-bound composites is contention-noisy"
+                       " — same-code cold runs spanned 35-182 s in one batch); "
                        "PIP indexes built once (build times in pip_index_build), "
                        "mirroring the reference's build-then-repeat protocol",
     }))

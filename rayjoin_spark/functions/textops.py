@@ -610,3 +610,73 @@ def pack_sequences(
         F.expr(f"(end_off - n_tokens) DIV {budget}").alias("pack_id"),
         F.expr(f"(end_off - n_tokens) % {budget}").alias("pack_off"),
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share any
+    word n-gram with an evaluation set — the pass every serious
+    pretraining pipeline runs before training, so eval numbers aren't
+    memorization. Emits one row per contaminated (train doc, eval doc)
+    pair with the shared-gram count; anti-join the result against the
+    corpus to drop them.
+
+    Scale shape: the eval set is small by definition, so its distinct
+    gram table is BROADCAST; the corpus side is one bounded explode +
+    distinct — a single linear scan, no corpus-side self-join. The
+    groupBy on (train, eval) is map-side combinable.
+    """
+
+    def _grams(df: DataFrame, idc: str, alias: str) -> DataFrame:
+        toks = _tokens(F.lower(F.col(text)))
+        d = df.select(F.col(idc).alias(alias), toks.alias("_toks"), F.size(toks).alias("_n"))
+        return d.select(
+            alias,
+            F.explode(
+                F.when(
+                    F.col("_n") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_n") - F.lit(n - 1)),
+                        lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        ).distinct()
+    tg = _grams(train, id_col, id_col)
+    eg = _grams(evalset, id_col, eval_id_col)
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+#: conservative PII patterns with identical semantics under Java regex
+#: (Spark) and RE2 (DuckDB): no backrefs, no lookaround, greedy bounded
+#: quantifiers only
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
+    """PII scrub: replace emails and IPv4 literals with typed tokens and
+    count what was removed — the pre-release hygiene pass of a corpus
+    pipeline. Order matters and is fixed: emails first (an email can
+    contain an IP-shaped host; the IP pass then sees the remaining
+    text). Pure codegen regexp ops, embarrassingly parallel."""
+    t = F.col(text)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(PII_IPV4), F.lit(0)))
+    redacted = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    return (
+        df.withColumn("n_emails", n_emails.cast("bigint"))
+        .withColumn("n_ips", n_ips.cast("bigint"))
+        .withColumn("redacted", redacted)
+    )

@@ -120,3 +120,43 @@ def test_face_stats_closure_sums_to_zero(spark):
         .collect()[0]["s"]
     )
     assert tot == 0
+
+
+def test_decontaminate_finds_shared_ngrams(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),       # shares 'alpha beta gamma'
+            (2, "nothing in common here"),
+            (3, "x y alpha beta gamma"),         # shares it too
+        ],
+    )
+    ev = _docs(spark, [(100, "alpha beta gamma epsilon")])
+    out = textops.decontaminate(train, ev, n=3).collect()
+    got = {(r["doc_id"], r["eval_id"]): r["n_shared_grams"] for r in out}
+    assert got == {(1, 100): 1, (3, 100): 1}
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # repeated gram in the train doc still counts once (distinct grams)
+    train = _docs(spark, [(1, "a b c a b c")])
+    ev = _docs(spark, [(9, "a b c")])
+    out = textops.decontaminate(train, ev, n=3).collect()
+    assert len(out) == 1 and out[0]["n_shared_grams"] == 1
+
+
+def test_redact_pii(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@sub.example.org now"),
+            (2, "server at 192.168.0.1 and 10.0.0.2"),
+            (3, "clean text"),
+            (4, "a@b.co visits 1.2.3.4"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["redacted"] == "mail <EMAIL> now"
+    assert rows[2]["n_ips"] == 2 and rows[2]["redacted"] == "server at <IP> and <IP>"
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_ips"] == 0
+    assert rows[4]["redacted"] == "<EMAIL> visits <IP>"
