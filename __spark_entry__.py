@@ -157,6 +157,20 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance spatial join (radius 2^22 snapped units): bounded
+    cell-neighborhood explode + one equi-join; exact int64 distances."""
+    from rayjoin_spark.operators.knn import dist_join
+
+    qs = derived.query_points(spark, sf_dir, residue=2, mod=16)
+    corpus = derived.query_points(spark, sf_dir, residue=3, mod=4).select(
+        F.col("point_id").alias("corpus_id"), "x", "y"
+    )
+    return dist_join(qs, corpus, DERIVED_SCALING, DERIVED_GRID, d_int=1 << 22).select(
+        "point_id", "corpus_id", "dist2"
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -569,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "face_stats": q_face_stats,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
+        "dist_join": q_dist_join,
     }
 
 
@@ -1033,6 +1048,16 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
 FROM c
 """
 
+_DIST_JOIN_SQL = f"""
+WITH q AS ({points_sql(2, 16)}),
+     c AS ({points_sql(3, 4)})
+SELECT q.point_id AS point_id, c.point_id AS corpus_id,
+       (q.px - c.px) * (q.px - c.px) + (q.py - c.py) * (q.py - c.py) AS dist2
+FROM q, c
+WHERE (q.px - c.px) * (q.px - c.px) + (q.py - c.py) * (q.py - c.py)
+      <= {(1 << 22) ** 2}
+"""
+
 _DECONTAMINATE_SQL = """
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -1360,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "face_stats": _FACE_STATS_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,
+        "dist_join": _DIST_JOIN_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

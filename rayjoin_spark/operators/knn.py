@@ -154,3 +154,78 @@ def knn_points(
         F.col("b.d").alias("dist2"),
         (F.col("pos") + 1).alias("rank"),
     )
+
+
+def dist_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec | None = None,
+    d_int: int = 1 << 22,
+    query_id: str = "point_id",
+    corpus_id: str = "corpus_id",
+    broadcast_max: int = 2_000_000,
+) -> DataFrame:
+    """Within-distance spatial join: all (query, corpus) pairs whose exact
+    snapped-integer Euclidean distance is <= d_int. The classic spatial
+    range join — kNN's sibling where the radius is known up front, so no
+    ring iteration is needed: ONE bounded cell-neighborhood explode + ONE
+    equi-join.
+
+    ``d_int`` is in snapped-integer units (the engine's exactness domain,
+    same as knn's dist2); the comparison is d2 <= d_int^2 in int64 (max
+    2*2^58 + threshold 2^44 — no overflow, no float compares).
+
+    Scale shape: each query probes the (2R+1)^2 cells that can contain a
+    point within d_int (R = d_int // cell_w + 1, cell_w the guaranteed
+    minimum cell int-width) — a *bounded* fan-out explode; candidates come
+    from a hash equi-join on (cx, cy) against the corpus cell table
+    (broadcast when small). A corpus point lives in exactly one cell and
+    probe cells are distinct per query, so no pair dedup is needed.
+    Pick grid so R stays small (fan-out ~ (d/cell)^2): the knob trades
+    explode width against per-cell candidate count, exactly like the
+    reference's LSI grid (src/grid/uniform_grid.h:44-86).
+    """
+    grid = grid or GridSpec(64)
+    cell_w = int(1.0 / grid.cell_scale)
+    r = d_int // cell_w + 1
+    d2 = d_int * d_int
+
+    cp = (
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            scaling.scale_x(F.col("x")).alias("cx_i"),
+            scaling.scale_y(F.col("y")).alias("cy_i"),
+        )
+        .withColumn("ccx", grid.cell_of(F.col("cx_i")))
+        .withColumn("ccy", grid.cell_of(F.col("cy_i")))
+    )
+    if broadcast_max and cp.count() <= broadcast_max:
+        cp = F.broadcast(cp.persist())
+    probes = (
+        queries.select(
+            F.col(query_id).alias("qid"),
+            scaling.scale_x(F.col("x")).alias("qx"),
+            scaling.scale_y(F.col("y")).alias("qy"),
+        )
+        .withColumn("qcx", grid.cell_of(F.col("qx")))
+        .withColumn("qcy", grid.cell_of(F.col("qy")))
+        .withColumn("cx", F.explode(F.sequence(F.col("qcx") - r, F.col("qcx") + r)))
+        .withColumn("cy", F.explode(F.sequence(F.col("qcy") - r, F.col("qcy") + r)))
+    )
+    d2c = (
+        (F.col("cx_i") - F.col("qx")) * (F.col("cx_i") - F.col("qx"))
+        + (F.col("cy_i") - F.col("qy")) * (F.col("cy_i") - F.col("qy"))
+    )
+    return (
+        probes.join(
+            cp, (F.col("cx") == F.col("ccx")) & (F.col("cy") == F.col("ccy")), "inner"
+        )
+        .withColumn("dist2", d2c)
+        .filter(F.col("dist2") <= d2)
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("cid").alias(corpus_id),
+            F.col("dist2").cast("bigint").alias("dist2"),
+        )
+    )
