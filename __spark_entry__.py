@@ -171,6 +171,25 @@ def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: integer point values (point_id % 1000) aggregated
+    per containing face of the derived A layer via the engine's exact PIP;
+    face 0 collects the outside so totals are conserved."""
+    from rayjoin_spark.operators.faces import zonal_stats
+
+    ea = derived.edges_a(spark, sf_dir)
+    pts = derived.query_points(spark, sf_dir).withColumn(
+        "value", F.pmod(F.col("point_id"), F.lit(1000))
+    )
+    return zonal_stats(pts, ea, DERIVED_SCALING, DERIVED_GRID).select(
+        F.col("face_id").cast("bigint").alias("face_id"),
+        "n_points",
+        F.col("sum_val").cast("bigint").alias("sum_val"),
+        F.col("min_val").cast("bigint").alias("min_val"),
+        F.col("max_val").cast("bigint").alias("max_val"),
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.token_count(_docs(spark, sf_dir)).select(
         "doc_id",
@@ -584,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "dist_join": q_dist_join,
+        "zonal_stats": q_zonal_stats,
     }
 
 
@@ -1048,6 +1068,18 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
 FROM c
 """
 
+#: zonal stats = the PIP oracle grouped by face (value = point_id % 1000,
+#: integer so SUM is order-independent and engine-exact)
+_ZONAL_SQL_TMPL = """
+WITH pip AS ({pip_sql})
+SELECT CAST(face_id AS BIGINT) AS face_id,
+       COUNT(*) AS n_points,
+       CAST(SUM(point_id % 1000) AS BIGINT) AS sum_val,
+       CAST(MIN(point_id % 1000) AS BIGINT) AS min_val,
+       CAST(MAX(point_id % 1000) AS BIGINT) AS max_val
+FROM pip GROUP BY face_id
+"""
+
 _DIST_JOIN_SQL = f"""
 WITH q AS ({points_sql(2, 16)}),
      c AS ({points_sql(3, 4)})
@@ -1386,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,
         "dist_join": _DIST_JOIN_SQL,
+        "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

@@ -71,3 +71,42 @@ def face_stats(edges: DataFrame, map_id=None) -> DataFrame:
             F.sum("len2").cast("bigint").alias("perim2_sum"),
         )
     )
+
+
+def zonal_stats(
+    points: DataFrame,
+    edges: DataFrame,
+    scaling,
+    grid=None,
+    value_col: str = "value",
+    id_col: str = "point_id",
+    index=None,
+) -> DataFrame:
+    """Zonal statistics: aggregate a point-value table per containing face
+    of a polygon layer — the raster-analysis classic (zonal mean/min/max)
+    re-expressed on the engine's own exact PIP operator.
+
+    points: (id_col, x, y, value_col). Every input point contributes to
+    exactly one zone; points outside every polygon aggregate under
+    face_id 0 (the PIP miss convention), so totals are conserved —
+    sum over zones == sum over input.
+
+    Scale shape: pip_locate's banded cell join (reusable ``index``), one
+    id-keyed join to re-attach values (narrow, same key as the locate
+    output), one map-side-combinable groupBy on face_id. For float
+    values note SUM order-dependence; exact engines should feed integer
+    or decimal values.
+    """
+    from rayjoin_spark.operators.pip import pip_locate
+
+    located = pip_locate(
+        points.select(id_col, "x", "y"), edges, scaling, grid, index=index
+    )
+    j = located.join(points.select(id_col, value_col), id_col)
+    v = F.col(value_col)
+    return j.groupBy("face_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum(v).alias("sum_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )

@@ -160,3 +160,26 @@ def test_redact_pii(spark):
     assert rows[2]["n_ips"] == 2 and rows[2]["redacted"] == "server at <IP> and <IP>"
     assert rows[3]["n_emails"] == 0 and rows[3]["n_ips"] == 0
     assert rows[4]["redacted"] == "<EMAIL> visits <IP>"
+
+
+def test_zonal_stats_conserves_totals(spark):
+    from rayjoin_spark.operators.faces import zonal_stats
+    from rayjoin_spark.plans.layers import build_edges
+    from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+    from rayjoin_spark.sources.datagen import lattice_chains, uniform_points
+
+    ca, pa = lattice_chains(spark, 4)
+    scaling = compute_scaling(pa, pa)
+    edges = build_edges(ca, pa, scaling)
+    pts = uniform_points(spark, 80, -0.5, 4.5, -0.5, 4.5).withColumn(
+        "value", F.pmod(F.col("point_id"), F.lit(7))
+    )
+    z = zonal_stats(pts, edges, scaling, GridSpec(16)).collect()
+    # conservation: every point lands in exactly one zone (misses -> face 0)
+    assert sum(r["n_points"] for r in z) == 80
+    want_sum = pts.agg(F.sum("value")).collect()[0][0]
+    assert sum(r["sum_val"] for r in z) == want_sum
+    # the -0.5 margin guarantees outside points, so face 0 must appear
+    assert any(r["face_id"] == 0 for r in z)
+    for r in z:
+        assert 0 <= r["min_val"] <= r["max_val"] <= 6
