@@ -462,6 +462,41 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (click -> latest at-or-before view per user) as a
+    single-shuffle union-merge — no range join, no per-row probe."""
+    from rayjoin_spark.functions.eventops import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return asof_join(ev, left_type="click", right_type="view").select(
+        "event_id", "user_id", "us",
+        "asof_event_id", "asof_us", "asof_value", "asof_lag_us",
+    )
+
+
+def q_event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (+-30 min around each purchase, global): the 1-D
+    time-chunk analog of the grid spatial join — bounded fan-out explode
+    on the interval side, single-chunk map on the probe side, one
+    equi-join."""
+    from rayjoin_spark.functions.eventops import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return interval_join(ev).select(
+        "interval_id", "n_events", "n_users", "first_us", "last_us"
+    )
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate fraction per doc (common n-grams within
+    the doc's source group) — the RefinedWeb-style template filter."""
+    from rayjoin_spark.functions.textops import boilerplate_score
+
+    return boilerplate_score(_docs(spark, sf_dir), n=5, min_docs=3).select(
+        "doc_id", "n_grams", "n_boiler", "boiler_frac"
+    )
+
+
 def q_overlay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The overlay writer's walk-order point stream — same DuckDB
     full-pipeline oracle as overlay_chains, points SELECT."""
@@ -590,6 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_morton": q_cell_morton,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
+        "event_asof": q_event_asof,
+        "event_interval_join": q_event_interval_join,
+        "boilerplate_frac": q_boilerplate,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -1313,6 +1351,68 @@ SELECT (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
 FROM events GROUP BY 1, 2
 """
 
+_EVENT_ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('click', 'view')
+), m AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w AS r_event_id,
+    last_value(CASE WHEN side = 0 THEN us END IGNORE NULLS) OVER w AS r_us,
+    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER w AS r_value
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, side, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, us,
+       CAST(r_event_id AS BIGINT) AS asof_event_id,
+       CAST(r_us AS BIGINT) AS asof_us,
+       r_value AS asof_value,
+       CAST(us - r_us AS BIGINT) AS asof_lag_us
+FROM m WHERE side = 1
+"""
+
+_EVENT_INTERVAL_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+), a AS (
+  SELECT event_id AS interval_id, us - 1800000000 AS lo, us + 1800000000 AS hi
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT interval_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       MIN(e.us) AS first_us, MAX(e.us) AS last_us
+FROM a JOIN e ON e.us BETWEEN a.lo AND a.hi
+GROUP BY interval_id
+"""
+
+_BOILERPLATE_SQL = """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source,
+    array_to_string(list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 4), ' ') AS gram
+  FROM (SELECT doc_id, source, toks,
+               unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS i FROM t)
+), c AS (
+  SELECT source, gram, COUNT(*) AS docs FROM g GROUP BY 1, 2
+), per AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         SUM(CASE WHEN c.docs >= 3 THEN 1 ELSE 0 END) AS n_boiler
+  FROM g JOIN c ON g.source = c.source AND g.gram = c.gram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+       COALESCE(per.n_boiler, 0)
+         / CAST(greatest(COALESCE(per.n_grams, 0), 1) AS DOUBLE) AS boiler_frac
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
 _EVENT_SESSIONS_SQL = """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
  l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
@@ -1424,6 +1524,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_morton": _morton_sql(),
         "event_rollup": _EVENT_ROLLUP_SQL,
         "event_sessions": _EVENT_SESSIONS_SQL,
+        "event_asof": _EVENT_ASOF_SQL,
+        "event_interval_join": _EVENT_INTERVAL_SQL,
+        "boilerplate_frac": _BOILERPLATE_SQL,
         # multimodal: the checked columns (dims/bytes/hashes/decoder) are
         # literal-derivable from the deterministic fixture; the float
         # feature vector stays pytest-only (mapInPandas decode internals)

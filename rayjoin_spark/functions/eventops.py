@@ -72,3 +72,126 @@ def sessionize_events(events: DataFrame, gap_us: int = 1800 * 1_000_000) -> Data
         F.max("us").alias("session_end_us"),
         F.count("*").alias("n_events"),
     ).drop("sid")
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    gap_cap_us: int | None = None,
+) -> DataFrame:
+    """AS-OF join within the events stream: for every LEFT event (e.g. a
+    click), attach the most recent RIGHT event (e.g. the view it came
+    from) of the same user at-or-before the left event's timestamp —
+    the canonical time-series enrichment join (a "previous state at time
+    t" lookup), which Spark has no built-in operator for.
+
+    Implemented as a MERGE, not a join: both sides union into one
+    stream, one shuffle on user_id, and a running `last(..., ignorenulls)`
+    window carries the latest right-side row forward. This is the shape
+    that scales: no range-join explosion, no per-row probe — each user's
+    timeline is a single sorted pass, and the state carried is one row.
+    (The equivalent ASOF JOIN in DuckDB/Pandas materializes the same
+    semantics; at 100 TB the union-merge is one shuffle of each side.)
+
+    Tie rule (deterministic): ordering is (us, side, event_id) with the
+    right side sorting FIRST at equal timestamps, so a left event sees a
+    right event with the identical timestamp (inclusive as-of); among
+    right events sharing a timestamp the highest event_id wins.
+
+    ``gap_cap_us`` optionally voids matches older than the cap (emitted
+    as nulls), the usual "attribution window" rule.
+    """
+    e = events.filter(F.col("event_type").isin([left_type, right_type])).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+        "value",
+    )
+    e = e.withColumn(
+        "side", F.when(F.col("event_type") == right_type, F.lit(0)).otherwise(F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    right = F.col("side") == 0
+    e = (
+        e.withColumn("r_event_id", F.last(F.when(right, F.col("event_id")), True).over(w))
+        .withColumn("r_us", F.last(F.when(right, F.col("us")), True).over(w))
+        .withColumn("r_value", F.last(F.when(right, F.col("value")), True).over(w))
+    )
+    out = e.filter(~right)
+    if gap_cap_us is not None:
+        stale = F.col("r_us").isNotNull() & (F.col("us") - F.col("r_us") > gap_cap_us)
+        out = (
+            out.withColumn("r_event_id", F.when(stale, F.lit(None)).otherwise(F.col("r_event_id")))
+            .withColumn("r_value", F.when(stale, F.lit(None)).otherwise(F.col("r_value")))
+            .withColumn("r_us", F.when(stale, F.lit(None)).otherwise(F.col("r_us")))
+        )
+    return out.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("r_event_id").cast("bigint").alias("asof_event_id"),
+        F.col("r_us").cast("bigint").alias("asof_us"),
+        F.col("r_value").alias("asof_value"),
+        (F.col("us") - F.col("r_us")).cast("bigint").alias("asof_lag_us"),
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    anchor_type: str = "purchase",
+    half_width_us: int = 1800 * 1_000_000,
+) -> DataFrame:
+    """Interval (range) join: count the activity inside a +-half_width
+    window around every ANCHOR event, across ALL users — "what happened
+    around each purchase". A naive engine runs this as an inequality
+    theta-join (quadratic scans); Spark's own join operators can only
+    express it as a broadcast-nested-loop.
+
+    This is the 1-D analog of the engine's grid spatial join
+    (operators/lsi.py): time is bucketed into fixed chunks of width
+    2*half_width, the interval side explodes into the <=2 chunks it can
+    overlap (bounded fan-out, like edges-to-cells), the event side maps
+    to exactly ONE chunk — so the equi-join on chunk id replicates only
+    the small side and every (interval, event) match is produced exactly
+    once (no dedup pass needed). One shuffle per side; chunk keys are
+    time-uniform, and the engine's salting layer (plans/skew.py) applies
+    unchanged if a flash-crowd chunk goes hot.
+
+    Floor semantics use the subtract-pmod form (exact for negative
+    epochs, mirrored verbatim in the oracle SQL, cf. event_rollup).
+    """
+    chunk_us = 2 * half_width_us
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def _chunk(col):
+        return F.expr(f"({col} - pmod({col}, {chunk_us})) DIV {chunk_us}")
+
+    anchors = (
+        e.filter(F.col("event_type") == anchor_type)
+        .select(
+            F.col("event_id").alias("interval_id"),
+            (F.col("us") - half_width_us).alias("lo"),
+            (F.col("us") + half_width_us).alias("hi"),
+        )
+        .withColumn("chunk", F.explode(F.sequence(_chunk("lo"), _chunk("hi"))))
+    )
+    probes = e.select("event_id", "user_id", "us").withColumn("chunk", _chunk("us"))
+    m = anchors.join(probes, "chunk").filter(
+        (F.col("us") >= F.col("lo")) & (F.col("us") <= F.col("hi"))
+    )
+    return m.groupBy("interval_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )

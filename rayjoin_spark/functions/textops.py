@@ -680,3 +680,71 @@ def redact_pii(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("n_ips", n_ips.cast("bigint"))
         .withColumn("redacted", redacted)
     )
+
+def boilerplate_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    group_col: str = "source",
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate signal (the RefinedWeb/CCNet filter
+    that intra-doc repetition_ratio can't see): for each document, the
+    fraction of its DISTINCT word n-grams that are *common within the
+    document's group* (source/domain) — i.e. appear in >= min_docs
+    distinct documents of the same group. Template pages, navigation
+    chrome and licence footers score high; unique prose scores low.
+
+    Scale shape: one bounded explode + per-doc distinct (linear in
+    corpus tokens), one map-side-combinable count per (group, gram) —
+    the rows are already (doc, group, gram)-distinct so COUNT(*) IS the
+    distinct-doc count — and ONE equi-join back on (group, gram). No
+    corpus self-join, no broadcast of anything corpus-sized; group+gram
+    keys are near-uniform so the join is skew-safe (a pathological
+    mega-gram is bounded by the group's doc count).
+
+    Emits exact bigints (n_grams, n_boiler) plus one double division —
+    a single IEEE op, bit-identical across engines.
+    """
+    toks = _tokens(F.lower(F.col(text)))
+    d = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    grams = d.select(
+        id_col,
+        "_grp",
+        F.explode(
+            F.when(
+                F.col("_n") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    ).distinct()
+    # rows are (doc, grp, gram)-distinct => COUNT(*) = distinct docs
+    common = grams.groupBy("_grp", "gram").agg(F.count("*").alias("_docs"))
+    per_doc = (
+        grams.join(common, ["_grp", "gram"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_docs") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_boiler"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+    )
+    return out.withColumn(
+        "boiler_frac",
+        F.col("n_boiler") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+    )
