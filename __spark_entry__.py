@@ -497,6 +497,88 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the k best-quality pages per source via
+    the skew-safe two-phase top-k (bucketed pre-rank bounds any window
+    partition at group_size / n_buckets — a mega-domain can't pin one
+    task)."""
+    scored = textops.quality_score(_docs(spark, sf_dir))
+    return textops.topk_per_group(
+        scored, "source", "quality", "doc_id", k=5
+    ).select("doc_id", "source", "quality", "rank")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-clustering representative selection: near-dup components
+    (LSH -> Jaccard-verified -> connected components) joined to quality
+    scores; each cluster keeps its highest-quality doc (ties -> lowest
+    id) — the final survivor set of a dedup pass."""
+    docs = _docs(spark, sf_dir)
+    sigs = textops.minhash_signatures(docs)
+    cands = textops.neardup_candidates(textops.lsh_bands(sigs))
+    jac = textops.ngram_jaccard(docs, cands)
+    verified = jac.filter(
+        F.col("n_inter") * 2 >= F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).select("id_a", "id_b")
+    clusters = textops.neardup_components(docs, verified)
+    scored = textops.quality_score(docs)
+    return textops.dedup_keep_best(scored, clusters).select(
+        "doc_id", "cluster_id", "kept_id", "keep"
+    )
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate token-window detection (fixed-window
+    approximation of suffix-array substring dedup, Lee et al. 2022):
+    per doc, how many of its 8-token windows appear in another doc."""
+    return textops.dup_spans(_docs(spark, sf_dir), w=8).select(
+        "doc_id", "n_windows", "n_dup_windows", "dup_frac"
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pre-tokenizer segment count (the GPT-2 split-regex family,
+    dialect-portable subset) — the token budget a real tokenizer sees,
+    next to token_count's whitespace count."""
+    return textops.bpe_token_count(_docs(spark, sf_dir)).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+#: source mixing weights for the driver query: upsample src0 2.5x,
+#: halve src1, drop src2, keep everything else at 1x
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain reweighting: floor(weight) copies per doc
+    plus an md5-threshold Bernoulli for the fractional part — a pure
+    codegen expression + bounded explode, no shuffle."""
+    return textops.mix_sources(_docs(spark, sf_dir), _MIX_WEIGHTS).select(
+        "doc_id", "source", "rep"
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embeddings table (k=8, two
+    update rounds) — broadcast centroids, linear assign scans, combinable
+    update aggs; bit-reproducible under any partitioning."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.kmeans_labels(emb, k=8, iters=2).select(
+        "vec_id", "cluster", "sq_dist"
+    )
+
+
+def q_kmeans_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: the member closest to each k-means centroid
+    (one combinable min_by over the kmeans_labels output)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labeled = simsearch.kmeans_labels(emb, k=8, iters=2)
+    return simsearch.kmeans_representatives(labeled).select(
+        "cluster", "rep_id", "sq_dist"
+    )
+
+
 def q_overlay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The overlay writer's walk-order point stream — same DuckDB
     full-pipeline oracle as overlay_chains, points SELECT."""
@@ -606,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": q_raster_vectorize,
         "knn_cellring": q_knn,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_tokens,
         "quality_score": q_quality,
         "lang_guess": q_lang,
         "doc_fingerprint": q_fingerprint,
@@ -628,6 +711,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": q_event_asof,
         "event_interval_join": q_event_interval_join,
         "boilerplate_frac": q_boilerplate,
+        "domain_topk": q_domain_topk,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dup_spans": q_dup_spans,
+        "source_mix": q_source_mix,
+        "kmeans_labels": q_kmeans,
+        "kmeans_reps": q_kmeans_reps,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -859,13 +948,15 @@ FROM documents
 
 _STOP = "['the','a','of','and','to','in','is','on','for','with']"
 
-_QUALITY_SQL = f"""
-SELECT doc_id,
-  0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+_QUALITY_EXPR = f"""0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
   + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
            / greatest(CAST(length(text) AS DOUBLE), 1.0))
   + 0.3 * least((CAST(length(list_filter({_TOKENS}, x -> list_contains({_STOP}, lower(x)))) AS DOUBLE)
-                 / greatest(CAST(length({_TOKENS}) AS DOUBLE), 1.0)) * 4.0, 1.0)
+                 / greatest(CAST(length({_TOKENS}) AS DOUBLE), 1.0)) * 4.0, 1.0)"""
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  {_QUALITY_EXPR}
   AS quality
 FROM documents
 """
@@ -1413,6 +1504,161 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
+_DOMAIN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source, {_QUALITY_EXPR} AS quality FROM documents
+), r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+  FROM q
+)
+SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rank FROM r WHERE rnk <= 5
+"""
+
+_KEEP_BEST_SQL = f"""
+WITH RECURSIVE verified AS (
+  SELECT id_a, id_b FROM ({_NEARDUP_SQL})
+  WHERE n_inter * 2 >= n_a + n_b - n_inter
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM verified
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+), lab AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+), q AS (
+  SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents
+), rk AS (
+  SELECT lab.doc_id, lab.cluster_id,
+         row_number() OVER (PARTITION BY lab.cluster_id
+                            ORDER BY q.quality DESC, lab.doc_id) AS rn
+  FROM lab JOIN q USING (doc_id)
+), kept AS (
+  SELECT cluster_id, doc_id AS kept_id FROM rk WHERE rn = 1
+)
+SELECT rk.doc_id, rk.cluster_id, kept.kept_id, rk.doc_id = kept.kept_id AS keep
+FROM rk JOIN kept USING (cluster_id)
+"""
+
+_DUP_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS toks FROM documents
+), w AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, CAST(i AS INT), CAST(i + 7 AS INT)), ' ')) AS gram
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+    FROM t WHERE len(toks) >= 8
+  )
+), g AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY gram
+), p AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM w JOIN g USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(p.n_dup_windows, 0) / CAST(greatest(COALESCE(p.n_windows, 0), 1) AS DOUBLE) AS dup_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+
+def _bpe_tokens_sql() -> str:
+    from rayjoin_spark.functions.textops import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _source_mix_sql() -> str:
+    from rayjoin_spark.functions.textops import hex_threshold
+
+    base_cases = " ".join(
+        f"WHEN '{src}' THEN {int(w)}" for src, w in sorted(_MIX_WEIGHTS.items())
+    )
+    thr_cases = " ".join(
+        f"WHEN '{src}' THEN '{hex_threshold(w - int(w))}'"
+        for src, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH wts AS (
+  SELECT doc_id, source,
+    CAST(CASE source {base_cases} ELSE 1 END AS BIGINT)
+      + CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                  < CASE source {thr_cases} ELSE '00000000' END
+             THEN 1 ELSE 0 END AS n_rep
+  FROM documents
+)
+SELECT doc_id, source, CAST(unnest(range(1, n_rep + 1)) AS BIGINT) AS rep FROM wts
+"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd iterations mirroring simsearch.kmeans_labels:
+    integer-quantized vectors, exact integer squared-L2 via the dot
+    identity (every dot is integer-exact in double at this scale),
+    (dist, cid) argmin tiebreak, truncating integer-mean update
+    (DuckDB // and Spark DIV both truncate toward zero)."""
+    dd = "CAST({x} AS DOUBLE[])"
+    def dot(a, b):
+        return f"list_dot_product({dd.format(x=a)}, {dd.format(x=b)})"
+
+    def assign(name, cent):
+        return f"""{name} AS (
+  SELECT vid, v, cid, dist FROM (
+    SELECT vid, v, cid, dist,
+           row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+    FROM (
+      SELECT iv.vid, iv.v, c.cid,
+             CAST({dot('iv.v', 'iv.v')} + {dot('c.cv', 'c.cv')}
+                - 2 * {dot('iv.v', 'c.cv')} AS BIGINT) AS dist
+      FROM iv, {cent} c
+    )
+  ) WHERE rn = 1
+)"""
+
+    def update(name, prev):
+        return f"""{name} AS (
+  SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+    SELECT cid, dim, SUM(val) // COUNT(*) AS mu FROM (
+      SELECT cid, CAST(i AS INT) AS dim, v[CAST(i AS INT)] AS val
+      FROM {prev}, UNNEST(range(1, len(v) + 1)) AS t(i)
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+)"""
+
+    ctes = [
+        f"""iv AS (
+  SELECT vec_id AS vid, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS INT) AS cid, v AS cv
+  FROM (SELECT vid, v FROM iv ORDER BY vid LIMIT {k})
+)""",
+    ]
+    cent = "c0"
+    for i in range(iters):
+        ctes.append(assign(f"a{i}", cent))
+        ctes.append(update(f"c{i + 1}", f"a{i}"))
+        cent = f"c{i + 1}"
+    ctes.append(assign("afinal", cent))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vid AS vec_id, CAST(cid AS BIGINT) AS cluster, dist AS sq_dist FROM afinal"
+    )
+
+
 _EVENT_SESSIONS_SQL = """
 WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
  l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
@@ -1527,6 +1773,21 @@ def oracle_sql() -> dict[str, str]:
         "event_asof": _EVENT_ASOF_SQL,
         "event_interval_join": _EVENT_INTERVAL_SQL,
         "boilerplate_frac": _BOILERPLATE_SQL,
+        "domain_topk": _DOMAIN_TOPK_SQL,
+        "dedup_keep_best": _KEEP_BEST_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
+        "source_mix": _source_mix_sql(),
+        "bpe_token_count": _bpe_tokens_sql(),
+        "kmeans_labels": _kmeans_sql(k=8, iters=2),
+        "kmeans_reps": f"""
+WITH km AS ({_kmeans_sql(k=8, iters=2)}),
+ r AS (
+  SELECT cluster, vec_id, sq_dist,
+         row_number() OVER (PARTITION BY cluster ORDER BY sq_dist, vec_id) AS rn
+  FROM km
+)
+SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
+""",
         # multimodal: the checked columns (dims/bytes/hashes/decoder) are
         # literal-derivable from the deterministic fixture; the float
         # feature vector stays pytest-only (mapInPandas decode internals)

@@ -748,3 +748,209 @@ def boilerplate_score(
         "boiler_frac",
         F.col("n_boiler") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Skew-safe per-group top-k (highest score, ties -> lowest id):
+    the per-domain quota pass of a web corpus pipeline ("keep the k
+    best pages per domain") — a plain row_number window would ship a
+    mega-domain's every row to ONE task, the classic crawl-skew
+    straggler.
+
+    Two-phase instead: phase 1 buckets each group by a deterministic
+    hash of the id (pmod(xxhash64(id), n_buckets)) and takes top-k per
+    (group, bucket), bounding any window partition at group_size /
+    n_buckets; phase 2 re-ranks the <= k * n_buckets survivors per
+    group. Identical output to the single-window plan (each group's
+    true top-k survives its bucket's top-k), with the final window
+    running on k*n_buckets rows per group at most. Ordering uses the
+    struct key (-score, id) — exact for IEEE doubles with no NaNs —
+    mirroring SQL `ORDER BY score DESC, id`.
+    """
+    from pyspark.sql import Window
+
+    okey = F.struct((-F.col(score_col)).alias("ns"), F.col(id_col).alias("i"))
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    w1 = Window.partitionBy(group_col, "_bkt").orderBy(okey)
+    w2 = Window.partitionBy(group_col).orderBy(okey)
+    return (
+        df.withColumn("_bkt", bucket)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .drop("_bkt", "_r1")
+        .withColumn("rank", F.col("rank").cast("bigint"))
+    )
+
+
+def dedup_keep_best(
+    scored: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Representative selection after near-dup clustering: within each
+    cluster keep the HIGHEST-quality document (ties -> lowest id), not
+    the arbitrary min-id canonical — the final "which rows survive
+    dedup" answer of a training-data pipeline (clusters from
+    `neardup_components`, scores from `quality_score`).
+
+    Scale shape: one equi-join of the cluster table to the score
+    column, one map-side-combinable min_by groupBy per cluster (key =
+    exact struct (-score, id)), one join back on cluster_id. Cluster
+    ids are near-dup components — overwhelmingly tiny — so the joins
+    are skew-safe; nothing corpus-sized is broadcast or windowed.
+    """
+    j = clusters.join(scored.select(id_col, score_col), id_col)
+    best = j.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct((-F.col(score_col)).alias("ns"), F.col(id_col).alias("i"))
+        ).alias("kept_id")
+    )
+    return j.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "kept_id",
+        (F.col(id_col) == F.col("kept_id")).alias("keep"),
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Cross-document duplicate-span detection at fixed token-window
+    granularity — the scalable approximation of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a doc's window is duplicated if the same
+    w consecutive tokens appear in ANY other document. Catches copied
+    passages inside otherwise-distinct pages, which whole-doc MinHash
+    misses. Emits per doc: window count, duplicated-window count, and
+    the duplicated fraction (one IEEE division).
+
+    Scale shape: one bounded explode (n_tokens - w + 1 windows/doc,
+    linear in corpus tokens), gram identity = md5 of the joined window
+    (fixed-width key, no long strings cross the shuffle twice), one
+    count-distinct-docs groupBy on the gram hash (md5-uniform keys —
+    skew-safe), one equi-join back, one per-doc agg. No self-join, no
+    window function, nothing corpus-sized on a single task.
+    """
+    toks = _tokens(F.col(text))
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    grams = base.filter(F.col("_n") >= w).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - F.lit(w - 1)),
+                lambda i: F.md5(
+                    F.encode(F.array_join(F.slice(F.col("_toks"), i, w), " "), "UTF-8")
+                ),
+            )
+        ).alias("gram"),
+    )
+    gdocs = grams.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("_docs")
+    )
+    per_doc = (
+        grams.join(gdocs, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.col("n_dup_windows") / F.greatest(F.col("n_windows"), F.lit(1)).cast("double"),
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic source mixing / domain reweighting: emit each row
+    round(weight) times in expectation — floor(weight) guaranteed
+    copies plus one more iff md5(key || salt) falls under the
+    fractional-part threshold (the sample_deterministic machinery, so
+    up- AND down-sampling are the same op: weight 2.5 = 2 or 3 copies,
+    weight 0.5 = 0 or 1). The pretraining data-mixing pass (domain
+    weights a la DoReMi / The Pile recipes) as a pure column
+    expression: reproducible across engines and partitionings, no
+    sample()/rand() nondeterminism, and re-running on changed data
+    keeps per-key decisions stable.
+
+    Output repeats the row with a `rep` index 1..n_rep (bounded
+    explode, linear in output size — no join, no shuffle at all).
+    """
+    h = F.md5(F.encode(F.concat(F.col(key_col).cast("string"), F.lit(salt)), "UTF-8"))
+    base = F.lit(int(default_weight))
+    thr = F.lit(hex_threshold(default_weight - int(default_weight)))
+    for value, wgt in sorted(weights.items()):
+        base = F.when(F.col(group_col) == value, F.lit(int(wgt))).otherwise(base)
+        thr = F.when(
+            F.col(group_col) == value, F.lit(hex_threshold(wgt - int(wgt)))
+        ).otherwise(thr)
+    n_rep = (base.cast("bigint") + (h < thr).cast("bigint")).alias("_nrep")
+    out = df.withColumn("_nrep", n_rep)
+    return (
+        out.filter(F.col("_nrep") >= 1)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_nrep"))).alias("rep"),
+        )
+        .drop("_nrep")
+    )
+
+
+#: GPT-2-style pre-tokenizer approximation, restricted to syntax with
+#: IDENTICAL semantics under Java regex (Spark) and RE2 (DuckDB): no
+#: lookaround, no unicode classes, leftmost-first alternation in both.
+#: Alternatives: English contractions, optionally-space-prefixed letter
+#: runs, digit runs, punctuation runs, then residual whitespace.
+BPE_SPLIT_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[A-Za-z]+"
+    "| ?[0-9]+"
+    "| ?[^A-Za-z0-9\\s]+"
+    "|\\s+"
+)
+
+
+def bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
+    """Subword-ish token count: the number of BPE *pre-tokenization*
+    segments (the GPT-2 split regex family) — the budget a tokenizer
+    actually sees, vs the whitespace count of `token_count`. Counting
+    matches of the split pattern is a pure codegen expression
+    (regexp_extract_all + size): no UDF, no shuffle, and the pattern is
+    dialect-portable so the DuckDB oracle reproduces it exactly."""
+    t = F.col(text)
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast(
+            "bigint"
+        ),
+    )

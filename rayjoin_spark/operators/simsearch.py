@@ -349,3 +349,112 @@ def ann_recall(spark_topk_exact: DataFrame, spark_topk_ann: DataFrame) -> float:
     exact = {(r["query_id"], r["corpus_id"]) for r in spark_topk_exact.collect()}
     ann = {(r["query_id"], r["corpus_id"]) for r in spark_topk_ann.collect()}
     return len(exact & ann) / max(len(exact), 1)
+
+def kmeans_labels(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-arithmetic distributed k-means (Lloyd) over an embedding
+    column — the clustering pass a corpus pipeline runs for data maps,
+    diversity sampling, and IVF codebook training (ann_ivf_topk's
+    quantizer is the one-shot analog; this is the iterated version).
+
+    Everything is INTEGER so the result is bit-reproducible on any
+    engine/partitioning/cluster size: vectors quantize to bigint
+    (round(x*SCALE), the module-wide contract), distances are exact
+    integer squared-L2, the argmin tiebreak is (dist, cid), and the
+    centroid update is the element-wise integer mean `sum DIV count`
+    (truncating division — both Spark DIV and DuckDB // truncate toward
+    zero). No float ever crosses a shuffle, so there is no
+    summation-order ambiguity anywhere.
+
+    Init: the k vectors with the smallest ids, cid = 0..k-1 in id order
+    (deterministic, oracle-mirrorable). Empty clusters simply drop out
+    of later rounds (documented Lloyd behavior; deterministic too).
+
+    Scale shape: centroids are a k x dim table — BROADCAST to every
+    task (k*dim*8 bytes); each iteration is one linear scan for the
+    assign (crossJoin vs k broadcast rows + in-order integer fold, all
+    JVM higher-order functions, no UDF) and one map-side-combinable
+    groupBy for the update (k*dim rows out). The iteration loop is
+    driver-side with O(iters) tiny jobs — the canonical distributed
+    k-means; no quadratic stage anywhere.
+    """
+    # every iteration scans iv (assign + update) — materialize the
+    # quantized vectors once (house pattern for iterative inputs:
+    # eager localCheckpoint, cf. knn/neardup_components) instead of
+    # re-reading + re-quantizing the source twice per round
+    iv = corpus.select(
+        F.col(id_col).alias("vid"), _int_vec(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    w_init = Window.orderBy("vid")
+    cents = (
+        iv.orderBy("vid")
+        .limit(k)
+        .select((F.row_number().over(w_init) - 1).alias("cid"), F.col("v").alias("cv"))
+    )
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        d = iv.crossJoin(F.broadcast(cent_df))
+        dist = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        d = d.select("vid", "v", "cid", dist.alias("dist"))
+        return (
+            d.groupBy("vid", "v")
+            .agg(F.min_by(F.struct("cid", "dist"), F.struct("dist", "cid")).alias("m"))
+            .select("vid", "v", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        )
+
+    for _ in range(iters):
+        a = _assign(cents)
+        sums = (
+            a.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        )
+        cents = (
+            sums.withColumn("mu", F.expr("s DIV n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                    lambda st: st["mu"],
+                ).alias("cv")
+            )
+        )
+        # k*dim rows: cut the lineage so iteration i+1's plan doesn't
+        # re-derive every earlier round (same pattern as knn/clusters)
+        cents = cents.localCheckpoint(eager=True)
+    out = _assign(cents)
+    return out.select(
+        F.col("vid").alias(id_col),
+        F.col("cid").cast("bigint").alias("cluster"),
+        F.col("dist").alias("sq_dist"),
+    )
+
+
+def kmeans_representatives(labeled: DataFrame) -> DataFrame:
+    """Diversity / coreset sampling over `kmeans_labels` output: each
+    cluster's representative is the member CLOSEST to its centroid
+    (exact integer sq_dist; ties -> lowest id) — the "pick one doc per
+    semantic bucket" pass of embedding-based corpus curation.
+
+    Scale shape: one map-side-combinable min_by groupBy (k rows out);
+    nothing is broadcast, windowed, or collected.
+    """
+    m = labeled.groupBy("cluster").agg(
+        F.min_by(
+            F.struct("vec_id", "sq_dist"), F.struct("sq_dist", "vec_id")
+        ).alias("m")
+    )
+    return m.select(
+        "cluster",
+        F.col("m.vec_id").alias("rep_id"),
+        F.col("m.sq_dist").alias("sq_dist"),
+    )

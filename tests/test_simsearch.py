@@ -164,3 +164,56 @@ def test_sampling_and_chunking(spark):
     assert ch[(2, 0)]["chunk_text"] == "a b" and len([1 for d, _ in ch if d == 2]) == 1
     # empty text: one chunk, the empty token
     assert ch[(3, 0)]["n_chunk_tokens"] == 1 and ch[(3, 0)]["chunk_text"] == ""
+
+
+def test_kmeans_labels_two_obvious_clusters(spark):
+    from rayjoin_spark.operators.simsearch import kmeans_labels
+
+    # two tight 2-D blobs; init = two smallest ids, one in each blob
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.01, -0.01]), (4, [-0.02, 0.01]),
+        (1, [1.0, 1.0]), (3, [0.99, 1.02]), (5, [1.01, 0.98]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: r for r in kmeans_labels(emb, k=2, iters=2).collect()}
+    assert {out[i]["cluster"] for i in (0, 2, 4)} == {0}
+    assert {out[i]["cluster"] for i in (1, 3, 5)} == {1}
+    # centroid of blob 0 after any round is the integer mean of quantized
+    # members: ((0+10-20)//3, (0-10+10)//3) = (-3, 0); vec 0's final
+    # sq_dist = 3^2 + 0^2
+    assert out[0]["sq_dist"] == 9
+
+
+def test_kmeans_labels_partitioning_invariant(spark):
+    from rayjoin_spark.operators.simsearch import kmeans_labels
+
+    rows = [
+        (i, [float(((i * 37) % 19) - 9) / 3.0, float(((i * 53) % 23) - 11) / 4.0,
+             float((i % 7) - 3) / 2.0])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a = sorted(map(tuple, kmeans_labels(emb, k=4, iters=2).collect()))
+    b = sorted(map(tuple, kmeans_labels(emb.repartition(13), k=4, iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_representatives(spark):
+    from rayjoin_spark.operators.simsearch import (
+        kmeans_labels,
+        kmeans_representatives,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [0.01, -0.01]), (4, [-0.02, 0.01]),
+        (1, [1.0, 1.0]), (3, [0.99, 1.02]), (5, [1.01, 0.98]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    reps = {
+        r["cluster"]: r
+        for r in kmeans_representatives(kmeans_labels(emb, k=2, iters=2)).collect()
+    }
+    # blob 0 centroid is the integer mean (-3, 0): vec 0 at sq_dist 9 is
+    # nearest; blob 1 centroid is exactly (1000, 1000) = vec 1
+    assert reps[0]["rep_id"] == 0 and reps[0]["sq_dist"] == 9
+    assert reps[1]["rep_id"] == 1 and reps[1]["sq_dist"] == 0

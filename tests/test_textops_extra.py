@@ -183,3 +183,101 @@ def test_zonal_stats_conserves_totals(spark):
     assert any(r["face_id"] == 0 for r in z)
     for r in z:
         assert 0 <= r["min_val"] <= r["max_val"] <= 6
+
+
+def test_topk_per_group_matches_single_window(spark):
+    # 40 rows, 2 groups, deterministic scores with duplicates (ties
+    # must break on lowest id); tiny n_buckets exercises the two-phase
+    # path where several buckets contribute survivors.
+    rows = [(i, f"g{i % 2}", float((i * 7) % 5)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, quality double")
+    got = textops.topk_per_group(
+        df, "source", "quality", "doc_id", k=3, n_buckets=4
+    ).collect()
+    # brute-force expected top-3 per group: score desc, id asc
+    exp = {}
+    for g in ("g0", "g1"):
+        mem = sorted(
+            [r for r in rows if r[1] == g], key=lambda r: (-r[2], r[0])
+        )[:3]
+        exp[g] = [(r[0], rank + 1) for rank, r in enumerate(mem)]
+    assert sorted((r["source"], r["doc_id"], r["rank"]) for r in got) == sorted(
+        (g, i, rk) for g, lst in exp.items() for i, rk in lst
+    )
+
+
+def test_dedup_keep_best_prefers_quality_then_id(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)],
+        "doc_id bigint, quality double",
+    )
+    out = {r["doc_id"]: r for r in textops.dedup_keep_best(scored, clusters).collect()}
+    # cluster 1: quality tie 2 vs 3 -> lowest id 2 kept
+    assert out[2]["keep"] and out[2]["kept_id"] == 2
+    assert not out[1]["keep"] and out[1]["kept_id"] == 2 and not out[3]["keep"]
+    # singleton keeps itself
+    assert out[4]["keep"] and out[4]["kept_id"] == 4
+
+
+def test_dup_spans_counts_cross_doc_only(spark):
+    shared = "one two three four five six seven eight"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " tail1 tail2"),          # 10 toks -> 3 windows
+            (2, "head " + shared),                 # 9 toks -> 2 windows
+            (3, "a b c d e f g h a b c d e f g h"),  # intra-doc repeat only
+            (4, "short text"),                     # < w tokens -> 0 windows
+        ],
+    )
+    rows = {r["doc_id"]: r for r in textops.dup_spans(df, w=8).collect()}
+    # docs 1 and 2 share exactly the window starting at 'one'
+    assert rows[1]["n_windows"] == 3 and rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_windows"] == 2 and rows[2]["n_dup_windows"] == 1
+    assert rows[1]["dup_frac"] == pytest.approx(1 / 3)
+    # doc 3's repeated window exists in no OTHER doc: count_distinct
+    # docs per gram is 1, so nothing is flagged
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["n_windows"] == 9
+    # sub-window doc still appears, with zero counts and frac 0.0
+    assert rows[4]["n_windows"] == 0 and rows[4]["dup_frac"] == 0.0
+
+
+def test_mix_sources_deterministic_repeats(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", "t") for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    out = textops.mix_sources(
+        df, {"s0": 3.0, "s1": 0.5, "s2": 0.0}, default_weight=1.0
+    )
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["rep"])
+    # integer weight 3.0: exactly 3 copies with rep = 1,2,3
+    for i in range(0, 30, 3):
+        assert sorted(by_doc[i]) == [1, 2, 3]
+    # weight 0.0: never emitted
+    assert all(i not in by_doc for i in range(2, 30, 3))
+    # weight 0.5: 0 or 1 copies, deterministic re-run identical
+    s1_docs = [i for i in range(1, 30, 3) if i in by_doc]
+    assert all(by_doc[i] == [1] for i in s1_docs)
+    again = {
+        r["doc_id"]
+        for r in textops.mix_sources(
+            df, {"s0": 3.0, "s1": 0.5, "s2": 0.0}, default_weight=1.0
+        ).collect()
+    }
+    assert {r["doc_id"] for r in rows} == again
+
+
+def test_bpe_token_count_segments(spark):
+    df = _docs(spark, [(1, "I'll see 42 cats, don't I?"), (2, ""), (3, "abc")])
+    rows = {r["doc_id"]: r["n_bpe_tokens"] for r in textops.bpe_token_count(df).collect()}
+    # ['I', \"'ll\", ' see', ' 42', ' cats', ',', ' don', \"'t\", ' I', '?']
+    assert rows[1] == 10
+    assert rows[2] == 0 and rows[3] == 1
