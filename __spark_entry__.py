@@ -405,6 +405,70 @@ def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-derive `text` from raw html bytes (stdlib-parser extraction in
+    an Arrow-batched mapInPandas, functions/htmlops.py). The html is
+    built deterministically around the document text with head/script/
+    style subtrees, comments, block tags and entity references; the
+    oracle states the extraction contract's expected output directly —
+    hash-equality proves tag stripping, subtree skipping, entity decode
+    and whitespace normalization all at once."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<html><head><title>skip me</title><script>var x=1;</script>"
+            "<style>p{color:red}</style></head><body><h1>doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit(" &amp; "),
+        F.col("source"),
+        F.lit("</h1><!-- dropped --><p>"),
+        F.col("text"),
+        F.lit("</p><div>&#169; &amp; &#8212; end</div></body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return htmlops.extract_text(pages, "html", "extracted").select(
+        "doc_id", "extracted"
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (C4/CCNet rule): documents are
+    re-lined into 4-token lines, lines appearing >= 2 times anywhere in
+    the corpus are dropped, docs reassemble in order."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    ml = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+\s+){3}\S+)\s+", "$1\n").alias("text"),
+    )
+    return htmlops.dedup_lines(ml, "doc_id", "text", min_count=2)
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl statistics over the derived pages table: JVM-regex
+    URL decomposition + one algebraic groupBy (functions/htmlops.py)."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+        "lang",
+    )
+    return htmlops.host_stats(pages).select(
+        "host", "n_pages", "n_langs", "text_chars", "avg_path_depth"
+    )
+
+
 def q_lsi_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join, explicit hot-cell salting path (threshold 0 = salt all
     joint cells, exercising the scatter/replicate plan end-to-end).
@@ -702,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash,
         "ann_topk_dot": q_ann,
         "pages_geocode": q_pages_geocode,
+        "html_extract": q_html_extract,
+        "line_dedup": q_line_dedup,
+        "host_stats": q_host_stats,
         "lsi_join_salted": q_lsi_salted,
         "overlay_chains": q_overlay,
         "overlay_points": q_overlay_points,
@@ -1397,6 +1464,54 @@ WITH iv AS ({_IV_SQL}),
 SELECT query_id, corpus_id, dot, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """
 
+#: extraction contract stated directly: head/script/style subtrees and
+#: comments vanish, h1/p/div are line breaks, entities decode
+#: (&amp; &#169; &#8212;), whitespace normalizes — so the expected text
+#: is exactly three lines
+_HTML_EXTRACT_SQL = """
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) || ' & ' || source || chr(10) ||
+       text || chr(10) || '© & — end' AS extracted
+FROM documents
+"""
+
+_LINE_DEDUP_SQL = r"""
+WITH ml AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+\s+){3}\S+)\s+', '\1' || chr(10), 'g') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(t, chr(10)), 1) AS line_no,
+         unnest(string_split(t, chr(10))) AS line
+  FROM ml
+), dup AS (
+  SELECT line FROM lines GROUP BY line HAVING count(*) >= 2
+), agg AS (
+  SELECT l.doc_id,
+         string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                    chr(10) ORDER BY l.line_no) AS clean_text,
+         count(*) FILTER (WHERE d.line IS NULL) AS lines_kept,
+         count(*) FILTER (WHERE d.line IS NOT NULL) AS lines_dropped
+  FROM lines l LEFT JOIN dup d USING (line)
+  GROUP BY l.doc_id
+)
+SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+       CAST(coalesce(lines_kept, 0) AS BIGINT) AS lines_kept,
+       CAST(coalesce(lines_dropped, 0) AS BIGINT) AS lines_dropped
+FROM agg
+"""
+
+#: the derived pages' path is always '/d/<doc_id>' (depth 2)
+_HOST_STATS_SQL = """
+SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+       COUNT(*) AS n_pages,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(length(text)) AS BIGINT) AS text_chars,
+       AVG(2.0) AS avg_path_depth
+FROM documents GROUP BY 1
+"""
+
 _PAGES_SQL = """
 SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
        ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 1021.0 AS x,
@@ -1751,6 +1866,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash16": _SIMHASH_SQL,
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,
+        "html_extract": _HTML_EXTRACT_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
+        "host_stats": _HOST_STATS_SQL,
         "lsi_join_salted": _LSI_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,

@@ -1,0 +1,268 @@
+"""HTML -> text extraction and URL/line-level webtext operators.
+
+The graft input table carries Common-Crawl-shaped pages
+(url string, warc_ts timestamp, html binary, text string, lang string)
+with the per-row invariant that `text` is the extraction of `html`
+byte-for-byte. Until now the pipeline treated `html` as opaque; this
+module implements the extraction side so text can be RE-DERIVED from the
+raw html and the invariant *verified* rather than trusted — the webtext
+analog of the reference's --check mode (`/root/reference/src/run_query.cu:33-141`
+re-computes a query with an independent backend and compares row-exact).
+
+Extraction contract (deterministic, dependency-free, stdlib html.parser
+inside an Arrow-batched `mapInPandas` — Python loops only over rows of an
+Arrow batch, identical plumbing to the PNG decoder in multimodal.py):
+
+* `<script> <style> <head> <template> <noscript>` subtrees are dropped;
+* comments / doctype / processing instructions are dropped;
+* block-level tags (p, div, br, h1-h6, li, tr, table, section, ...) emit
+  a line break at both open and close; inline tags emit nothing (so
+  ``<b>a</b>b`` -> ``ab``, per HTML text semantics);
+* character and entity references are decoded (``&amp;`` ``&#169;`` ...);
+* within each line, whitespace runs collapse to a single space; lines are
+  stripped; empty lines drop; the result is ``"\n".join(lines)``.
+
+Also here, because they operate on the same pages shape:
+
+* `url_parts` / `host_stats` — URL decomposition with JVM-side regex
+  (codegen; no Python) and per-host corpus statistics;
+* `dedup_lines` — corpus-level duplicated-line removal (the C4/CCNet
+  "discard lines repeated across the corpus" rule): one count shuffle on
+  a 64-bit line hash + one left join + one per-doc reassembly groupBy.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: subtrees whose text content never reaches the extraction
+_SKIP_TAGS = frozenset({"script", "style", "head", "template", "noscript"})
+
+#: tags that terminate a line of extracted text (HTML block-level set)
+_BLOCK_TAGS = frozenset(
+    {
+        "address", "article", "aside", "blockquote", "br", "caption", "dd",
+        "details", "div", "dl", "dt", "fieldset", "figcaption", "figure",
+        "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "header",
+        "hr", "html", "body", "li", "main", "nav", "ol", "option", "p",
+        "pre", "section", "summary", "table", "tbody", "td", "tfoot",
+        "th", "thead", "tr", "ul",
+    }
+)
+
+_WS_RUN = re.compile(r"\s+")
+
+
+class _TextExtractor(HTMLParser):
+    """Streaming extractor: accumulates text parts + line-break markers."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS and tag not in _SKIP_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth:
+            self.parts.append(data)
+
+
+def extract_html_text(raw) -> str:
+    """Extract visible text from one html payload (bytes or str).
+
+    Pure function of the input — the same bytes always yield the same
+    string, so extraction is safely re-runnable under task retries
+    (idempotence is what makes the byte-identity invariant checkable).
+    """
+    if raw is None:
+        return ""
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        s = bytes(raw).decode("utf-8", "replace")
+    else:
+        s = str(raw)
+    p = _TextExtractor()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        # html.parser is tolerant by design; anything that still raises
+        # (pathological nesting) keeps whatever text was already seen
+        pass
+    joined = "".join(p.parts)
+    lines = (_WS_RUN.sub(" ", ln).strip() for ln in joined.split("\n"))
+    return "\n".join(ln for ln in lines if ln)
+
+
+def extract_text(
+    df: DataFrame, html_col: str = "html", out: str = "extracted_text"
+) -> DataFrame:
+    """Append `out` = extracted text of `html_col` (binary or string).
+
+    Arrow-batched `mapInPandas`: the Python cost is one parser pass per
+    document inside a columnar batch — no per-row serialization, no
+    shuffle, embarrassingly parallel over input partitions (scan-shaped;
+    at 100 TB this is bounded by read bandwidth, like the reference's
+    payload passthrough in run_query.cu).
+    """
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.StringType(), True)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [extract_html_text(v) for v in pdf[html_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def verify_extraction(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+    flag: str = "text_match",
+) -> DataFrame:
+    """Re-extract text from html and flag rows where it differs from the
+    carried `text` column — the per-row byte-identity invariant check."""
+    out = extract_text(df, html_col=html_col, out="_reextracted")
+    return out.withColumn(flag, F.col("_reextracted").eqNullSafe(F.col(text_col))).drop(
+        "_reextracted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL decomposition + host statistics (JVM-side regex, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+
+
+def url_parts(df: DataFrame, url: str = "url") -> DataFrame:
+    """Add host / registered-ish domain / path / path_depth columns.
+
+    Pure `regexp_extract` column expressions (codegen, no UDF, no
+    shuffle). `domain` is the last two host labels — a deterministic
+    approximation that an external SQL engine reproduces exactly
+    (public-suffix lists are a lookup-table refinement, not a plan
+    change).
+    """
+    host = F.lower(F.regexp_extract(F.col(url), _HOST_RE, 1))
+    path = F.regexp_extract(F.col(url), _PATH_RE, 1)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+    ).otherwise(host)
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    return (
+        df.withColumn("host", host)
+        .withColumn("domain", domain)
+        .withColumn("path", path)
+        .withColumn("path_depth", path_depth)
+    )
+
+
+def host_stats(df: DataFrame, url: str = "url", text: str = "text") -> DataFrame:
+    """Per-host corpus statistics: page count, distinct languages, total
+    text bytes, mean path depth. One groupBy (map-side partial agg);
+    host keys are the natural skew axis of a web crawl, and every agg
+    here is algebraic so hot hosts cost one combiner, not one task."""
+    parts = url_parts(df, url)
+    return parts.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length(F.col(text))).alias("text_chars"),
+        F.avg("path_depth").alias("avg_path_depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (C4 / CCNet rule)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every line whose corpus-wide frequency >= min_count.
+
+    The C4 pipeline discards lines repeated across the corpus (Raffel et
+    al. 2020 §2.2, "three-sentence span" variant simplified to lines, as
+    in CCNet). Returns one row per input document:
+    (id, clean_text, lines_kept, lines_dropped).
+
+    Scale shape: lines explode once (linear); the frequency count
+    shuffles on a 64-bit `xxhash64(line)` — compact uniform keys, map-side
+    partial agg so a line repeated 10^9 times costs one combiner per
+    partition, not a hot reducer; the duplicate set joins back by hash
+    (dup lines are a tiny fraction of a real corpus — AQE may broadcast
+    it, large dup sets degrade to a hash join, both correct); reassembly
+    is one groupBy per doc with an array_sort on (line_no) — bounded by
+    document size, not corpus size.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text), "\n")).alias("line_no", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    dup = (
+        lines.groupBy("lh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("lh", F.lit(1).alias("_dup"))
+    )
+    flagged = lines.join(dup, "lh", "left")
+    # collect_list skips nulls: only kept lines enter the ordered array
+    cleaned = flagged.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_dup").isNull(), F.struct("line_no", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.col("_dup")).alias("lines_dropped"),
+        (F.count("*") - F.count(F.col("_dup"))).alias("lines_kept"),
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(cleaned, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("lines_kept", F.lit(0)).cast("bigint").alias("lines_kept"),
+            F.coalesce("lines_dropped", F.lit(0)).cast("bigint").alias("lines_dropped"),
+        )
+    )

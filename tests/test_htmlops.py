@@ -1,0 +1,126 @@
+"""HTML extraction, URL decomposition, and corpus line-dedup tests."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rayjoin_spark.functions import htmlops
+from rayjoin_spark.functions.htmlops import extract_html_text
+
+
+class TestExtractHtmlText:
+    def test_basic_blocks_and_entities(self):
+        html = (
+            b"<html><head><title>no</title><script>var x=1;</script></head>"
+            b"<body><h1>Title &amp; More</h1><!-- gone --><p>a  b\tc</p>"
+            b"<div>&#169; 2026</div></body></html>"
+        )
+        assert extract_html_text(html) == "Title & More\na b c\n© 2026"
+
+    def test_inline_tags_no_break(self):
+        assert extract_html_text("<p><b>a</b>b <i>c</i></p>") == "ab c"
+
+    def test_nested_skip_subtree(self):
+        html = "<head><style>x</style>hidden<script>y</script></head><p>seen</p>"
+        assert extract_html_text(html) == "seen"
+
+    def test_malformed_and_empty(self):
+        assert extract_html_text(None) == ""
+        assert extract_html_text(b"") == ""
+        assert extract_html_text(b"<p>unclosed <b>tag") == "unclosed tag"
+        # invalid utf-8 decodes with replacement, never raises
+        assert "�" in extract_html_text(b"<p>\xff\xfe</p>")
+
+    def test_self_closing_br(self):
+        assert extract_html_text("one<br/>two<br>three") == "one\ntwo\nthree"
+
+    def test_deterministic(self):
+        payload = b"<div>a</div><p>b &amp; c</p>" * 50
+        assert extract_html_text(payload) == extract_html_text(payload)
+
+
+def test_extract_text_and_verify(spark):
+    rows = [
+        (1, b"<html><body><p>hello world</p></body></html>", "hello world"),
+        (2, b"<div>a &amp; b</div>", "a & b"),
+        (3, b"<script>x</script><p>only this</p>", "WRONG"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html binary, text string")
+    out = {r["id"]: r["extracted_text"] for r in htmlops.extract_text(df).collect()}
+    assert out == {1: "hello world", 2: "a & b", 3: "only this"}
+    flags = {r["id"]: r["text_match"] for r in htmlops.verify_extraction(df).collect()}
+    assert flags == {1: True, 2: True, 3: False}
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://Sub.Example.COM/a/b/c?q=1#f",),
+            ("http://localhost/",),
+            ("https://example.org",),
+        ],
+        "url string",
+    )
+    rows = {r["url"]: r for r in htmlops.url_parts(df).collect()}
+    r = rows["https://Sub.Example.COM/a/b/c?q=1#f"]
+    assert (r["host"], r["domain"], r["path"], r["path_depth"]) == (
+        "sub.example.com", "example.com", "/a/b/c", 3,
+    )
+    r = rows["http://localhost/"]
+    assert (r["host"], r["domain"], r["path_depth"]) == ("localhost", "localhost", 0)
+    # no path at all -> empty path, depth 0
+    assert rows["https://example.org"]["path_depth"] == 0
+
+
+def test_host_stats(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/x", "aaaa", "en"),
+            ("https://a.example/y/z", "bb", "de"),
+            ("https://b.example/", "c", "en"),
+        ],
+        "url string, text string, lang string",
+    )
+    rows = {r["host"]: r for r in htmlops.host_stats(df).collect()}
+    a = rows["a.example"]
+    assert (a["n_pages"], a["n_langs"], a["text_chars"]) == (2, 2, 6)
+    assert a["avg_path_depth"] == pytest.approx(1.5)
+    assert rows["b.example"]["n_pages"] == 1
+
+
+def test_dedup_lines_corpus_rule(spark):
+    docs = [
+        (1, "unique one\ncommon line\nunique two"),
+        (2, "common line\nanother unique"),
+        (3, "common line"),
+        (4, "self dup\nself dup"),  # within-doc repeats count too
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in htmlops.dedup_lines(df, min_count=2).collect()}
+    assert len(out) == 5  # every input doc is present
+    assert out[1]["clean_text"] == "unique one\nunique two"
+    assert (out[1]["lines_kept"], out[1]["lines_dropped"]) == (2, 1)
+    assert out[2]["clean_text"] == "another unique"
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["lines_kept"], out[3]["lines_dropped"]) == (0, 1)
+    assert out[4]["clean_text"] == ""  # both copies dropped
+    assert out[4]["lines_dropped"] == 2
+    # the empty doc's single empty line is shared with nothing -> kept,
+    # reassembles to empty text
+    assert out[5]["clean_text"] == ""
+
+
+def test_dedup_lines_order_preserved(spark):
+    text = "\n".join(f"line {i}" for i in range(50))
+    df = spark.createDataFrame([(1, text), (2, "line 7\nline 13")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in htmlops.dedup_lines(df, min_count=2).collect()}
+    expect = "\n".join(f"line {i}" for i in range(50) if i not in (7, 13))
+    assert out[1]["clean_text"] == expect
+
+
+def test_extract_plan_is_single_stage(spark):
+    """Extraction must be scan-shaped: no shuffle in the plan."""
+    df = spark.createDataFrame([(1, b"<p>x</p>")], "id long, html binary")
+    plan = htmlops.extract_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
