@@ -469,6 +469,49 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic host link graph derived from documents: a quadratic
+    target (non-uniform in-degree: quadratic residues get hit twice,
+    non-residues never) plus a conditional second out-link, so degrees —
+    and therefore PageRank — actually vary."""
+    d = _docs(spark, sf_dir)
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    src = h(F.pmod(F.col("doc_id"), 97))
+    e1 = d.select(
+        src.alias("src"),
+        h(F.pmod(F.col("doc_id") * F.col("doc_id") + 3, 97)).alias("dst"),
+    )
+    e2 = d.filter(F.pmod(F.col("doc_id"), 3) == 0).select(
+        src.alias("src"), h(F.pmod(F.col("doc_id") * 7 + 13, 97)).alias("dst")
+    )
+    return e1.unionByName(e2).distinct()
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py) over the derived host
+    graph, 4 iterations — crawl prioritization / corpus-weighting pass.
+    Oracle: the identical truncating-integer update unrolled as a DuckDB
+    CTE chain."""
+    from rayjoin_spark.operators import graph
+
+    return graph.pagerank(_host_edges(spark, sf_dir), iters=4)
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host out/in degree over the same derived link graph."""
+    from rayjoin_spark.operators import graph
+
+    return graph.degree_stats(_host_edges(spark, sf_dir))
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> (doc_freq, capped ascending posting list) search index
+    (functions/textops.py inverted_index; skew-safe two-phase cap)."""
+    return textops.inverted_index(_docs(spark, sf_dir)).select(
+        "term", "doc_freq", "postings"
+    )
+
+
 def q_lsi_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same join, explicit hot-cell salting path (threshold 0 = salt all
     joint cells, exercising the scatter/replicate plan end-to-end).
@@ -769,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "line_dedup": q_line_dedup,
         "host_stats": q_host_stats,
+        "pagerank_hosts": q_pagerank,
+        "graph_degrees": q_graph_degrees,
+        "inverted_index": q_inverted_index,
         "lsi_join_salted": q_lsi_salted,
         "overlay_chains": q_overlay,
         "overlay_points": q_overlay_points,
@@ -1502,6 +1548,64 @@ SELECT doc_id, coalesce(clean_text, '') AS clean_text,
 FROM agg
 """
 
+#: derived host link graph shared by the pagerank/degree oracles
+_HOST_EDGES_SQL = """
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS src,
+           'h' || CAST((doc_id * doc_id + 3) % 97 AS VARCHAR) AS dst FROM documents
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 97 AS VARCHAR),
+           'h' || CAST((doc_id * 7 + 13) % 97 AS VARCHAR) FROM documents
+    WHERE doc_id % 3 = 0
+  )
+)
+"""
+
+
+def _pagerank_sql(iters: int = 4, scale: int = 1_000_000,
+                  damp_num: int = 85, damp_den: int = 100) -> str:
+    """Unrolled truncating-integer PageRank, mirroring operators/graph.py
+    exactly: DuckDB // and Spark DIV agree on non-negative values."""
+    base = (scale * (damp_den - damp_num)) // damp_den
+    sql = (
+        f"WITH {_HOST_EDGES_SQL.strip()},\n"
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),\n"
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+r{i} AS (
+  SELECT n.node, CAST({base} + ({damp_num} * coalesce(s.s, 0)) // {damp_den} AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst, sum(r.rank // d.deg) AS s
+    FROM e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst) s ON s.dst = n.node
+)"""
+    return sql + f"\nSELECT node, rank FROM r{iters}"
+
+
+_GRAPH_DEGREES_SQL = f"""
+WITH {_HOST_EDGES_SQL.strip()},
+o AS (SELECT src AS node, count(*) AS od FROM e GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS id_ FROM e GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       CAST(coalesce(od, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(id_, 0) AS BIGINT) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node
+"""
+
+_INVERTED_INDEX_SQL = r"""
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+       array_to_string(list_sort(list(doc_id))[1:16], ',') AS postings
+FROM t GROUP BY term
+"""
+
 #: the derived pages' path is always '/d/<doc_id>' (depth 2)
 _HOST_STATS_SQL = """
 SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
@@ -1869,6 +1973,9 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _HTML_EXTRACT_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "host_stats": _HOST_STATS_SQL,
+        "pagerank_hosts": _pagerank_sql(),
+        "graph_degrees": _GRAPH_DEGREES_SQL,
+        "inverted_index": _INVERTED_INDEX_SQL,
         "lsi_join_salted": _LSI_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,

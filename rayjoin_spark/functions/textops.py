@@ -954,3 +954,43 @@ def bpe_token_count(df: DataFrame, text: str = "text") -> DataFrame:
             "bigint"
         ),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_postings: int = 16,
+) -> DataFrame:
+    """Inverted-index build: (term, doc_freq, postings) where postings is
+    the comma-joined ascending list of the `max_postings` LOWEST doc ids
+    containing the term — the search/retrieval index a corpus pipeline
+    materializes next to the corpus itself.
+
+    Scale shape: per-doc term dedup happens map-side for free
+    (`array_distinct` BEFORE the explode — no distinct shuffle);
+    doc_freq is one combinable groupBy; and the posting-list cap uses
+    the skew-safe two-phase `topk_per_group` instead of collecting a
+    stopword's full posting list (millions of ids) into one aggregation
+    buffer — any window partition is bounded at group_size/n_buckets.
+    """
+    posting = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text))), r"\s+"))
+        ).alias("term"),
+    )
+    freq = posting.groupBy("term").agg(F.count("*").cast("bigint").alias("doc_freq"))
+    capped = topk_per_group(
+        posting.withColumn("_neg", (-F.col("_doc")).cast("double")),
+        "term", "_neg", "_doc", k=max_postings,
+    )
+    lists = capped.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("_doc")), lambda x: x.cast("string")
+            ),
+        ).alias("postings")
+    )
+    return freq.join(lists, "term")

@@ -1,0 +1,105 @@
+"""Link-graph operators: integer-exact PageRank + degree statistics.
+
+A crawl pipeline ranks hosts to prioritize fetch frequency and to weight
+corpus sampling (the host-graph analog of the reference's per-cell
+workload metrics, src/grid/uniform_grid.h:444-494 — both are "how much
+does each key matter" tables that later stages consume). PageRank is the
+canonical iterative distributed computation: per round one equi-join of
+the rank table against the edge list plus one combinable groupBy.
+
+Everything is INTEGER so the result is bit-reproducible on any engine,
+partitioning, or cluster size (the module-wide exactness contract, same
+as operators/simsearch.py k-means): ranks are bigint in units of
+1/scale, per-edge contribution is ``rank DIV out_degree`` (truncating
+division — Spark `DIV` and DuckDB `//` agree on non-negative values),
+and damping is the integer ``base + (damp_num * inflow) DIV damp_den``.
+No float crosses a shuffle, so there is no summation-order ambiguity.
+
+Semantics (documented variant): dangling nodes (out-degree 0) keep
+receiving ``base`` plus damped inflow but redistribute nothing — their
+mass decays rather than teleporting. Multi-edges must be deduplicated by
+the caller if simple-graph semantics are wanted (`pagerank` ranks the
+edge list it is given; each (src, dst) row carries one contribution).
+
+Scale shape per iteration: the rank join shuffles on src (hub out-degree
+skew splits naturally — the edge side is already fanned out one row per
+edge); the inflow groupBy is map-side combinable, so a node with 10^9
+in-links costs one combiner per partition, not a hot reducer. The
+iteration loop is driver-side with O(iters) jobs and each round's result
+is eagerly localCheckpoint-ed (house pattern for iterative frontiers:
+knn.py / neardup_components / kmeans) so plan depth stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: rank 1.0 == SCALE units
+SCALE = 1_000_000
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node out/in degree — one union + one combinable groupBy."""
+    out_d = edges.select(F.col(src).alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+    in_d = edges.select(F.col(dst).alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    return (
+        out_d.unionByName(in_d)
+        .groupBy("node")
+        .agg(
+            F.sum("o").cast("bigint").alias("out_degree"),
+            F.sum("i").cast("bigint").alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    scale: int = SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank over (src, dst) edges.
+
+    Returns (node, rank) with rank in units of 1/scale. Every node that
+    appears as src or dst is ranked; rank starts at `scale` and updates
+    as ``base + (damp_num * sum(rank_u DIV deg_u)) DIV damp_den`` over
+    in-neighbors u, with ``base = (scale * (damp_den - damp_num)) DIV
+    damp_den`` — the standard damped update, carried out entirely in
+    truncating integer arithmetic (see module docstring for why).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # out-degree rides the edge list once, up front — iterations then
+    # join only the (src, dst, deg) frame against the current ranks
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out_edges = e.join(deg, "src").localCheckpoint(eager=True)
+    base = (scale * (damp_den - damp_num)) // damp_den
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        inflow = (
+            out_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damp_num} * coalesce(s, CAST(0 AS BIGINT))) DIV {damp_den}")
+                ).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
