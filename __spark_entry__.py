@@ -385,6 +385,36 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive ingest seam (sources/warc.py): pack documents into WARC
+    blobs (half plain, half with the Common-Crawl record-per-gzip-member
+    layout), then parse them back. Output == input proves the per-row
+    byte-identical-text invariant survives the archive round trip; the
+    oracle states the expected pages directly from `documents`."""
+    from rayjoin_spark.sources import warc as warcmod
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.pmod(F.col("doc_id"), 16).cast("long").alias("warc_group"),
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1766016000) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    plain = warcmod.pages_to_warc_blobs(pages.filter(F.col("warc_group") < 8))
+    gz = warcmod.pages_to_warc_blobs(
+        pages.filter(F.col("warc_group") >= 8), gzip_members=True
+    )
+    parsed = warcmod.parse_warc_blobs(plain.unionByName(gz))
+    return parsed.select(
+        "url", "ts_epoch", F.decode("html", "UTF-8").alias("text")
+    )
+
+
 def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> Common-Crawl-shaped pages, geocoded; byte-identical
     text passthrough is the checked invariant."""
@@ -466,6 +496,118 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return htmlops.host_stats(pages).select(
         "host", "n_pages", "n_langs", "text_chars", "avg_path_depth"
+    )
+
+
+def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real link-graph extraction (functions/htmlops.py extract_links):
+    every <a href> in the page bytes becomes an edge row, relative hrefs
+    resolved against the page url, skipped subtrees contribute nothing.
+    The oracle states the two expected links per page directly."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), 97).cast("string")
+    url = F.concat(
+        F.lit("https://site"), k, F.lit(".example/d/"), F.col("doc_id").cast("string")
+    )
+    nxt = (F.col("doc_id") + 1).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p><a href="/d/'),
+        nxt,
+        F.lit('">next  '),
+        nxt,
+        F.lit('</a></p><a href="https://site'),
+        F.pmod(F.col("doc_id") + 1, 97).cast("string"),
+        F.lit('.example/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">cross</a><script><a href="/skipped">x</a></script></body></html>'),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    return htmlops.extract_links(pages).select("url", "href", "anchor")
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness admission (functions/crawlops.py): parse
+    deterministic robots.txt bodies (every-host '*' group; every third
+    host also a GraftBot-specific group that overrides it) and evaluate
+    five path shapes per document url, agent 'graftbot'. Exercises
+    section assignment, agent-specificity fallback, longest-prefix and
+    allow-beats-disallow tie-breaks, comment stripping, and
+    case-insensitive agent match. Oracle states the REP contract's
+    expected verdicts directly."""
+    from rayjoin_spark.functions import crawlops
+
+    hosts = spark.range(97).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok\n# c\n"),
+            F.when(
+                F.pmod("id", 3) == 0,
+                F.lit("\nUser-agent: GraftBot\nDisallow: /d/\nAllow: /d/open\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rules = crawlops.parse_robots(hosts)
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), 97).cast("string")
+    i = F.col("doc_id")
+    path = (
+        F.when(F.pmod(i, 5) == 0, F.concat(F.lit("/d/"), i.cast("string")))
+        .when(F.pmod(i, 5) == 1, F.concat(F.lit("/private/x"), i.cast("string")))
+        .when(F.pmod(i, 5) == 2, F.concat(F.lit("/private/ok"), i.cast("string")))
+        .when(F.pmod(i, 5) == 3, F.lit("/"))
+        .otherwise(F.concat(F.lit("/d/open"), i.cast("string")))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://site"), k, F.lit(".example"), path).alias("url")
+    )
+    return crawlops.robots_allowed(urls, rules, agent="graftbot").select(
+        "url", "robots_ok"
+    )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (functions/textops.py
+    quality_classifier): integer-exact naive-Bayes-flavored linear
+    scorer trained on a curated positive seed (sources src0/src1/src2)
+    and applied to every document in one job. Oracle: the identical
+    truncating-integer train+score as DuckDB CTEs."""
+    d = _docs(spark, sf_dir)
+    return textops.quality_classifier(
+        d, F.col("source").isin("src0", "src1", "src2")
+    ).select("doc_id", "quality_model_score", "n_tokens")
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/htmlops.py canonicalize_url) over
+    deterministically-messed URLs (case noise, www., default ports,
+    fragments, empty paths, trailing '?'). The oracle states the
+    canonicalization contract's expected output directly."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), 97).cast("string")
+    i = F.col("doc_id")
+    messy = F.concat(
+        F.when(F.pmod(i, 2) == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(F.pmod(i, 3) == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(F.pmod(i, 3) == 0, F.concat(F.lit("Site"), k, F.lit(".Example")))
+        .otherwise(F.concat(F.lit("site"), k, F.lit(".example"))),
+        F.when((F.pmod(i, 2) == 0) & (F.pmod(i, 4) == 0), F.lit(":80"))
+        .when((F.pmod(i, 2) == 1) & (F.pmod(i, 4) == 1), F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(i, 11) == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("/D/"), i.cast("string"))),
+        F.when(F.pmod(i, 7) == 0, F.lit("?q=1"))
+        .when(F.pmod(i, 13) == 0, F.lit("?"))
+        .otherwise(F.lit("")),
+        F.when(F.pmod(i, 5) == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    return htmlops.canonicalize_url(d.select(messy.alias("url"))).select(
+        "url", "url_canonical"
     )
 
 
@@ -809,12 +951,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash16": q_simhash,
         "ann_topk_dot": q_ann,
         "pages_geocode": q_pages_geocode,
+        "warc_roundtrip": q_warc_roundtrip,
         "html_extract": q_html_extract,
         "line_dedup": q_line_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
+        "quality_classifier": q_quality_classifier,
+        "url_canonical": q_url_canonical,
+        "anchor_links": q_anchor_links,
+        "robots_filter": q_robots_filter,
         "lsi_join_salted": q_lsi_salted,
         "overlay_chains": q_overlay,
         "overlay_points": q_overlay_points,
@@ -1596,6 +1743,83 @@ SELECT coalesce(o.node, i.node) AS node,
 FROM o FULL OUTER JOIN i ON o.node = i.node
 """
 
+#: two links per page: the relative one resolves against the page url,
+#: the anchor's double space collapses to one (whitespace contract)
+_ANCHOR_LINKS_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+)
+SELECT url,
+       'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+         || CAST(doc_id + 1 AS VARCHAR) AS href,
+       'next ' || CAST(doc_id + 1 AS VARCHAR) AS anchor
+FROM p
+UNION ALL
+SELECT url,
+       'https://site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example/d/'
+         || CAST(doc_id AS VARCHAR) AS href,
+       'cross' AS anchor
+FROM p
+"""
+
+#: expected REP verdicts: GraftBot hosts (k%3==0) use ONLY the specific
+#: group (Disallow /d/ overridden by Allow /d/open); others use '*'
+#: (Disallow /private/ overridden by Allow /private/ok)
+_ROBOTS_FILTER_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+       || (CASE doc_id % 5
+             WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN '/'
+             ELSE '/d/open' || CAST(doc_id AS VARCHAR) END) AS url,
+       (CASE WHEN (doc_id % 97) % 3 = 0
+             THEN doc_id % 5 <> 0
+             ELSE doc_id % 5 <> 1 END) AS robots_ok
+FROM documents
+"""
+
+#: identical truncating-integer train+score (DuckDB // == Spark DIV on
+#: non-negative values; weights and scores are all >= 0)
+_QUALITY_CLASSIFIER_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, CAST(source IN ('src0','src1','src2') AS INT) AS pos,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, (1000 * (sum(pos) + 1)) // (count(*) + 2) AS w
+  FROM tok GROUP BY term
+)
+SELECT t.doc_id, CAST(sum(v.w) // count(*) AS BIGINT) AS quality_model_score,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM tok t JOIN vocab v USING (term)
+GROUP BY t.doc_id
+"""
+
+#: the messy input construction mirrors the Spark query; the canonical
+#: column states the contract's expected output directly
+_URL_CANONICAL_SQL = """
+SELECT
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Site' || CAST(doc_id % 97 AS VARCHAR) || '.Example'
+           ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' END)
+  || (CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 THEN ':80'
+           WHEN doc_id % 2 = 1 AND doc_id % 4 = 1 THEN ':443' ELSE '' END)
+  || (CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/D/' || CAST(doc_id AS VARCHAR) END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '?q=1'
+           WHEN doc_id % 13 = 0 THEN '?' ELSE '' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END) AS url,
+  (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+  || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
+  || (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/D/' || CAST(doc_id AS VARCHAR) END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '?q=1' ELSE '' END) AS url_canonical
+FROM documents
+"""
+
 _INVERTED_INDEX_SQL = r"""
 WITH t AS (
   SELECT DISTINCT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
@@ -1614,6 +1838,14 @@ SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
        CAST(SUM(length(text)) AS BIGINT) AS text_chars,
        AVG(2.0) AS avg_path_depth
 FROM documents GROUP BY 1
+"""
+
+#: the WARC round trip must reproduce the input pages exactly
+_WARC_ROUNDTRIP_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1766016000 + doc_id AS BIGINT) AS ts_epoch,
+       text
+FROM documents
 """
 
 _PAGES_SQL = """
@@ -1970,12 +2202,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash16": _SIMHASH_SQL,
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "html_extract": _HTML_EXTRACT_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "host_stats": _HOST_STATS_SQL,
         "pagerank_hosts": _pagerank_sql(),
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
+        "quality_classifier": _QUALITY_CLASSIFIER_SQL,
+        "url_canonical": _URL_CANONICAL_SQL,
+        "anchor_links": _ANCHOR_LINKS_SQL,
+        "robots_filter": _ROBOTS_FILTER_SQL,
         "lsi_join_salted": _LSI_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,

@@ -1,0 +1,123 @@
+"""Crawl-politeness operators: robots.txt parsing and URL admission.
+
+A crawl pipeline's frontier filter — before fetching (or before keeping
+an archived page), every URL is checked against its host's robots.txt.
+Both stages are fully declarative (no Python UDF anywhere):
+
+* ``parse_robots`` turns raw robots.txt bodies into a rule table with a
+  classic gaps-and-islands plan: posexplode lines -> classify via
+  regexp -> lag/cumsum windows assign User-agent *sections* -> join
+  agents to their section's rules. Windows partition by host; robots
+  bodies are KB-sized, so a partition is one file — embarrassingly
+  parallel at any corpus size.
+* ``robots_allowed`` evaluates URLs: pick the host's most specific
+  matching agent group (exact agent beats ``*``), match rule prefixes,
+  longest prefix wins, Allow beats Disallow on equal length (the
+  published Google/REP tie-break), no matching rule or no robots ->
+  allowed. One equi-join on host (rule side is small — broadcastable)
+  plus one combinable per-url argmax.
+
+Spec notes (REP, RFC 9309): rule matching is by raw path prefix
+(wildcards are an extension, not implemented — documented); an empty
+``Disallow:`` value disallows nothing (rule dropped); agent names are
+case-insensitive; a ``User-agent`` line adjacent to another joins the
+same group (shared rule block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LINE_RE = r"^(?i)\s*(user-agent|allow|disallow)\s*:\s*(.*?)\s*$"
+
+
+def parse_robots(
+    df: DataFrame, host: str = "host", body: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies -> one row per (host, agent, allow, prefix)."""
+    lines = df.select(
+        F.col(host).alias("host"),
+        F.posexplode(F.split(F.col(body), "\n")).alias("pos", "line"),
+    ).select(
+        "host",
+        "pos",
+        F.regexp_replace("line", "#.*$", "").alias("line"),
+    )
+    classified = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _LINE_RE, 1)).alias("kind"),
+        F.regexp_extract("line", _LINE_RE, 2).alias("value"),
+    ).filter(F.col("kind") != "")
+    w = Window.partitionBy("host").orderBy("pos")
+    sec = classified.withColumn(
+        "_new",
+        (
+            (F.col("kind") == "user-agent")
+            & (F.coalesce(F.lag("kind").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("sec", F.sum("_new").over(w))
+    agents = sec.filter(F.col("kind") == "user-agent").select(
+        "host", "sec", F.lower("value").alias("agent")
+    )
+    rules = sec.filter(
+        (F.col("kind") != "user-agent") & (F.col("value") != "")
+    ).select(
+        "host",
+        "sec",
+        (F.col("kind") == "allow").alias("allow"),
+        F.col("value").alias("prefix"),
+    )
+    return agents.join(rules, ["host", "sec"]).select(
+        "host", "agent", "allow", "prefix"
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url: str = "url",
+) -> DataFrame:
+    """Append ``robots_ok`` to `urls` given a `parse_robots` rule table.
+
+    Group selection: hosts that declare a group for `agent` use ONLY
+    those rules; other hosts fall back to their ``*`` group; hosts with
+    no robots (or no applicable group) allow everything.
+    """
+    from rayjoin_spark.functions.htmlops import url_parts
+
+    a = agent.lower()
+    exact_hosts = (
+        rules.filter(F.col("agent") == a).select("host").distinct()
+        if a != "*"
+        else rules.sparkSession.createDataFrame([], "host string")
+    )
+    eff = (
+        rules.join(exact_hosts, "host", "left_semi").filter(F.col("agent") == a)
+        if a != "*"
+        else rules.filter(F.lit(False))
+    ).unionByName(
+        rules.join(exact_hosts, "host", "left_anti").filter(F.col("agent") == "*")
+    )
+    u = url_parts(urls, url).withColumnRenamed("host", "_host")
+    hit = (
+        u.select(F.col(url).alias("_u"), "_host", "path")
+        .join(eff, F.col("_host") == eff["host"])
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("_u")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").cast("int").alias("a"),
+                )
+            ).alias("_best")
+        )
+        .select("_u", (F.col("_best.a") == 1).alias("_ok"))
+    )
+    out = urls.join(hit, urls[url] == hit["_u"], "left").withColumn(
+        "robots_ok", F.coalesce(F.col("_ok"), F.lit(True))
+    )
+    return out.drop("_u", "_ok")

@@ -266,3 +266,122 @@ def dedup_lines(
             F.coalesce("lines_dropped", F.lit(0)).cast("bigint").alias("lines_dropped"),
         )
     )
+
+
+def canonicalize_url(df: DataFrame, url: str = "url", out: str = "url_canonical") -> DataFrame:
+    """URL canonicalization — the dedup key a crawler uses so
+    ``HTTP://WWW.Site.Example:80/a#frag`` and ``http://site.example/a``
+    collapse to one frontier entry. Deterministic, pure codegen
+    (`regexp_replace` chain, no UDF, no shuffle):
+
+    * scheme and host lowercased (path/query case preserved);
+    * ``www.`` host prefix dropped;
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped; a bare trailing ``?`` dropped;
+    * empty path before a query/end becomes ``/``.
+    """
+    u = F.col(url)
+    # lowercase scheme://host[:port] prefix only
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.expr(f"substring({url}, length(regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1)")
+    c = F.concat(F.lower(head), rest)
+    c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")
+    c = F.regexp_replace(c, r"^(http://[^/?#]*):80(?=[/?#]|$)", r"$1")
+    c = F.regexp_replace(c, r"^(https://[^/?#]*):443(?=[/?#]|$)", r"$1")
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?$", "")
+    c = F.regexp_replace(c, r"^(https?://[^/?#]+)(?=\?|$)", r"$1/")
+    return df.withColumn(out, c)
+
+
+class _LinkExtractor(HTMLParser):
+    """Collects (href, anchor_text) for every ``<a href=...>`` — skipped
+    subtrees (script/style/head/...) contribute no links, matching the
+    text-extraction contract."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip_depth = 0
+        self._open: list[tuple[str, list[str]]] = []  # (href, text parts)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "a" and not self._skip_depth:
+            href = next((v for k, v in attrs if k == "href" and v), None)
+            if href is not None:
+                self._open.append((href, []))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "a" and self._open:
+            href, parts = self._open.pop()
+            self.links.append((href, _WS_RUN.sub(" ", "".join(parts)).strip()))
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth:
+            for _, parts in self._open:
+                parts.append(data)
+
+
+def extract_html_links(raw, base_url: str | None = None) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs from one html payload; with `base_url`,
+    relative hrefs are resolved (stdlib urljoin). Pure + idempotent,
+    same contract as extract_html_text. Unclosed ``<a>`` tags at EOF are
+    dropped (no balanced close = no link, the conservative read)."""
+    from urllib.parse import urljoin
+
+    if raw is None:
+        return []
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        s = bytes(raw).decode("utf-8", "replace")
+    else:
+        s = str(raw)
+    p = _LinkExtractor()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    if base_url is None:
+        return p.links
+    return [(urljoin(base_url, h), t) for h, t in p.links]
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", url_col: str | None = "url"
+) -> DataFrame:
+    """One row per ``<a href>``: (url, href, anchor) — the REAL link
+    graph, extracted from page bytes (feed `href`/`url` through
+    `url_parts` + `operators/graph.pagerank` for host-level crawl
+    prioritization over actual links instead of a synthesized graph).
+
+    Arrow-batched `mapInPandas`, scan-shaped like extract_text; output
+    fan-out is the per-page link count (bounded in practice; a link farm
+    fans one input row into its own partition's rows only — no shuffle).
+    With `url_col` set, relative hrefs resolve against the page url.
+    """
+    out_fields = []
+    if url_col is not None:
+        out_fields.append(T.StructField("url", T.StringType(), True))
+    out_fields += [
+        T.StructField("href", T.StringType(), False),
+        T.StructField("anchor", T.StringType(), False),
+    ]
+    schema = T.StructType(out_fields)
+    cols = [c for c in (url_col, html_col) if c is not None]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                base = r[url_col] if url_col is not None else None
+                for h, t in extract_html_links(r[html_col], base):
+                    rows.append(
+                        ((r[url_col], h, t) if url_col is not None else (h, t))
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(*cols).mapInPandas(run, schema=schema)

@@ -994,3 +994,55 @@ def inverted_index(
         ).alias("postings")
     )
     return freq.join(lists, "term")
+
+
+def quality_classifier(
+    df: DataFrame,
+    positive,
+    id_col: str = "doc_id",
+    text: str = "text",
+    scale: int = 1000,
+) -> DataFrame:
+    """Model-based quality filtering, the fastText-classifier stage of a
+    web-corpus pipeline (GPT-3/LLaMA-style: score every crawled page by
+    a linear bag-of-words model trained on a curated positive seed).
+
+    Train and apply in one job, entirely in truncating-integer
+    arithmetic so the scores are bit-reproducible on any engine or
+    partitioning: per-token weight is the Laplace-smoothed positive
+    posterior ``w(t) = (scale * (pos_t + 1)) DIV (tot_t + 2)`` and the
+    doc score is the mean token weight ``sum(w) DIV n_tokens`` —
+    a naive-Bayes-flavored linear scorer.
+
+    Scale shape: the vocab build is one combinable groupBy over the
+    token stream; scoring joins the token stream to the 1-row-per-term
+    vocab on `term` — stopword keys are hot on the PROBE side only
+    (build side is unique per key), the skew class AQE/broadcast handles
+    natively; the final per-doc agg is map-side combinable. No Python.
+
+    `positive` is a boolean Column marking the curated seed (e.g.
+    ``F.col("source") == "wiki"``).
+    """
+    tok = df.select(
+        F.col(id_col).alias("_doc"),
+        positive.cast("int").alias("_pos"),
+        F.explode(F.split(F.trim(F.lower(F.col(text))), r"\s+")).alias("term"),
+    )
+    vocab = tok.groupBy("term").agg(
+        F.sum("_pos").cast("bigint").alias("_p"),
+        F.count("*").cast("bigint").alias("_t"),
+    ).select(
+        "term",
+        F.expr(f"({scale} * (_p + 1)) DIV (_t + 2)").alias("_w"),
+    )
+    scored = (
+        tok.join(vocab, "term")
+        .groupBy("_doc")
+        .agg(
+            F.expr("sum(_w) DIV count(*)").cast("bigint").alias("quality_model_score"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        F.col("_doc").alias(id_col), "quality_model_score", "n_tokens"
+    )

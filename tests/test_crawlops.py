@@ -1,0 +1,84 @@
+"""robots.txt parse + admission contracts (REP/RFC 9309 subset)."""
+
+from pyspark.sql import functions as F
+
+from rayjoin_spark.functions import crawlops
+
+ROBOTS = """# global group
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+
+User-agent: SpecialBot
+User-agent: OtherBot
+Disallow: /d/   # trailing comment
+Allow: /d/open
+Disallow:
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame([("h.example", ROBOTS)], "host string, robots_txt string")
+    return crawlops.parse_robots(df)
+
+
+def test_parse_sections_and_shared_agent_block(spark):
+    got = {
+        (r.agent, r.allow, r.prefix) for r in _rules(spark).collect()
+    }
+    assert got == {
+        ("*", False, "/private/"),
+        ("*", True, "/private/ok"),
+        ("specialbot", False, "/d/"),
+        ("specialbot", True, "/d/open"),
+        ("otherbot", False, "/d/"),
+        ("otherbot", True, "/d/open"),
+    }  # empty Disallow dropped; comments stripped; agents lowercased
+
+
+def _verdicts(spark, agent):
+    urls = spark.createDataFrame(
+        [
+            ("https://h.example/d/1",),
+            ("https://h.example/d/open2",),
+            ("https://h.example/private/x",),
+            ("https://h.example/private/ok3",),
+            ("https://other.example/private/x",),
+        ],
+        "url string",
+    )
+    out = crawlops.robots_allowed(urls, _rules(spark), agent=agent)
+    return {r.url: r.robots_ok for r in out.collect()}
+
+
+def test_star_agent_verdicts(spark):
+    v = _verdicts(spark, "*")
+    assert v == {
+        "https://h.example/d/1": True,
+        "https://h.example/d/open2": True,
+        "https://h.example/private/x": False,
+        "https://h.example/private/ok3": True,  # longest prefix, allow wins
+        "https://other.example/private/x": True,  # no robots -> allowed
+    }
+
+
+def test_specific_agent_overrides_star(spark):
+    v = _verdicts(spark, "SpecialBot")  # case-insensitive
+    assert v == {
+        "https://h.example/d/1": False,
+        "https://h.example/d/open2": True,
+        "https://h.example/private/x": True,  # '*' group ignored entirely
+        "https://h.example/private/ok3": True,
+        "https://other.example/private/x": True,
+    }
+
+
+def test_no_python_in_plan(spark):
+    urls = spark.createDataFrame([("https://h.example/d/1",)], "url string")
+    plan = (
+        crawlops.robots_allowed(urls, _rules(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

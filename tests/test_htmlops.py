@@ -124,3 +124,38 @@ def test_extract_plan_is_single_stage(spark):
     df = spark.createDataFrame([(1, b"<p>x</p>")], "id long, html binary")
     plan = htmlops.extract_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_extract_html_links_contracts():
+    from rayjoin_spark.functions.htmlops import extract_html_links
+
+    html = (
+        b"<head><script><a href='x'>no</a></script></head>"
+        b"<body><a href='/d/2'>Doc  two</a>"
+        b"<a name='n'>no href</a><a href=''>empty</a>"
+        b"<a href='/open'>unclosed"
+    )
+    got = extract_html_links(html, "https://s.example/d/1")
+    assert got == [("https://s.example/d/2", "Doc two")]
+    assert extract_html_links(None) == []
+    assert extract_html_links("<a href='p'>t</a>") == [("p", "t")]
+
+
+def test_extract_links_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.functions import htmlops
+
+    df = spark.range(3).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<p><a href='/a/"), F.col("id"), F.lit("'>L</a></p>")
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    got = htmlops.extract_links(df).orderBy("url").collect()
+    assert [(r.url, r.href, r.anchor) for r in got] == [
+        (f"https://h/{i}", f"https://h/a/{i}", "L") for i in range(3)
+    ]

@@ -1,0 +1,106 @@
+"""WARC connector: framing, gzip members, HTTP envelope strip, degrade
+contracts, and the distributed write->read round trip."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rayjoin_spark.sources import warc
+
+EPOCH = 1766016000  # 2025-12-18T00:00:00Z
+
+
+def _blob(n=3, gz=False):
+    recs = []
+    for i in range(n):
+        rec = warc.warc_record_bytes(
+            f"https://site{i}.example/d/{i}", EPOCH + i, f"<p>doc {i}</p>".encode()
+        )
+        if gz:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            raw = co.compress(rec) + co.flush()
+            rec = raw[:4] + b"\x00\x00\x00\x00\x02\xff" + raw[10:]
+        recs.append(rec)
+    return b"".join(recs)
+
+
+def _parse(blob, **kw):
+    return list(warc._parse_one_blob(blob, frozenset(("response", "resource")), **kw))
+
+
+def test_parse_plain_and_gzip_identical():
+    plain, gz = _parse(_blob()), _parse(_blob(gz=True))
+    assert plain == gz
+    assert [r["url"] for r in plain] == [
+        f"https://site{i}.example/d/{i}" for i in range(3)
+    ]
+    assert plain[0]["ts_epoch"] == EPOCH
+    assert plain[1]["html"] == b"<p>doc 1</p>"  # HTTP envelope stripped
+    assert plain[1]["n_payload_bytes"] > len(plain[1]["html"])
+
+
+def test_non_response_records_dropped_and_tail_garbage_ignored():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    got = _parse(info + _blob(2) + b"\x00trailing junk without a header")
+    assert [r["warc_type"] for r in got] == ["response", "response"]
+
+
+def test_malformed_content_length_stops_scan_keeps_prefix():
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: nope\r\n\r\nxx"
+    got = _parse(_blob(2) + bad + _blob(1))
+    assert len(got) == 2  # framing lost at the bad record
+
+
+def test_resource_record_and_missing_date():
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: s3://x\r\nContent-Type: text/plain\r\n"
+        b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    (r,) = _parse(rec)
+    assert r["html"] == b"hello" and r["ts_epoch"] is None
+
+
+def test_truncated_gzip_member_degrades():
+    blob = _blob(2, gz=True)
+    got = _parse(blob[: len(blob) - 7])
+    assert len(got) >= 1  # first member intact, truncated tail dropped
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_distributed_roundtrip(spark, gz):
+    pages = spark.range(20).select(
+        F.pmod("id", 4).alias("warc_group"),
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+        (F.lit(EPOCH) + F.col("id")).alias("ts_epoch"),
+        F.encode(F.concat(F.lit("body "), F.col("id")), "UTF-8").alias("html"),
+    )
+    blobs = warc.pages_to_warc_blobs(pages, gzip_members=gz)
+    assert blobs.count() == 4
+    back = warc.parse_warc_blobs(blobs).select(
+        "url", "ts_epoch", F.decode("html", "UTF-8").alias("text")
+    )
+    got = {r.url: (r.ts_epoch, r.text) for r in back.collect()}
+    assert got == {f"https://h/{i}": (EPOCH + i, f"body {i}") for i in range(20)}
+
+
+def test_writer_determinism_partition_independent(spark):
+    pages = spark.range(12).select(
+        F.lit(0).cast("long").alias("warc_group"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(EPOCH).alias("ts_epoch"),
+        F.encode(F.col("id").cast("string"), "UTF-8").alias("html"),
+    )
+    a = warc.pages_to_warc_blobs(pages.repartition(1)).collect()[0].content
+    b = warc.pages_to_warc_blobs(pages.repartition(7)).collect()[0].content
+    assert bytes(a) == bytes(b)
+
+
+def test_read_warc_binary_file(spark, tmp_path):
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(_blob(3, gz=True))
+    got = warc.read_warc(spark, str(p)).orderBy("url").collect()
+    assert [r.url for r in got] == [f"https://site{i}.example/d/{i}" for i in range(3)]
