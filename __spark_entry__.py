@@ -527,6 +527,74 @@ def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.extract_links(pages).select("url", "href", "anchor")
 
 
+def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker simplification (operators/simplify.py) over
+    deterministic wiggly chains derived from doc_id. DP is recursive —
+    one of the contract's genuinely non-SQL-expressible ops, so this
+    entry has no oracle_sql twin (driver records the rows-only check);
+    exactness is pinned by tests/test_simplify.py against an independent
+    arbitrary-precision recursive implementation."""
+    from rayjoin_spark.operators.simplify import simplify_chains
+
+    d = _docs(spark, sf_dir)
+    pts = d.select(
+        F.pmod(F.col("doc_id"), 20).alias("chain_id"),
+        (F.col("doc_id") / 20).cast("int").alias("seq"),
+        (F.col("doc_id") / 20).cast("long").alias("x"),
+        (
+            F.when(
+                F.pmod(F.col("doc_id"), 9) == 0, F.lit(0)
+            ).otherwise(F.pmod(F.col("doc_id") * F.col("doc_id") * 31, 11) - 5)
+        ).cast("long").alias("y"),
+    )
+    return simplify_chains(pts, eps2=4).select(
+        "chain_id", "seq", "new_seq", "x", "y"
+    )
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling: per-host fetch slots (plans/ranking.py
+    grouped_index — the skew-safe per-group dense rank; a plain
+    partitioned row_number would ship a mega-host through one task) ×
+    a fixed crawl delay. Oracle: row_number window in DuckDB."""
+    from rayjoin_spark.functions import htmlops
+    from rayjoin_spark.plans.ranking import grouped_index
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    u = htmlops.url_parts(urls).select("url", "host")
+    s = grouped_index(u, ["host"], ["url"], "slot")
+    return s.select(
+        "url",
+        "host",
+        F.col("slot").cast("bigint").alias("slot"),
+        (F.col("slot") * 1000).cast("bigint").alias("fetch_offset_ms"),
+    )
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quadtree tile pyramid, zooms 0..6, in one bounded explode +
+    one combinable groupBy (operators/tiles.py tile_pyramid) — not a
+    shuffle per level. Oracle: generate_series cross join + shifts."""
+    from rayjoin_spark.operators.tiles import tile_pyramid
+
+    pts = derived.query_points(spark, sf_dir, residue=3, mod=4)
+    t = tile_pyramid(pts, DERIVED_SCALING, DERIVED_GRID, max_zoom=6)
+    return t.select(
+        F.col("zoom").cast("int").alias("zoom"),
+        F.col("tile_x").cast("bigint").alias("tile_x"),
+        F.col("tile_y").cast("bigint").alias("tile_y"),
+        "n_points",
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-politeness admission (functions/crawlops.py): parse
     deterministic robots.txt bodies (every-host '*' group; every third
@@ -962,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "anchor_links": q_anchor_links,
         "robots_filter": q_robots_filter,
+        "fetch_schedule": q_fetch_schedule,
+        "tile_pyramid": q_tile_pyramid,
+        "simplify_dp": q_simplify_dp,
         "lsi_join_salted": q_lsi_salted,
         "overlay_chains": q_overlay,
         "overlay_points": q_overlay_points,
@@ -1180,6 +1251,32 @@ SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
        CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
        COUNT(*) AS n_points
 FROM pts GROUP BY 1, 2
+"""
+
+#: every zoom level's tile is the level-6 cell right-shifted (DuckDB >>
+#: matches Spark shiftright on non-negative ints)
+_TILE_PYRAMID_SQL = f"""
+WITH pts AS ({points_sql(3, 4)}),
+     z AS (SELECT unnest(generate_series(0, 6)) AS zoom)
+SELECT CAST(zoom AS INT) AS zoom,
+       CAST(({_CELL('px')} >> (6 - zoom)) AS BIGINT) AS tile_x,
+       CAST(({_CELL('py')} >> (6 - zoom)) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_points
+FROM pts CROSS JOIN z GROUP BY 1, 2, 3
+"""
+
+_FETCH_SCHEDULE_SQL = """
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host
+  FROM documents
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS slot,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) * 1000 AS BIGINT)
+         AS fetch_offset_ms
+FROM u
 """
 
 _KNN_SQL = f"""
@@ -2213,6 +2310,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _URL_CANONICAL_SQL,
         "anchor_links": _ANCHOR_LINKS_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
+        "fetch_schedule": _FETCH_SCHEDULE_SQL,
+        "tile_pyramid": _TILE_PYRAMID_SQL,
         "lsi_join_salted": _LSI_SQL,
         "neardup_embedding": _NEARDUP_EMB_SQL,
         "neardup_embedding_lsh": _NEARDUP_EMB_LSH_SQL,

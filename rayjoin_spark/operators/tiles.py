@@ -126,3 +126,41 @@ def vectorize_raster(raster: DataFrame) -> DataFrame:
         F.col("face_north").alias("face_b"),
     )
     return v.unionByName(h)
+
+
+def tile_pyramid(
+    points: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    max_zoom: int,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Full slippy-map tile pyramid in ONE pass: per-point counts (and
+    optional value sums) at EVERY zoom level 0..max_zoom, where the
+    level-z tile is the level-max cell right-shifted by (max_zoom - z)
+    on each axis (quadtree parent chain).
+
+    Plan shape: one bounded explode (max_zoom+1 rows per point) + one
+    map-side-combinable groupBy — NOT max_zoom+1 separate jobs and NOT a
+    shuffle per level. The explode factor is the pyramid depth (~10-20),
+    constant in data size; partial aggregation collapses each executor's
+    points into at most (#tiles-touched x depth) rows before the single
+    shuffle. At 100 TB this is the cheapest possible pyramid: child->
+    parent rollup chains (z+1 -> z) would shuffle per level and
+    serialize the levels.
+    """
+    p = points.withColumn("cx", grid.cell_of(scaling.scale_x(F.col("x")))).withColumn(
+        "cy", grid.cell_of(scaling.scale_y(F.col("y")))
+    )
+    p = p.withColumn(
+        "zoom", F.explode(F.sequence(F.lit(0), F.lit(max_zoom)))
+    ).withColumn("zoom", F.col("zoom").cast("int")).select(
+        "zoom",
+        F.expr(f"shiftright(cx, {max_zoom} - zoom)").alias("tile_x"),
+        F.expr(f"shiftright(cy, {max_zoom} - zoom)").alias("tile_y"),
+        *([F.col(value_col)] if value_col else []),
+    )
+    aggs = [F.count("*").alias("n_points")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return p.groupBy("zoom", "tile_x", "tile_y").agg(*aggs)

@@ -84,3 +84,32 @@ def ordered_index(
         .withColumn(out_col, F.col("_off") + (F.col("_mid") - F.col("_base")))
         .drop("_pid", "_mid", "_base", "_off")
     )
+
+
+def grouped_index(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP dense rank (0-based within each group, ordered by
+    ``order_cols``) without the classic skew trap: a plain
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` ships a
+    mega-group's every row through ONE task — for web corpora that is
+    the crawl-skew straggler (one giant host) all over again.
+
+    Plan: one `ordered_index` over the composite (group, order) key —
+    a mega-group spans MANY contiguous range partitions — then subtract
+    each group's min global index (combinable agg + equi-join; the hot
+    probe side meets a 1-row build side per group, the skew shape
+    AQE/broadcast handles natively). (group_cols + order_cols) must be a
+    unique key, same contract as `ordered_index`.
+    """
+    g = ordered_index(df, group_cols + order_cols, "_gidx", num_partitions=num_partitions)
+    base = g.groupBy(*group_cols).agg(F.min("_gidx").alias("_gbase"))
+    return (
+        g.join(base, group_cols)
+        .withColumn(out_col, F.col("_gidx") - F.col("_gbase"))
+        .drop("_gidx", "_gbase")
+    )

@@ -194,3 +194,55 @@ def test_streaming_dedup_pages(spark, tmp_path):
     fps = [r["fingerprint"] for r in got]
     assert len(set(fps)) == 3
     assert sorted(t for t in texts) == ["fresh", "hello", "other"]
+
+
+def test_tile_pyramid_levels_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.operators.tiles import tile_pyramid
+    from rayjoin_spark.sources.datagen import uniform_points
+    from rayjoin_spark.plans.scaling import GridSpec, Scaling
+
+    sc = Scaling.from_bbox(0.0, 64.0, 0.0, 64.0)
+    pts = uniform_points(spark, 500, 0.0, 64.0, 0.0, 64.0, seed=7)
+    pyr = tile_pyramid(pts, sc, GridSpec(64), max_zoom=6).cache()
+    # level 0 = everything in one tile
+    z0 = pyr.filter("zoom = 0").collect()
+    assert len(z0) == 1 and z0[0].n_points == 500
+    # every level's counts sum to the point count
+    sums = {r.zoom: r.s for r in pyr.groupBy("zoom").agg(F.sum("n_points").alias("s")).collect()}
+    assert sums == {z: 500 for z in range(7)}
+    # each level-z tile count equals the sum of its 4 children at z+1
+    child = pyr.filter("zoom = 6").select(
+        (F.col("tile_x") / 2).cast("int").alias("px"),
+        (F.col("tile_y") / 2).cast("int").alias("py"),
+        "n_points",
+    ).groupBy("px", "py").agg(F.sum("n_points").alias("n"))
+    parent = pyr.filter("zoom = 5")
+    j = parent.join(
+        child,
+        (parent.tile_x == child.px) & (parent.tile_y == child.py),
+        "full",
+    )
+    assert j.filter("n_points IS NULL OR n IS NULL OR n_points != n").count() == 0
+    pyr.unpersist()
+
+
+def test_grouped_index_matches_window_and_survives_skew(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from rayjoin_spark.plans.ranking import grouped_index
+
+    # one mega-group (90%) + many tiny groups — the crawl-skew shape
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1800, F.lit("mega")).otherwise(
+            F.concat(F.lit("g"), F.pmod("id", 37).cast("string"))
+        ).alias("g"),
+        F.concat(F.lit("k"), F.format_string("%06d", F.col("id"))).alias("k"),
+    )
+    got = grouped_index(df, ["g"], ["k"], "slot")
+    w = Window.partitionBy("g").orderBy("k")
+    want = df.withColumn("slot", F.row_number().over(w) - 1)
+    assert got.select("g", "k", "slot").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("g", "k", "slot")).count() == 0
