@@ -212,3 +212,27 @@ def stream_locate_pages(
         sink(located, epoch_id)
 
     return pages_stream.writeStream.foreachBatch(handle)
+
+
+def stream_warc_ingest(spark, path: str) -> DataFrame:
+    """Streaming archive ingest: watch a directory for WARC files
+    (``readStream.format("binaryFile")`` — new archives become
+    micro-batches) and parse them into page rows (sources/warc.py; the
+    parse is a stateless Arrow-batched mapInPandas, so it streams
+    as-is). ``warc_ts`` is materialized as a real timestamp so the
+    result composes with the watermarked aggregations above; compose
+    with EpochSink for an exactly-once parquet landing zone — together
+    that is the continuous-crawl front door: drop .warc.gz files in,
+    get an idempotent pages table out.
+    """
+    from rayjoin_spark.sources.warc import parse_warc_blobs
+
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .load(path)
+    )
+    parsed = parse_warc_blobs(blobs, "content")
+    return parsed.withColumn("warc_ts", F.timestamp_seconds(F.col("ts_epoch")))

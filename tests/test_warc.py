@@ -104,3 +104,32 @@ def test_read_warc_binary_file(spark, tmp_path):
     p.write_bytes(_blob(3, gz=True))
     got = warc.read_warc(spark, str(p)).orderBy("url").collect()
     assert [r.url for r in got] == [f"https://site{i}.example/d/{i}" for i in range(3)]
+
+
+def test_stream_warc_ingest(spark, tmp_path):
+    from rayjoin_spark.streaming.pages_stream import stream_warc_ingest
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    (src / "a.warc").write_bytes(_blob(3))
+    (src / "b.warc.gz").write_bytes(_blob(2, gz=True))
+    q = (
+        stream_warc_ingest(spark, str(src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT url, ts_epoch, warc_ts FROM warc_stream_out"
+        ).collect()
+    finally:
+        q.stop()
+    assert len(got) == 5
+    assert {r.url for r in got} == {
+        f"https://site{i}.example/d/{i}" for i in range(3)
+    }
+    assert all(int(r.warc_ts.timestamp()) == r.ts_epoch for r in got)
