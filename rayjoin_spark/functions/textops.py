@@ -981,8 +981,9 @@ def inverted_index(
         ).alias("term"),
     )
     freq = posting.groupBy("term").agg(F.count("*").cast("bigint").alias("doc_freq"))
+    # negated bigint (NOT double — ids above 2^53 must keep exact order)
     capped = topk_per_group(
-        posting.withColumn("_neg", (-F.col("_doc")).cast("double")),
+        posting.withColumn("_neg", -F.col("_doc")),
         "term", "_neg", "_doc", k=max_postings,
     )
     lists = capped.groupBy("term").agg(
