@@ -102,9 +102,11 @@ def robots_allowed(
         rules.join(exact_hosts, "host", "left_anti").filter(F.col("agent") == "*")
     )
     u = url_parts(urls, url).withColumnRenamed("host", "_host")
+    # rule tables are bounded by robots.txt sizes (rows, not corpus) —
+    # pin the broadcast so the 10^12-url side never shuffles for this join
     hit = (
         u.select(F.col(url).alias("_u"), "_host", "path")
-        .join(eff, F.col("_host") == eff["host"])
+        .join(F.broadcast(eff), F.col("_host") == eff["host"])
         .filter(F.col("path").startswith(F.col("prefix")))
         .groupBy("_u")
         .agg(
