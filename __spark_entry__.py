@@ -556,10 +556,26 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling: per-host fetch slots (plans/ranking.py
     grouped_index — the skew-safe per-group dense rank; a plain
     partitioned row_number would ship a mega-host through one task) ×
-    a fixed crawl delay. Oracle: row_number window in DuckDB."""
-    from rayjoin_spark.functions import htmlops
+    each host's OWN Crawl-delay parsed from its robots.txt
+    (crawlops.crawl_delays; 1+k%5 seconds by construction, broadcast
+    into the slot table). Oracle: row_number window × the same delay
+    arithmetic."""
+    from rayjoin_spark.functions import crawlops, htmlops
     from rayjoin_spark.plans.ranking import grouped_index
 
+    hosts = spark.range(97).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+            (1 + F.pmod("id", 5)).cast("string"),
+            F.lit("\n"),
+        ).alias("robots_txt"),
+    )
+    delays = crawlops.crawl_delays(hosts).filter(F.col("agent") == "*").select(
+        "host", "delay_ms"
+    )
     d = _docs(spark, sf_dir)
     urls = d.select(
         F.concat(
@@ -571,11 +587,13 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = htmlops.url_parts(urls).select("url", "host")
     s = grouped_index(u, ["host"], ["url"], "slot")
-    return s.select(
+    return s.join(F.broadcast(delays), "host", "left").select(
         "url",
         "host",
         F.col("slot").cast("bigint").alias("slot"),
-        (F.col("slot") * 1000).cast("bigint").alias("fetch_offset_ms"),
+        (F.col("slot") * F.coalesce(F.col("delay_ms"), F.lit(1000)))
+        .cast("bigint")
+        .alias("fetch_offset_ms"),
     )
 
 
@@ -1267,15 +1285,16 @@ FROM pts CROSS JOIN z GROUP BY 1, 2, 3
 
 _FETCH_SCHEDULE_SQL = """
 WITH u AS (
-  SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
            || CAST(doc_id AS VARCHAR) AS url,
          'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host
   FROM documents
 )
 SELECT url, host,
        CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS slot,
-       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) * 1000 AS BIGINT)
-         AS fetch_offset_ms
+       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+            * (1 + (doc_id % 97) % 5) * 1000 AS BIGINT) AS fetch_offset_ms
 FROM u
 """
 

@@ -29,13 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_LINE_RE = r"^(?i)\s*(user-agent|allow|disallow)\s*:\s*(.*?)\s*$"
+_LINE_RE = r"^(?i)\s*(user-agent|allow|disallow|crawl-delay)\s*:\s*(.*?)\s*$"
 
 
-def parse_robots(
-    df: DataFrame, host: str = "host", body: str = "robots_txt"
-) -> DataFrame:
-    """robots.txt bodies -> one row per (host, agent, allow, prefix)."""
+def _sections(df: DataFrame, host: str, body: str):
+    """Shared parse front-end: lines -> (host, sec, kind, value) with
+    User-agent section ids assigned (gaps-and-islands windows)."""
     lines = df.select(
         F.col(host).alias("host"),
         F.posexplode(F.split(F.col(body), "\n")).alias("pos", "line"),
@@ -61,8 +60,16 @@ def parse_robots(
     agents = sec.filter(F.col("kind") == "user-agent").select(
         "host", "sec", F.lower("value").alias("agent")
     )
+    return sec, agents
+
+
+def parse_robots(
+    df: DataFrame, host: str = "host", body: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies -> one row per (host, agent, allow, prefix)."""
+    sec, agents = _sections(df, host, body)
     rules = sec.filter(
-        (F.col("kind") != "user-agent") & (F.col("value") != "")
+        F.col("kind").isin("allow", "disallow") & (F.col("value") != "")
     ).select(
         "host",
         "sec",
@@ -71,6 +78,31 @@ def parse_robots(
     )
     return agents.join(rules, ["host", "sec"]).select(
         "host", "agent", "allow", "prefix"
+    )
+
+
+def crawl_delays(
+    df: DataFrame, host: str = "host", body: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies -> (host, agent, delay_ms) from ``Crawl-delay``
+    directives (the de-facto extension most crawlers honor). Fractional
+    seconds parse exactly to truncated milliseconds; unparseable values
+    are dropped. Feed into `grouped_index`-based fetch slots so each
+    host is polled no faster than it asked."""
+    sec, agents = _sections(df, host, body)
+    delays = sec.filter(
+        (F.col("kind") == "crawl-delay")
+        & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select(
+        "host",
+        "sec",
+        # floor == trunc here (values are non-negative by the rlike guard)
+        F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)").alias(
+            "delay_ms"
+        ),
+    )
+    return agents.join(delays, ["host", "sec"]).select(
+        "host", "agent", "delay_ms"
     )
 
 

@@ -82,3 +82,15 @@ def test_no_python_in_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_delays(spark):
+    body = (
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+        "User-agent: FastBot\nCrawl-delay: 0.25\n"
+        "User-agent: BadBot\nCrawl-delay: soon\n"
+    )
+    df = spark.createDataFrame([("h.example", body)], "host string, robots_txt string")
+    got = {(r.agent, r.delay_ms) for r in crawlops.crawl_delays(df).collect()}
+    # 'soon' is unparseable -> dropped; BadBot's section has no valid delay
+    assert got == {("*", 2500), ("fastbot", 250)}
