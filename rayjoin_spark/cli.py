@@ -9,6 +9,7 @@ src/query.cc, src/overlay.cc) re-expressed:
     ...         overlay --poly1 a_dir --poly2 b_dir --output out.cdb
     ...         convert --cdb in.cdb --out dir/
     ...         convert --poly-csv polys.csv --head-eq-tail --out dir/
+    ...         ingest-warc --warc crawl/ --out pages/
 
 --poly1/--poly2 accept either a CDB text file or a directory holding
 chains.parquet + points.parquet (the converted cache). --mode is accepted
@@ -104,6 +105,13 @@ def main(argv=None):
     )
     c.add_argument("--out", required=True)
 
+    iw = sub.add_parser(
+        "ingest-warc",
+        help="WARC archives -> pages parquet (url, ts_epoch, html, ...)",
+    )
+    iw.add_argument("--warc", required=True, help="file/dir/glob of .warc[.gz]")
+    iw.add_argument("--out", required=True, help="output parquet directory")
+
     g = sub.add_parser(
         "gen", help="synthetic workload generator (reference -gen_n/-gen_t, "
                     "src/flags.cc:20-23, src/run_query.cu:101-167)"
@@ -134,6 +142,15 @@ def main(argv=None):
             cdb_to_parquet(spark, args.cdb, args.out)
             src = args.cdb
         print(json.dumps({"converted": src, "out": args.out}))
+        return 0
+
+    if args.cmd == "ingest-warc":
+        from rayjoin_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.warc)
+        pages.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"ingested": args.warc, "out": args.out, "rows": n}))
         return 0
 
     if args.cmd == "gen":

@@ -133,3 +133,19 @@ def test_stream_warc_ingest(spark, tmp_path):
         f"https://site{i}.example/d/{i}" for i in range(3)
     }
     assert all(int(r.warc_ts.timestamp()) == r.ts_epoch for r in got)
+
+
+def test_cli_ingest_warc(spark, tmp_path, capsys):
+    from rayjoin_spark import cli
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(_blob(4, gz=True))
+    out = str(tmp_path / "pages")
+    assert cli.main(["ingest-warc", "--warc", str(src), "--out", out]) == 0
+    import json as _json
+
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 4
+    got = spark.read.parquet(out)
+    assert got.count() == 4 and "url" in got.columns and "html" in got.columns
