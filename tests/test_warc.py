@@ -149,3 +149,81 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
     assert rep["rows"] == 4
     got = spark.read.parquet(out)
     assert got.count() == 4 and "url" in got.columns and "html" in got.columns
+
+
+def test_fuzz_roundtrip_hostile_bodies():
+    """Property: framing survives bodies that LOOK like WARC/HTTP records
+    (Content-Length framing must win over any content sniffing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.binary(min_size=0, max_size=512)
+    hostile = st.sampled_from(
+        [
+            b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\n",
+            b"\r\n\r\nHTTP/1.1 200 OK\r\n\r\n",
+            b"Content-Length: 0\r\n",
+            b"\x1f\x8b\x08\x00",
+        ]
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(body, hostile, body), min_size=1, max_size=6))
+    def prop(parts):
+        pages = [
+            (f"https://h.example/{i}", EPOCH + i, pre + mid + post)
+            for i, (pre, mid, post) in enumerate(parts)
+        ]
+        blob = b"".join(warc.warc_record_bytes(u, t, b) for u, t, b in pages)
+        got = list(warc._parse_one_blob(blob, frozenset(("response",))))
+        assert [(r["url"], r["ts_epoch"], r["html"]) for r in got] == pages
+
+    prop()
+
+
+def test_fuzz_canonicalize_idempotent(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rayjoin_spark.functions import htmlops
+
+    label = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+        min_size=1,
+        max_size=8,
+    )
+    path_char = st.text(
+        alphabet="abcdefXYZ0123456789/._~%-", min_size=0, max_size=16
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+                st.booleans(),  # www.
+                st.lists(label, min_size=1, max_size=3),
+                st.sampled_from(["", ":80", ":443", ":8080"]),
+                path_char,
+                st.sampled_from(["", "?q=1", "?", "#f", "?a=b#c"]),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def prop(specs):
+        urls = [
+            f"{sch}://{'www.' if www else ''}{'.'.join(hl)}{port}"
+            + (f"/{path}" if path else "")
+            + tail
+            for sch, www, hl, port, path, tail in specs
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = htmlops.canonicalize_url(df).select(
+            F.col("url_canonical").alias("url")
+        )
+        twice = htmlops.canonicalize_url(once)
+        bad = twice.filter(F.col("url") != F.col("url_canonical")).collect()
+        assert not bad, bad
+
+    prop()
