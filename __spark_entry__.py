@@ -655,6 +655,27 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl prioritization: the link graph EXTRACTED from
+    page bytes (q_anchor_links' pages -> extract_links), collapsed to
+    distinct host->host edges, ranked by integer-exact PageRank. Oracle:
+    the same truncating-integer update unrolled over the expected
+    host-edge set (self link + next-host link per page)."""
+    from rayjoin_spark.functions import htmlops
+    from rayjoin_spark.operators import graph
+
+    links = q_anchor_links(spark, sf_dir)
+    hostof = lambda c: F.lower(  # noqa: E731
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    e = links.select(
+        hostof(F.col("url")).alias("src"), hostof(F.col("href")).alias("dst")
+    ).distinct()
+    return graph.pagerank(e, iters=3).select(
+        F.col("node").alias("host"), "rank"
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter (functions/textops.py
     quality_classifier): integer-exact naive-Bayes-flavored linear
@@ -1047,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "url_canonical": q_url_canonical,
         "anchor_links": q_anchor_links,
+        "crawl_priorities": q_crawl_priorities,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -1827,12 +1849,14 @@ e AS (
 
 
 def _pagerank_sql(iters: int = 4, scale: int = 1_000_000,
-                  damp_num: int = 85, damp_den: int = 100) -> str:
+                  damp_num: int = 85, damp_den: int = 100,
+                  edges_sql: str | None = None) -> str:
     """Unrolled truncating-integer PageRank, mirroring operators/graph.py
-    exactly: DuckDB // and Spark DIV agree on non-negative values."""
+    exactly: DuckDB // and Spark DIV agree on non-negative values.
+    `edges_sql` must define a CTE named ``e`` with (src, dst)."""
     base = (scale * (damp_den - damp_num)) // damp_den
     sql = (
-        f"WITH {_HOST_EDGES_SQL.strip()},\n"
+        f"WITH {(edges_sql or _HOST_EDGES_SQL).strip()},\n"
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
         "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),\n"
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"
@@ -1896,6 +1920,20 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
              THEN doc_id % 5 <> 0
              ELSE doc_id % 5 <> 1 END) AS robots_ok
 FROM documents
+"""
+
+#: host edges the link extraction is EXPECTED to yield: a self link
+#: (relative next-doc href) and a next-host link per page
+_CRAWL_EDGES_SQL = """
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS src,
+           'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS dst FROM documents
+    UNION ALL
+    SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example',
+           'site' || CAST((doc_id + 1) % 97 AS VARCHAR) || '.example' FROM documents
+  )
+)
 """
 
 #: identical truncating-integer train+score (DuckDB // == Spark DIV on
@@ -2328,6 +2366,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "anchor_links": _ANCHOR_LINKS_SQL,
+        "crawl_priorities": (
+            "SELECT node AS host, rank FROM ("
+            + _pagerank_sql(iters=3, edges_sql=_CRAWL_EDGES_SQL)
+            + ")"
+        ),
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,
