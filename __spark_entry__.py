@@ -655,6 +655,29 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit dedup (crawlops.latest_snapshot): documents become ~20
+    captures per url; keep the newest per url (one combinable max_by
+    groupBy). Oracle: DuckDB arg_max."""
+    from rayjoin_spark.functions import crawlops
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), 250)  # url key: ~20 captures per url
+    pages = d.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(m, 97).cast("string"),
+            F.lit(".example/d/"),
+            m.cast("string"),
+        ).alias("url"),
+        (F.lit(1766016000) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        F.col("text"),
+    )
+    return crawlops.latest_snapshot(pages, tiebreak="text").select(
+        "url", "ts_epoch", "text"
+    )
+
+
 def q_crawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl prioritization: the link graph EXTRACTED from
     page bytes (q_anchor_links' pages -> extract_links), collapsed to
@@ -1069,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "anchor_links": q_anchor_links,
         "crawl_priorities": q_crawl_priorities,
+        "latest_snapshot": q_latest_snapshot,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -1922,6 +1946,20 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
 FROM documents
 """
 
+#: newest capture per url; ts is unique per url by construction so the
+#: md5 tiebreak never fires at test scale
+_LATEST_SNAPSHOT_SQL = """
+WITH p AS (
+  SELECT 'https://site' || CAST((doc_id % 250) % 97 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id % 250 AS VARCHAR) AS url,
+         CAST(1766016000 + doc_id AS BIGINT) AS ts_epoch,
+         text
+  FROM documents
+)
+SELECT url, max(ts_epoch) AS ts_epoch, arg_max(text, ts_epoch) AS text
+FROM p GROUP BY url
+"""
+
 #: host edges the link extraction is EXPECTED to yield: a self link
 #: (relative next-doc href) and a next-host link per page
 _CRAWL_EDGES_SQL = """
@@ -2371,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
             + _pagerank_sql(iters=3, edges_sql=_CRAWL_EDGES_SQL)
             + ")"
         ),
+        "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,

@@ -155,3 +155,33 @@ def robots_allowed(
         "robots_ok", F.coalesce(F.col("_ok"), F.lit(True))
     )
     return out.drop("_u", "_ok")
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url: str = "url",
+    ts: str = "ts_epoch",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Revisit dedup: keep the NEWEST capture of each url (the CC-index
+    "latest snapshot" rule — a crawl revisits pages; the corpus wants one
+    row per url). One map-side-combinable ``max_by`` groupBy — a hot url
+    (many revisits) collapses inside each partition's combiner before the
+    single shuffle, so revisit skew never concentrates rows on one task.
+
+    Ties on `ts` are broken deterministically by md5 of `tiebreak` when
+    given (highest digest wins); otherwise ties pick an arbitrary-but-
+    single row (set `tiebreak` whenever captures can share a timestamp).
+    """
+    key = F.struct(
+        F.col(ts).alias("t"),
+        (F.md5(F.col(tiebreak).cast("string")) if tiebreak else F.lit("")).alias(
+            "h"
+        ),
+    )
+    row = F.struct(*[F.col(c) for c in pages.columns])
+    return (
+        pages.groupBy(url)
+        .agg(F.max_by(row, key).alias("_r"))
+        .select("_r.*")
+    )

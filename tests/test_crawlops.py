@@ -94,3 +94,30 @@ def test_crawl_delays(spark):
     got = {(r.agent, r.delay_ms) for r in crawlops.crawl_delays(df).collect()}
     # 'soon' is unparseable -> dropped; BadBot's section has no valid delay
     assert got == {("*", 2500), ("fastbot", 250)}
+
+
+def test_latest_snapshot(spark):
+    rows = [
+        ("u1", 10, "old"),
+        ("u1", 30, "new"),
+        ("u1", 20, "mid"),
+        ("u2", 5, "only"),
+        ("u3", 7, "a"),   # tie on ts: md5 tiebreak, deterministic
+        ("u3", 7, "b"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_epoch long, text string")
+    got = {
+        r.url: (r.ts_epoch, r.text)
+        for r in crawlops.latest_snapshot(df, tiebreak="text").collect()
+    }
+    assert got["u1"] == (30, "new") and got["u2"] == (5, "only")
+    import hashlib
+
+    win = max(["a", "b"], key=lambda t: hashlib.md5(t.encode()).hexdigest())
+    assert got["u3"] == (7, win)
+    # partitioning-invariant
+    got2 = {
+        r.url: (r.ts_epoch, r.text)
+        for r in crawlops.latest_snapshot(df.repartition(5), tiebreak="text").collect()
+    }
+    assert got == got2
