@@ -650,9 +650,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = d.select(
         F.concat(F.lit("https://site"), k, F.lit(".example"), path).alias("url")
     )
-    return crawlops.robots_allowed(urls, rules, agent="graftbot").select(
-        "url", "robots_ok"
-    )
+    return crawlops.robots_allowed(
+        urls, rules, agent="graftbot", broadcast_rules=True
+    ).select("url", "robots_ok")
 
 
 def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,7 +689,7 @@ def q_crawl_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     links = q_anchor_links(spark, sf_dir)
     hostof = lambda c: F.lower(  # noqa: E731
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+        F.regexp_extract(c, htmlops._HOST_RE, 1)
     )
     e = links.select(
         hostof(F.col("url")).alias("src"), hostof(F.col("href")).alias("dst")

@@ -86,23 +86,32 @@ def crawl_delays(
 ) -> DataFrame:
     """robots.txt bodies -> (host, agent, delay_ms) from ``Crawl-delay``
     directives (the de-facto extension most crawlers honor). Fractional
-    seconds parse exactly to truncated milliseconds; unparseable values
-    are dropped. Feed into `grouped_index`-based fetch slots so each
-    host is polled no faster than it asked."""
+    seconds parse exactly to truncated milliseconds — TEXTUALLY (integer
+    and fraction digits split and scaled), never through a double, so
+    '1.001' is exactly 1001 ms on any engine. Unparseable values are
+    dropped; repeated directives for one (host, agent) — multiple lines
+    or RFC-9309-merged duplicate agent groups — collapse to the MOST
+    CONSERVATIVE (maximum) delay. Feed into `grouped_index`-based fetch
+    slots so each host is polled no faster than it asked."""
     sec, agents = _sections(df, host, body)
+    ip = F.element_at(F.split("value", r"\."), 1).cast("bigint")
+    fp = F.rpad(
+        F.substring(
+            F.coalesce(F.try_element_at(F.split("value", r"\."), F.lit(2)), F.lit("")),
+            1,
+            3,
+        ),
+        3,
+        "0",
+    ).cast("bigint")
     delays = sec.filter(
         (F.col("kind") == "crawl-delay")
         & F.col("value").rlike(r"^[0-9]+(\.[0-9]+)?$")
-    ).select(
-        "host",
-        "sec",
-        # floor == trunc here (values are non-negative by the rlike guard)
-        F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)").alias(
-            "delay_ms"
-        ),
-    )
-    return agents.join(delays, ["host", "sec"]).select(
-        "host", "agent", "delay_ms"
+    ).select("host", "sec", (ip * 1000 + fp).alias("delay_ms"))
+    return (
+        agents.join(delays, ["host", "sec"])
+        .groupBy("host", "agent")
+        .agg(F.max("delay_ms").alias("delay_ms"))
     )
 
 
@@ -111,12 +120,20 @@ def robots_allowed(
     rules: DataFrame,
     agent: str = "*",
     url: str = "url",
+    broadcast_rules: bool | None = None,
 ) -> DataFrame:
     """Append ``robots_ok`` to `urls` given a `parse_robots` rule table.
 
     Group selection: hosts that declare a group for `agent` use ONLY
     those rules; other hosts fall back to their ``*`` group; hosts with
     no robots (or no applicable group) allow everything.
+
+    ``broadcast_rules``: True pins a broadcast of the rule table into
+    the URL join (right when rules fit in memory — the URL side never
+    shuffles); None (default) lets the optimizer/AQE decide from actual
+    sizes, which degrades gracefully to a shuffle join at
+    every-host-on-the-web rule-table scale (rows grow with #hosts, not
+    robots-file size — a pinned broadcast would hard-fail there).
     """
     from rayjoin_spark.functions.htmlops import url_parts
 
@@ -134,11 +151,10 @@ def robots_allowed(
         rules.join(exact_hosts, "host", "left_anti").filter(F.col("agent") == "*")
     )
     u = url_parts(urls, url).withColumnRenamed("host", "_host")
-    # rule tables are bounded by robots.txt sizes (rows, not corpus) —
-    # pin the broadcast so the 10^12-url side never shuffles for this join
+    eff = F.broadcast(eff) if broadcast_rules else eff
     hit = (
         u.select(F.col(url).alias("_u"), "_host", "path")
-        .join(F.broadcast(eff), F.col("_host") == eff["host"])
+        .join(eff, F.col("_host") == eff["host"])
         .filter(F.col("path").startswith(F.col("prefix")))
         .groupBy("_u")
         .agg(

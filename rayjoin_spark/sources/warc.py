@@ -124,18 +124,21 @@ def _parse_one_blob(blob: bytes, keep_types: frozenset[str]) -> Iterator[dict]:
         wtype = headers.get("warc-type", "")
         if wtype in keep_types:
             ts = None
-            # WARC 1.0 dates are whole seconds; WARC 1.1 allows
-            # fractional seconds — accept both, truncate to seconds
-            for fmt in (_DATE_FMT, "%Y-%m-%dT%H:%M:%S.%fZ"):
-                try:
-                    ts = int(
-                        datetime.strptime(headers.get("warc-date", ""), fmt)
-                        .replace(tzinfo=timezone.utc)
-                        .timestamp()
-                    )
-                    break
-                except ValueError:
-                    pass
+            # WARC 1.0 dates are whole seconds; WARC 1.1 allows any
+            # fractional precision (up to nanoseconds). ts_epoch is
+            # whole seconds, so drop the fraction before parsing —
+            # handles 1-9+ digit fractions uniformly.
+            ds = headers.get("warc-date", "")
+            if "." in ds and ds.endswith("Z"):
+                ds = ds[: ds.index(".")] + "Z"
+            try:
+                ts = int(
+                    datetime.strptime(ds, _DATE_FMT)
+                    .replace(tzinfo=timezone.utc)
+                    .timestamp()
+                )
+            except ValueError:
+                pass
             ctype = headers.get("content-type")
             body = payload
             if ctype is not None and ctype.startswith("application/http"):

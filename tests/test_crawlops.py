@@ -121,3 +121,25 @@ def test_latest_snapshot(spark):
         for r in crawlops.latest_snapshot(df.repartition(5), tiebreak="text").collect()
     }
     assert got == got2
+
+
+def test_crawl_delay_exact_ms_and_merge(spark):
+    body = (
+        "User-agent: *\nCrawl-delay: 1.001\n"
+        "User-agent: x\nCrawl-delay: 5\n\n"
+        "User-agent: x\nCrawl-delay: 10\n"  # duplicate group: merge to max
+    )
+    df = spark.createDataFrame([("h", body)], "host string, robots_txt string")
+    got = {(r.agent, r.delay_ms) for r in crawlops.crawl_delays(df).collect()}
+    assert got == {("*", 1001), ("x", 10000)}  # no double rounding; max merge
+
+
+def test_crawl_delay_line_ends_agent_accumulation(spark):
+    # RFC 9309: a non-user-agent record ends the group's agent list, so a
+    # following User-agent starts a NEW group (pinned behavior)
+    body = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+    df = spark.createDataFrame([("h", body)], "host string, robots_txt string")
+    rules = {(r.agent, r.prefix) for r in crawlops.parse_robots(df).collect()}
+    assert rules == {("b", "/x")}  # agent a has the delay, not the rule
+    delays = {(r.agent, r.delay_ms) for r in crawlops.crawl_delays(df).collect()}
+    assert delays == {("a", 1000)}

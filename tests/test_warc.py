@@ -237,3 +237,13 @@ def test_warc11_fractional_date():
     )
     (r,) = _parse(rec)
     assert r["ts_epoch"] == EPOCH + 1  # truncated to whole seconds
+
+
+def test_warc11_nanosecond_date():
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Date: 2025-12-18T00:00:01.123456789Z\r\n"
+        b"WARC-Target-URI: https://f/2\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    (r,) = _parse(rec)
+    assert r["ts_epoch"] == EPOCH + 1
