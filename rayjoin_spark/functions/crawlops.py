@@ -36,7 +36,9 @@ def _sections(df: DataFrame, host: str, body: str):
     """Shared parse front-end: lines -> (host, sec, kind, value) with
     User-agent section ids assigned (gaps-and-islands windows)."""
     lines = df.select(
-        F.col(host).alias("host"),
+        # hostnames are case-insensitive; url_parts lowercases the URL
+        # side, so the rule side must match or admission fails OPEN
+        F.lower(F.col(host)).alias("host"),
         F.posexplode(F.split(F.col(body), "\n")).alias("pos", "line"),
     ).select(
         "host",
@@ -138,17 +140,21 @@ def robots_allowed(
     from rayjoin_spark.functions.htmlops import url_parts
 
     a = agent.lower()
-    exact_hosts = (
-        rules.filter(F.col("agent") == a).select("host").distinct()
-        if a != "*"
-        else rules.sparkSession.createDataFrame([], "host string")
+    # single pass over `rules` (it is usually an unmaterialized window
+    # plan — the old semi/anti/distinct formulation re-ran the whole
+    # robots parse three times): score each rule's agent specificity,
+    # keep each host's best tier (exact beats '*', everything else out)
+    spec = (
+        F.when(F.col("agent") == a, 2)
+        .when(F.col("agent") == "*", 1)
+        .otherwise(0)
     )
+    scored = rules.withColumn("_spec", spec).filter(F.col("_spec") > 0)
+    best = scored.groupBy("host").agg(F.max("_spec").alias("_mx"))
     eff = (
-        rules.join(exact_hosts, "host", "left_semi").filter(F.col("agent") == a)
-        if a != "*"
-        else rules.filter(F.lit(False))
-    ).unionByName(
-        rules.join(exact_hosts, "host", "left_anti").filter(F.col("agent") == "*")
+        scored.join(best, "host")
+        .filter(F.col("_spec") == F.col("_mx"))
+        .drop("_spec", "_mx")
     )
     u = url_parts(urls, url).withColumnRenamed("host", "_host")
     eff = F.broadcast(eff) if broadcast_rules else eff

@@ -281,9 +281,10 @@ def canonicalize_url(df: DataFrame, url: str = "url", out: str = "url_canonical"
     * empty path before a query/end becomes ``/``.
     """
     u = F.col(url)
-    # lowercase scheme://host[:port] prefix only
+    # lowercase scheme://host[:port] prefix only; rest built from Column
+    # expressions (no SQL-string interpolation of the column name)
     head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    rest = F.expr(f"substring({url}, length(regexp_extract({url}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1)")
+    rest = u.substr(F.length(head) + F.lit(1), F.length(u))
     c = F.concat(F.lower(head), rest)
     c = F.regexp_replace(c, r"^(https?://)www\.", r"$1")
     c = F.regexp_replace(c, r"^(http://[^/?#]*):80(?=[/?#]|$)", r"$1")
@@ -316,7 +317,10 @@ class _LinkExtractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
-        elif tag == "a" and self._open:
+        elif tag == "a" and self._open and not self._skip_depth:
+            # the skip-depth gate keeps a stray </a> inside head/script/
+            # noscript from terminating a live anchor (skipped subtrees
+            # must contribute NOTHING, not even close tags)
             href, parts = self._open.pop()
             self.links.append((href, _WS_RUN.sub(" ", "".join(parts)).strip()))
 
@@ -376,12 +380,13 @@ def extract_links(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                base = r[url_col] if url_col is not None else None
-                for h, t in extract_html_links(r[html_col], base):
-                    rows.append(
-                        ((r[url_col], h, t) if url_col is not None else (h, t))
-                    )
+            if url_col is not None:
+                for base, payload in zip(pdf[url_col], pdf[html_col]):
+                    for h, t in extract_html_links(payload, base):
+                        rows.append((base, h, t))
+            else:
+                for payload in pdf[html_col]:
+                    rows.extend(extract_html_links(payload))
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(*cols).mapInPandas(run, schema=schema)

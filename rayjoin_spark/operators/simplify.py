@@ -35,12 +35,9 @@ recursive implementation.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 OUT_SCHEMA = T.StructType(

@@ -108,8 +108,16 @@ def grouped_index(
     """
     g = ordered_index(df, group_cols + order_cols, "_gidx", num_partitions=num_partitions)
     base = g.groupBy(*group_cols).agg(F.min("_gidx").alias("_gbase"))
-    return (
-        g.join(base, group_cols)
-        .withColumn(out_col, F.col("_gidx") - F.col("_gbase"))
-        .drop("_gidx", "_gbase")
+    # null-safe equality: a NULL group key is a real group (matching the
+    # window semantics this replaces) — a plain equi-join would silently
+    # DROP those rows
+    cond = None
+    for c in group_cols:
+        term = g[c].eqNullSafe(base[c])
+        cond = term if cond is None else (cond & term)
+    joined = g.join(base, cond)
+    for c in group_cols:
+        joined = joined.drop(base[c])
+    return joined.withColumn(out_col, F.col("_gidx") - F.col("_gbase")).drop(
+        "_gidx", "_gbase"
     )

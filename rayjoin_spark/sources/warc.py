@@ -232,8 +232,9 @@ def pages_to_warc_blobs(
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         recs = []
-        for _, r in pdf.sort_values(url).iterrows():
-            rec = warc_record_bytes(r[url], int(r[ts_epoch]), bytes(r[body]))
+        pdf = pdf.sort_values(url)
+        for u, t, b in zip(pdf[url], pdf[ts_epoch], pdf[body]):
+            rec = warc_record_bytes(u, int(t), bytes(b))
             if gzip_members:
                 co = zlib.compressobj(6, zlib.DEFLATED, 31)
                 # stdlib emits a 10-byte header (no fname); mtime/OS are

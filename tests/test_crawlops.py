@@ -143,3 +143,13 @@ def test_crawl_delay_line_ends_agent_accumulation(spark):
     assert rules == {("b", "/x")}  # agent a has the delay, not the rule
     delays = {(r.agent, r.delay_ms) for r in crawlops.crawl_delays(df).collect()}
     assert delays == {("a", 1000)}
+
+
+def test_robots_host_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [("H.Example", "User-agent: *\nDisallow: /p\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame([("https://h.example/p/x",)], "url string")
+    got = crawlops.robots_allowed(urls, crawlops.parse_robots(df)).collect()
+    assert got[0].robots_ok is False  # would fail OPEN without lowercasing

@@ -159,3 +159,10 @@ def test_extract_links_dataframe(spark):
     assert [(r.url, r.href, r.anchor) for r in got] == [
         (f"https://h/{i}", f"https://h/a/{i}", "L") for i in range(3)
     ]
+
+
+def test_stray_close_anchor_in_skipped_subtree():
+    from rayjoin_spark.functions.htmlops import extract_html_links
+
+    html = "<a href='/x'>one<noscript></a></noscript> two</a>"
+    assert extract_html_links(html) == [("/x", "one two")]

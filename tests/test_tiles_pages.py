@@ -246,3 +246,19 @@ def test_grouped_index_matches_window_and_survives_skew(spark):
     want = df.withColumn("slot", F.row_number().over(w) - 1)
     assert got.select("g", "k", "slot").exceptAll(want).count() == 0
     assert want.exceptAll(got.select("g", "k", "slot")).count() == 0
+
+
+def test_grouped_index_null_group_key(spark):
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.plans.ranking import grouped_index
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("g", "c"), ("g", "d")],
+        "g string, k string",
+    )
+    got = grouped_index(df, ["g"], ["k"], "slot").collect()
+    assert len(got) == 4  # NULL-group rows are a real group, not dropped
+    slots = {(r.g, r.k): r.slot for r in got}
+    assert slots[(None, "a")] == 0 and slots[(None, "b")] == 1
+    assert slots[("g", "c")] == 0 and slots[("g", "d")] == 1
