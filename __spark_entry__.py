@@ -655,6 +655,14 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "robots_ok")
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty signal (textops.ngram_novelty): per doc, how many
+    of its word trigrams appear in no other document. Oracle: the same
+    distinct-gram / document-frequency CTEs in DuckDB."""
+    d = _docs(spark, sf_dir)
+    return textops.ngram_novelty(d).select("doc_id", "n_grams", "n_novel")
+
+
 def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revisit dedup (crawlops.latest_snapshot): documents become ~20
     captures per url; keep the newest per url (one combinable max_by
@@ -1093,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_links": q_anchor_links,
         "crawl_priorities": q_crawl_priorities,
         "latest_snapshot": q_latest_snapshot,
+        "ngram_novelty": q_ngram_novelty,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -1946,6 +1955,25 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
 FROM documents
 """
 
+#: DuckDB list slice t[i:i+2] is inclusive (3 tokens) == Spark slice(t,i,3)
+_NGRAM_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+),
+cnt AS (SELECT gram, count(*) AS dfq FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c.dfq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM g JOIN cnt c USING (gram) GROUP BY g.doc_id
+)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams, coalesce(p.n_novel, 0) AS n_novel
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
 #: newest capture per url; ts is unique per url by construction so the
 #: md5 tiebreak never fires at test scale
 _LATEST_SNAPSHOT_SQL = """
@@ -2410,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
             + ")"
         ),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
+        "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,

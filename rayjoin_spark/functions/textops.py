@@ -1047,3 +1047,54 @@ def quality_classifier(
     return scored.select(
         F.col("_doc").alias(id_col), "quality_model_score", "n_tokens"
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-novelty signal: how many of a document's word n-grams
+    appear in NO other document (df == 1). High novelty separates fresh
+    content from boilerplate/templated pages; near-zero novelty is a
+    contamination/duplication flag complementary to [[dup-spans]] and
+    the MinHash family. All-integer output (n_grams, n_novel) — no
+    ratio column, so the result is hash-exact on any engine.
+
+    Scale shape: per-doc n-gram dedup is map-side (`array_distinct`
+    before the explode); the document-frequency count is one combinable
+    groupBy on the gram string; the join back fans a stop-gram's 1-row
+    count across its probe rows (AQE-friendly); the final per-doc agg is
+    combinable. Docs shorter than n words come back as (0, 0) via the
+    left join.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
+    cnt = g.groupBy("gram").agg(F.count("*").alias("_df"))
+    per = (
+        g.join(cnt, "gram")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("_df") == 1).cast("int")).cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+    )

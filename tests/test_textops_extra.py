@@ -281,3 +281,20 @@ def test_bpe_token_count_segments(spark):
     # ['I', \"'ll\", ' see', ' 42', ' cats', ',', ' don', \"'t\", ' I', '?']
     assert rows[1] == 10
     assert rows[2] == 0 and rows[3] == 1
+
+
+def test_ngram_novelty(spark):
+    from rayjoin_spark.functions import textops
+
+    rows = [
+        (1, "alpha beta gamma delta"),     # grams: a-b-g, b-g-d
+        (2, "alpha beta gamma epsilon"),   # shares a-b-g with doc 1
+        (3, "one two"),                    # too short: (0, 0)
+        (4, "x x x x x"),                  # repeated gram counts once per doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_novel) for r in textops.ngram_novelty(df).collect()}
+    assert got[1] == (2, 1)   # "beta gamma delta" novel, "alpha beta gamma" shared
+    assert got[2] == (2, 1)
+    assert got[3] == (0, 0)
+    assert got[4] == (1, 1)   # "x x x" distinct-per-doc -> one gram, df=1
