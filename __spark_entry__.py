@@ -655,6 +655,34 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "robots_ok")
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (htmlops.extract_main_text): pages built with
+    a nav bar, the document text as the content paragraph, a too-short
+    block, a link-heavy teaser and a footer — only the content paragraph
+    survives the integer link-density + min-length heuristic (and only
+    when long enough). Oracle states the expected kept text directly."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><body><div><a href="/">Home</a> | <a href="/about">About</a>'
+            ' | <a href="/contact">Contact</a></div><p>'
+        ),
+        F.col("text"),
+        F.lit('</p><p>short</p><div>Read more: <a href="/next">next '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            ' page link text</a></div><footer><a href="/tos">Terms</a>'
+            ' <a href="/priv">Privacy</a></footer></body></html>'
+        ),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return htmlops.extract_main_text(pages).select(
+        "doc_id", "main_text", "n_blocks", "n_kept"
+    )
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-novelty signal (textops.ngram_novelty): per doc, how many
     of its word trigrams appear in no other document. Oracle: the same
@@ -1102,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_priorities": q_crawl_priorities,
         "latest_snapshot": q_latest_snapshot,
         "ngram_novelty": q_ngram_novelty,
+        "main_content": q_main_content,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -1955,6 +1984,19 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
 FROM documents
 """
 
+#: expected main content: only the document-text paragraph survives the
+#: heuristic (nav/teaser/footer are link-dense, 'short' is too short),
+#: and only when its normalized length >= 15
+_MAIN_CONTENT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) >= 15
+            THEN regexp_replace(trim(text), '\s+', ' ', 'g') ELSE '' END AS main_text,
+       CAST(4 + CASE WHEN length(trim(text)) > 0 THEN 1 ELSE 0 END AS INT) AS n_blocks,
+       CAST(CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) >= 15
+            THEN 1 ELSE 0 END AS INT) AS n_kept
+FROM documents
+"""
+
 #: DuckDB list slice t[i:i+2] is inclusive (3 tokens) == Spark slice(t,i,3)
 _NGRAM_NOVELTY_SQL = r"""
 WITH toks AS (
@@ -2439,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "main_content": _MAIN_CONTENT_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,

@@ -390,3 +390,120 @@ def extract_links(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(*cols).mapInPandas(run, schema=schema)
+
+
+class _BlockCollector(HTMLParser):
+    """Segments a page into block-level text runs, tracking per block the
+    raw text length and the raw length of text inside anchors — the
+    inputs of the link-density boilerplate heuristic."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[list[str], int, int]] = []  # parts, link, total
+        self._cur: tuple[list[str], int, int] = ([], 0, 0)
+        self._skip_depth = 0
+        self._a_depth = 0
+
+    def _flush(self) -> None:
+        parts, link, total = self._cur
+        if total:
+            self.blocks.append((parts, link, total))
+        self._cur = ([], 0, 0)
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a" and not self._skip_depth:
+            self._a_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+        elif tag == "a" and not self._skip_depth:
+            self._a_depth = max(0, self._a_depth - 1)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in _BLOCK_TAGS and tag not in _SKIP_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        parts, link, total = self._cur
+        parts.append(data)
+        n = len(data.strip())
+        self._cur = (parts, link + (n if self._a_depth else 0), total + n)
+
+    def close(self):  # noqa: D102 — flush the trailing block
+        super().close()
+        self._flush()
+
+
+def extract_main_html_text(
+    raw, max_link_density_pct: int = 50, min_chars: int = 15
+) -> tuple[str, int, int]:
+    """Main-content extraction for one page (the readability/Boilerpipe
+    stage): drop navigation/footer boilerplate blocks, keep content.
+
+    A block survives iff its normalized text has >= `min_chars` chars
+    AND its link density (raw in-anchor chars * 100 <= raw chars *
+    max_link_density_pct — integer compare, no float) is at most the
+    threshold. Returns (main_text, n_blocks, n_kept). Pure + idempotent
+    like extract_html_text; same skip-subtree contract.
+    """
+    if raw is None:
+        return "", 0, 0
+    s = bytes(raw).decode("utf-8", "replace") if isinstance(
+        raw, (bytes, bytearray, memoryview)
+    ) else str(raw)
+    p = _BlockCollector()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        p._flush()
+    kept = []
+    for parts, link, total in p.blocks:
+        norm = _WS_RUN.sub(" ", "".join(parts)).strip()
+        if len(norm) >= min_chars and link * 100 <= total * max_link_density_pct:
+            kept.append(norm)
+    return "\n".join(kept), len(p.blocks), len(kept)
+
+
+def extract_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    out: str = "main_text",
+    max_link_density_pct: int = 50,
+    min_chars: int = 15,
+) -> DataFrame:
+    """Append (out, n_blocks, n_kept) — boilerplate-removed main content
+    per page. Arrow-batched `mapInPandas`, scan-shaped like
+    extract_text; the heuristic is integer-only, so results are
+    bit-stable across engines and partitionings."""
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(out, T.StringType(), True),
+            T.StructField("n_blocks", T.IntegerType(), False),
+            T.StructField("n_kept", T.IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            res = [
+                extract_main_html_text(v, max_link_density_pct, min_chars)
+                for v in pdf[html_col]
+            ]
+            pdf[out] = [r[0] for r in res]
+            pdf["n_blocks"] = [r[1] for r in res]
+            pdf["n_kept"] = [r[2] for r in res]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -166,3 +166,27 @@ def test_stray_close_anchor_in_skipped_subtree():
 
     html = "<a href='/x'>one<noscript></a></noscript> two</a>"
     assert extract_html_links(html) == [("/x", "one two")]
+
+
+def test_extract_main_html_text_heuristic():
+    from rayjoin_spark.functions.htmlops import extract_main_html_text
+
+    html = (
+        "<body><div><a href='/'>Home</a> | <a href='/a'>About</a></div>"
+        "<p>This is the real article content of the page.</p>"
+        "<p>short</p>"
+        "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer></body>"
+    )
+    main, n_blocks, n_kept = extract_main_html_text(html)
+    assert main == "This is the real article content of the page."
+    assert n_blocks == 4 and n_kept == 1
+    # exactly-at-threshold density survives (integer compare, <=)
+    half = "<p>aaaaaaaaaaaaaaa<a href='x'>bbbbbbbbbbbbbbb</a></p>"  # 15/30
+    m2, _, k2 = extract_main_html_text(half)
+    assert k2 == 1 and m2 == "aaaaaaaaaaaaaaabbbbbbbbbbbbbbb"
+    # skipped subtrees contribute nothing
+    m3, b3, k3 = extract_main_html_text(
+        "<script>var x='<p>junk junk junk junk</p>';</script><p>Real main content here okay</p>"
+    )
+    assert m3 == "Real main content here okay" and k3 == 1
+    assert extract_main_html_text(None) == ("", 0, 0)
