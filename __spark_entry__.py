@@ -655,6 +655,17 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "robots_ok")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus dedup (textops.dedup_against): documents split
+    into an existing corpus (doc_id % 3 != 0) and a new batch (% 3 == 0);
+    keep batch rows whose text content is absent from the corpus.
+    Oracle: NOT EXISTS on the text itself."""
+    d = _docs(spark, sf_dir)
+    ref = d.filter(F.pmod(F.col("doc_id"), 3) != 0)
+    new = d.filter(F.pmod(F.col("doc_id"), 3) == 0)
+    return textops.dedup_against(new, ref).select("doc_id", "text")
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (htmlops.extract_main_text): pages built with
     a nav bar, the document text as the content paragraph, a too-short
@@ -1131,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": q_latest_snapshot,
         "ngram_novelty": q_ngram_novelty,
         "main_content": q_main_content,
+        "dedup_incremental": q_dedup_incremental,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -1984,6 +1996,17 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
 FROM documents
 """
 
+#: md5-anti-join == NOT EXISTS on the content itself (md5 is injective
+#: for the compare's purposes on both engines)
+_DEDUP_INCREMENTAL_SQL = """
+SELECT n.doc_id, n.text
+FROM documents n
+WHERE n.doc_id % 3 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents r WHERE r.doc_id % 3 <> 0 AND r.text = n.text
+  )
+"""
+
 #: expected main content: only the document-text paragraph survives the
 #: heuristic (nav/teaser/footer are link-dense, 'short' is too short),
 #: and only when its normalized length >= 15
@@ -2482,6 +2505,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "main_content": _MAIN_CONTENT_SQL,
+        "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,

@@ -1098,3 +1098,32 @@ def ngram_novelty(
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
     )
+
+
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Incremental-corpus dedup: keep only rows of `new` whose content
+    does not already exist in the reference corpus `ref` — the "new
+    crawl batch vs what we already have" filter of a continuously-built
+    training set (cheaper than re-running global dedup over
+    corpus+batch: only the BATCH shuffles its hashes; the corpus side
+    reduces to its distinct hash column).
+
+    Exact-content semantics via md5 fingerprint; one left_anti equi-join
+    on the hash (the corpus side is hash-distinct and column-pruned —
+    at 10^12 docs that is one slim column scan, broadcast if it fits,
+    shuffled otherwise). Rows of `new` that duplicate each other but not
+    the corpus are all kept — run in-batch `dedup_exact` first if batch
+    self-dedup is also wanted.
+    """
+    h = F.md5(F.encode(F.col(text), "UTF-8"))
+    ref_hashes = ref.select(h.alias("_h")).distinct()
+    return (
+        new.withColumn("_h", h)
+        .join(ref_hashes, "_h", "left_anti")
+        .drop("_h")
+    )

@@ -298,3 +298,18 @@ def test_ngram_novelty(spark):
     assert got[2] == (2, 1)
     assert got[3] == (0, 0)
     assert got[4] == (1, 1)   # "x x x" distinct-per-doc -> one gram, df=1
+
+
+def test_dedup_against(spark):
+    from rayjoin_spark.functions import textops
+
+    ref = spark.createDataFrame(
+        [(1, "known content"), (2, "other known")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "known content"), (11, "fresh content"), (12, "fresh content")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in textops.dedup_against(new, ref).collect())
+    # corpus dup dropped; in-batch dups both kept (documented contract)
+    assert kept == [11, 12]
