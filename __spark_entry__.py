@@ -680,7 +680,9 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             '<html><body><div><a href="/">Home</a> | <a href="/about">About</a>'
             ' | <a href="/contact">Contact</a></div><p>'
         ),
-        F.col("text"),
+        # null-propagation pin: a NULL text must mean an EMPTY paragraph,
+        # not a NULL page (the oracle counts the 4 boilerplate blocks)
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit('</p><p>short</p><div>Read more: <a href="/next">next '),
         F.col("doc_id").cast("string"),
         F.lit(

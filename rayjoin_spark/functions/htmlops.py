@@ -61,6 +61,18 @@ _BLOCK_TAGS = frozenset(
 _WS_RUN = re.compile(r"\s+")
 
 
+def _decode_payload(raw) -> str | None:
+    """Shared payload-decode prologue of every extractor in this module:
+    None passes through; bytes-likes decode utf-8 with replacement; other
+    values coerce to str. One definition so the extractors can never
+    desynchronize on payload semantics."""
+    if raw is None:
+        return None
+    if isinstance(raw, (bytes, bytearray, memoryview)):
+        return bytes(raw).decode("utf-8", "replace")
+    return str(raw)
+
+
 class _TextExtractor(HTMLParser):
     """Streaming extractor: accumulates text parts + line-break markers."""
 
@@ -97,12 +109,9 @@ def extract_html_text(raw) -> str:
     string, so extraction is safely re-runnable under task retries
     (idempotence is what makes the byte-identity invariant checkable).
     """
-    if raw is None:
+    s = _decode_payload(raw)
+    if s is None:
         return ""
-    if isinstance(raw, (bytes, bytearray, memoryview)):
-        s = bytes(raw).decode("utf-8", "replace")
-    else:
-        s = str(raw)
     p = _TextExtractor()
     try:
         p.feed(s)
@@ -337,12 +346,9 @@ def extract_html_links(raw, base_url: str | None = None) -> list[tuple[str, str]
     dropped (no balanced close = no link, the conservative read)."""
     from urllib.parse import urljoin
 
-    if raw is None:
+    s = _decode_payload(raw)
+    if s is None:
         return []
-    if isinstance(raw, (bytes, bytearray, memoryview)):
-        s = bytes(raw).decode("utf-8", "replace")
-    else:
-        s = str(raw)
     p = _LinkExtractor()
     try:
         p.feed(s)
@@ -400,43 +406,64 @@ class _BlockCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[list[str], int, int]] = []  # parts, link, total
-        self._cur: tuple[list[str], int, int] = ([], 0, 0)
+        self._parts: list[str] = []
+        self._link = 0  # chars inside BALANCED anchors
+        self._total = 0  # all chars
+        self._pending = 0  # chars inside a still-open anchor
         self._skip_depth = 0
         self._a_depth = 0
 
+    def _close_anchor(self) -> None:
+        # pending chars become link chars only when the anchor CLOSES;
+        # an anchor left open (malformed markup, close tag swallowed by
+        # a skipped subtree, block boundary) degrades to plain text —
+        # conservative-KEEP, so one broken <a> can never mark the rest
+        # of the page link-dense and silently delete the article
+        self._link += self._pending
+        self._pending = 0
+        self._a_depth = 0
+
     def _flush(self) -> None:
-        parts, link, total = self._cur
-        if total:
-            self.blocks.append((parts, link, total))
-        self._cur = ([], 0, 0)
+        if self._total:
+            self.blocks.append((self._parts, self._link, self._total))
+        self._parts, self._link, self._total, self._pending = [], 0, 0, 0
+        self._a_depth = 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
+        elif self._skip_depth:
+            return  # skipped subtrees contribute nothing — not even
+            # block boundaries or anchor state
         elif tag in _BLOCK_TAGS:
             self._flush()
-        elif tag == "a" and not self._skip_depth:
-            self._a_depth += 1
+        elif tag == "a":
+            if self._a_depth:  # HTML implied close: <a> ends previous <a>
+                self._close_anchor()
+            self._a_depth = 1
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _SKIP_TAGS:
             self._skip_depth = max(0, self._skip_depth - 1)
+        elif self._skip_depth:
+            return
         elif tag in _BLOCK_TAGS:
             self._flush()
-        elif tag == "a" and not self._skip_depth:
-            self._a_depth = max(0, self._a_depth - 1)
+        elif tag == "a" and self._a_depth:
+            self._close_anchor()
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if tag in _BLOCK_TAGS and tag not in _SKIP_TAGS:
+        if tag in _BLOCK_TAGS and not self._skip_depth:
             self._flush()
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
             return
-        parts, link, total = self._cur
-        parts.append(data)
+        self._parts.append(data)
         n = len(data.strip())
-        self._cur = (parts, link + (n if self._a_depth else 0), total + n)
+        self._total += n
+        if self._a_depth:
+            self._pending += n
 
     def close(self):  # noqa: D102 — flush the trailing block
         super().close()
@@ -455,11 +482,9 @@ def extract_main_html_text(
     threshold. Returns (main_text, n_blocks, n_kept). Pure + idempotent
     like extract_html_text; same skip-subtree contract.
     """
-    if raw is None:
+    s = _decode_payload(raw)
+    if s is None:
         return "", 0, 0
-    s = bytes(raw).decode("utf-8", "replace") if isinstance(
-        raw, (bytes, bytearray, memoryview)
-    ) else str(raw)
     p = _BlockCollector()
     try:
         p.feed(s)

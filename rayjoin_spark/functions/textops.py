@@ -1069,7 +1069,7 @@ def ngram_novelty(
     combinable. Docs shorter than n words come back as (0, 0) via the
     left join.
     """
-    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    toks = _tokens(F.lower(F.col(text)))
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(

@@ -190,3 +190,32 @@ def test_extract_main_html_text_heuristic():
     )
     assert m3 == "Real main content here okay" and k3 == 1
     assert extract_main_html_text(None) == ("", 0, 0)
+
+
+def test_main_content_anchor_leak_contained():
+    from rayjoin_spark.functions.htmlops import extract_main_html_text
+
+    # implied-close <a> (new <a> ends the previous) must not poison
+    # later blocks: the article survives an unclosed nav anchor
+    html = (
+        "<div><a href='/1'>Home<a href='/2'>About</div>"
+        "<p>This is the real article content of the page, plenty long.</p>"
+    )
+    main, n_blocks, n_kept = extract_main_html_text(html)
+    assert main == "This is the real article content of the page, plenty long."
+    assert n_kept == 1
+
+
+def test_main_content_skipped_subtree_no_block_split():
+    from rayjoin_spark.functions.htmlops import extract_main_html_text
+
+    # a <div> inside <noscript> must not split the enclosing block
+    html = "<p>Alpha beta gamma<noscript><div>ad junk</div></noscript> delta epsilon</p>"
+    main, n_blocks, n_kept = extract_main_html_text(html)
+    assert main == "Alpha beta gamma delta epsilon"
+    assert n_blocks == 1 and n_kept == 1
+    # and a stray </a> inside a skipped subtree does not close a live anchor's
+    # accounting for the wrong block
+    html2 = "<p><a href='/x'>link<noscript></a></noscript>text that is plenty long enough to keep okay</p>"
+    m2, _, k2 = extract_main_html_text(html2)
+    assert k2 == 1 and m2.startswith("linktext")
