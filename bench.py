@@ -237,6 +237,49 @@ def _queries(spark, sf_dir):
         oc, _ = overlay(ca, pa, cb, pb, scaling, GridSpec(8192))
         return oc
 
+    def q_warc_ingest():
+        # archive-seam throughput: pack every doc into CC-layout
+        # .warc.gz blobs (64 groups) and parse them back — the
+        # write+read cost of the corpus's on-disk interchange format
+        from rayjoin_spark.sources import warc as warcmod
+
+        pages = docs.select(
+            F.pmod("doc_id", 64).cast("long").alias("warc_group"),
+            F.concat(
+                F.lit("https://site"),
+                F.pmod("doc_id", 97).cast("string"),
+                F.lit(".example/d/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            (F.lit(1766016000) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+            F.encode("text", "UTF-8").alias("html"),
+        )
+        return warcmod.parse_warc_blobs(
+            warcmod.pages_to_warc_blobs(pages, gzip_members=True)
+        )
+
+    def q_main_content():
+        # boilerplate-removal throughput over synthetic pages
+        from rayjoin_spark.functions import htmlops
+
+        pages = docs.select(
+            "doc_id",
+            F.encode(
+                F.concat(
+                    F.lit(
+                        "<html><body><div><a href='/'>Home</a> | "
+                        "<a href='/a'>About</a></div><p>"
+                    ),
+                    F.coalesce("text", F.lit("")),
+                    F.lit(
+                        "</p><footer><a href='/t'>Terms</a></footer></body></html>"
+                    ),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        return htmlops.extract_main_text(pages)
+
     return {
         "lsi_lattice": q_lsi_lattice,
         "lsi_derived": q_lsi_derived,
@@ -252,6 +295,8 @@ def _queries(spark, sf_dir):
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "neardup_emb_lsh": q_neardup_emb_lsh,
+        "warc_ingest": q_warc_ingest,
+        "main_content": q_main_content,
         "lsi_biggrid": q_lsi_biggrid,
         "pip_biggrid": q_pip_biggrid,
         "lsi_longedge": q_lsi_longedge,
