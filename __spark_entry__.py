@@ -655,6 +655,23 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "robots_ok")
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card: the per-(lang, source) summary a dataset release
+    ships — document count, total/min/max chars, distinct-content count
+    (exact dup rate falls out). One combinable groupBy; every aggregate
+    is integer. Oracle: the same GROUP BY."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.min(F.length("text")).cast("bigint").alias("min_chars"),
+        F.max(F.length("text")).cast("bigint").alias("max_chars"),
+        F.count_distinct(F.md5(F.encode("text", "UTF-8")))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-corpus dedup (textops.dedup_against): documents split
     into an existing corpus (doc_id % 3 != 0) and a new batch (% 3 == 0);
@@ -1145,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "main_content": q_main_content,
         "dedup_incremental": q_dedup_incremental,
+        "corpus_card": q_corpus_card,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -1998,6 +2016,16 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
 FROM documents
 """
 
+_CORPUS_CARD_SQL = """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(min(length(text)) AS BIGINT) AS min_chars,
+       CAST(max(length(text)) AS BIGINT) AS max_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+FROM documents GROUP BY lang, source
+"""
+
 #: md5-anti-join == NOT EXISTS on the content itself (md5 is injective
 #: for the compare's purposes on both engines)
 _DEDUP_INCREMENTAL_SQL = """
@@ -2508,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "main_content": _MAIN_CONTENT_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+        "corpus_card": _CORPUS_CARD_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,
