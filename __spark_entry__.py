@@ -672,6 +672,144 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning stage (textops.c4_filter): pages are built with a
+    nav line (no terminal punctuation), the document text as a
+    terminated content line, a too-short line, a javascript notice, and
+    conditional lines exercising every rule — the "All rights reserved."
+    keeper (doc_id%4==0), the lorem-ipsum document drop (%5==0) and the
+    curly-brace code drop (%7==0). Oracle states the contract's expected
+    counts/verdict/reassembly directly."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(".")),
+        F.lit("click here"),
+        F.lit("Please enable javascript to continue."),
+        F.when(F.pmod(i, 4) == 0, F.lit("All rights reserved.")),
+        F.when(F.pmod(i, 5) == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.when(F.pmod(i, 7) == 0, F.lit("var f = function() { return 1; }")),
+    )
+    pages = d.select("doc_id", page.alias("text"))
+    return textops.c4_filter(pages).select(
+        "doc_id", "n_lines", "n_kept", "keep", "kept_text"
+    )
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (crawlops.parse_sitemap): per document a
+    pretty-printed <urlset> with an entity-escaped loc + lastmod +
+    priority entry, a whitespace-padded minimal entry, and (doc_id%3==0)
+    a third entry with priority only — exercising multi-line blocks,
+    trimming, entity decode, optional fields and the seq order. Oracle
+    states the expected (seq, loc, lastmod, priority) rows directly."""
+    from rayjoin_spark.functions import crawlops
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = F.pmod(i, 97).cast("string")
+    istr = i.cast("string")
+    day = (F.lit(10) + F.pmod(i, 19)).cast("string")
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "  <url>\n    <loc>https://site"
+        ),
+        k,
+        F.lit(".example/p/"),
+        istr,
+        F.lit("?a=1&amp;b=2</loc>\n    <lastmod>2024-03-"),
+        day,
+        F.lit(
+            "</lastmod>\n    <priority>0.8</priority>\n  </url>\n"
+            "  <url><loc> https://site"
+        ),
+        k,
+        F.lit(".example/q/"),
+        istr,
+        F.lit(" </loc></url>\n"),
+        F.when(
+            F.pmod(i, 3) == 0,
+            F.concat(
+                F.lit("  <url>\n    <loc>https://site"),
+                k,
+                F.lit(".example/r/"),
+                istr,
+                F.lit("</loc>\n    <priority>0.5</priority>\n  </url>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>\n"),
+    )
+    sm = d.select("doc_id", xml.alias("sitemap_xml"))
+    return crawlops.parse_sitemap(sm).select(
+        "doc_id", "seq", "loc", "lastmod", "priority"
+    )
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end frontier build — the full discovery stack composed:
+    parse_sitemap (one plain loc, one messy loc exercising
+    canonicalize_url: uppercase scheme/host, default :443 port,
+    fragment, padding; doc_id%3==0 adds a robots-blocked /r/ loc) ->
+    canonicalize_url -> robots_allowed (every host disallows /r/;
+    'graftbot' falls back to the '*' group) -> anti-join against the
+    already-crawled set (even ids' /p/ urls). What survives is exactly
+    the fetch list: /p/ for odd ids plus /q/ for all ids. Oracle states
+    that expected set directly."""
+    from rayjoin_spark.functions import crawlops, htmlops
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = F.pmod(i, 97).cast("string")
+    istr = i.cast("string")
+    xml = F.concat(
+        F.lit("<urlset>\n  <url><loc>https://site"),
+        k,
+        F.lit(".example/p/"),
+        istr,
+        F.lit("</loc></url>\n  <url><loc> HTTPS://SITE"),
+        k,
+        F.lit(".EXAMPLE:443/q/"),
+        istr,
+        F.lit("#frag </loc></url>\n"),
+        F.when(
+            F.pmod(i, 3) == 0,
+            F.concat(
+                F.lit("  <url><loc>https://site"),
+                k,
+                F.lit(".example/r/"),
+                istr,
+                F.lit("</loc></url>\n"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    sm = d.select("doc_id", xml.alias("sitemap_xml"))
+    locs = crawlops.parse_sitemap(sm).select("doc_id", "loc")
+    canon = htmlops.canonicalize_url(locs, url="loc", out="url").select(
+        "doc_id", "url"
+    )
+    hosts = spark.range(97).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.lit("User-agent: *\nDisallow: /r/\n").alias("robots_txt"),
+    )
+    rules = crawlops.parse_robots(hosts)
+    admitted = (
+        crawlops.robots_allowed(canon, rules, agent="graftbot", broadcast_rules=True)
+        .filter("robots_ok")
+        .select("doc_id", "url")
+    )
+    crawled = d.filter(F.pmod(i, 2) == 0).select(
+        F.concat(F.lit("https://site"), k, F.lit(".example/p/"), istr).alias("url")
+    )
+    return admitted.join(crawled, "url", "left_anti").select("doc_id", "url")
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-corpus dedup (textops.dedup_against): documents split
     into an existing corpus (doc_id % 3 != 0) and a new batch (% 3 == 0);
@@ -1163,6 +1301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "dedup_incremental": q_dedup_incremental,
         "corpus_card": q_corpus_card,
+        "c4_filter": q_c4_filter,
+        "sitemap_parse": q_sitemap_parse,
+        "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
         "tile_pyramid": q_tile_pyramid,
@@ -2026,6 +2167,67 @@ SELECT lang, source,
 FROM documents GROUP BY lang, source
 """
 
+#: the oracle STATES the C4 contract's expected output for the
+#: constructed pages (verified: no document text contains javascript /
+#: lorem ipsum / '{' / a newline, and every text has >= 3 words, so the
+#: content line is always kept and only the injected lines vary)
+_C4_FILTER_SQL = """
+SELECT doc_id,
+       CAST(4 + (doc_id % 4 = 0)::INT + (doc_id % 5 = 0)::INT
+              + (doc_id % 7 = 0)::INT AS BIGINT) AS n_lines,
+       CAST(1 + (doc_id % 4 = 0)::INT + (doc_id % 5 = 0)::INT AS BIGINT) AS n_kept,
+       (doc_id % 4 = 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0) AS keep,
+       coalesce(text, '') || '.'
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'All rights reserved.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+       AS kept_text
+FROM documents
+"""
+
+#: the oracle STATES the expected sitemap entries for the constructed
+#: <urlset> documents (entity &amp; decoded, padding trimmed, absent
+#: lastmod/priority NULL, seq = file order)
+_SITEMAP_PARSE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 97 AS VARCHAR) AS k,
+         CAST(10 + doc_id % 19 AS VARCHAR) AS day
+  FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS seq,
+       'https://site' || k || '.example/p/' || CAST(doc_id AS VARCHAR)
+         || '?a=1&b=2' AS loc,
+       '2024-03-' || day AS lastmod,
+       CAST(0.8 AS DOUBLE) AS priority
+FROM d
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT),
+       'https://site' || k || '.example/q/' || CAST(doc_id AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM d
+UNION ALL
+SELECT doc_id, CAST(2 AS BIGINT),
+       'https://site' || k || '.example/r/' || CAST(doc_id AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE)
+FROM d WHERE doc_id % 3 = 0
+"""
+
+#: the oracle STATES the expected frontier: /p/ urls for ids not yet
+#: crawled (odd), /q/ urls for every id (canonicalization collapses the
+#: messy loc), /r/ urls robots-blocked away
+_CRAWL_FRONTIER_SQL = """
+WITH d AS (SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS k FROM documents)
+SELECT doc_id,
+       'https://site' || k || '.example/p/' || CAST(doc_id AS VARCHAR) AS url
+FROM d WHERE doc_id % 2 <> 0
+UNION ALL
+SELECT doc_id,
+       'https://site' || k || '.example/q/' || CAST(doc_id AS VARCHAR) AS url
+FROM d
+"""
+
 #: md5-anti-join == NOT EXISTS on the content itself (md5 is injective
 #: for the compare's purposes on both engines)
 _DEDUP_INCREMENTAL_SQL = """
@@ -2537,6 +2739,9 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _MAIN_CONTENT_SQL,
         "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
         "corpus_card": _CORPUS_CARD_SQL,
+        "c4_filter": _C4_FILTER_SQL,
+        "sitemap_parse": _SITEMAP_PARSE_SQL,
+        "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,
         "tile_pyramid": _TILE_PYRAMID_SQL,

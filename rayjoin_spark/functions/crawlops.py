@@ -207,3 +207,60 @@ def latest_snapshot(
         .agg(F.max_by(row, key).alias("_r"))
         .select("_r.*")
     )
+
+
+#: XML predefined entities, ampersand LAST so "&amp;lt;" decodes to the
+#: literal "&lt;" (standard unescape order)
+_XML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def parse_sitemap(
+    df: DataFrame,
+    xml: str = "sitemap_xml",
+    block_tag: str = "url",
+) -> DataFrame:
+    """XML sitemap parse (sitemaps.org protocol) — the discovery stage
+    between robots.txt (which names the sitemap) and the crawl frontier:
+    turn ``<urlset>`` documents into one row per ``<url>`` entry with
+    `loc` (required; whitespace-trimmed, XML entities decoded), `lastmod`
+    (W3C date string or NULL) and `priority` (double or NULL). Sitemap
+    INDEX files (``<sitemapindex>``) parse with ``block_tag="sitemap"``,
+    yielding the child sitemap locs.
+
+    Fully declarative: one ``regexp_extract_all`` pulls the entry blocks
+    ((?s) non-greedy, so multi-line pretty-printed XML works), one
+    posexplode fans them out (`seq` = 0-based position in the file, the
+    crawl-order hint), and per-field regexp_extract + a replace chain
+    decode the values — pure JVM codegen, no Python, no XML library, and
+    the only shuffle is whatever the caller does next. Entries missing
+    ``<loc>`` are dropped (spec: loc is required)."""
+    blocks = F.regexp_extract_all(
+        F.col(xml),
+        F.lit(rf"(?s)<{block_tag}(?:\s[^>]*)?>(.*?)</{block_tag}>"),
+        F.lit(1),
+    )
+    e = df.select("*", F.posexplode(blocks).alias("_seq", "_block"))
+
+    def _field(tag: str) -> F.Column:
+        v = F.regexp_extract(
+            "_block", rf"(?s)<{tag}(?:\s[^>]*)?>\s*(.*?)\s*</{tag}>", 1
+        )
+        return F.nullif(v, F.lit(""))
+
+    loc = _field("loc")
+    for ent, ch in _XML_ENTITIES:
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    out = e.select(
+        *[c for c in df.columns if c != xml],
+        F.col("_seq").cast("bigint").alias("seq"),
+        loc.alias("loc"),
+        _field("lastmod").alias("lastmod"),
+        _field("priority").cast("double").alias("priority"),
+    )
+    return out.filter(F.col("loc").isNotNull())

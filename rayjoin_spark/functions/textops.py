@@ -1100,6 +1100,60 @@ def ngram_novelty(
     )
 
 
+#: line-terminal punctuation accepted by the C4 line rule
+C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 2,
+) -> DataFrame:
+    """The C4 cleaning stage (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning" §2.2) — the line/document heuristics that
+    turned Common Crawl into C4, applied to newline-delimited page text:
+
+    * a LINE survives iff (after trimming) it ends in terminal
+      punctuation (``. ! ? "``), has at least `min_words` whitespace
+      words, and does not contain the word "javascript";
+    * a DOCUMENT survives iff at least `min_kept_lines` lines survive,
+      the text does not contain "lorem ipsum" (case-insensitive), and
+      does not contain a curly brace ``{`` (code placeholder).
+
+    Emits per document the line counts, the kept-line reassembly
+    (`kept_text`) and the document verdict (`keep`) — callers filter on
+    `keep` and continue with `kept_text`.
+
+    Scale shape: one pure-codegen higher-order ``filter`` over the split
+    line array — scan-shaped, zero shuffle, embarrassingly parallel; no
+    UDF, no explode (the array never leaves the row)."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    lines = F.split(t, "\n")
+
+    def _line_ok(x: Column) -> Column:
+        s = F.trim(x)
+        return (
+            s.substr(-1, 1).isin(list(C4_TERMINAL))
+            & (F.size(F.split(s, r"\s+")) >= min_words)
+            & ~F.lower(s).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (
+            (F.size(kept) >= min_kept_lines)
+            & ~F.lower(t).contains("lorem ipsum")
+            & ~t.contains("{")
+        ).alias("keep"),
+        F.array_join(kept, "\n").alias("kept_text"),
+    )
+
+
 def dedup_against(
     new: DataFrame,
     ref: DataFrame,
