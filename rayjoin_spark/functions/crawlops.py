@@ -210,7 +210,9 @@ def latest_snapshot(
 
 
 #: XML predefined entities, ampersand LAST so "&amp;lt;" decodes to the
-#: literal "&lt;" (standard unescape order)
+#: literal "&lt;" (single-pass unescape order; numeric references are
+#: decoded before the ampersand pass for the same reason — "&amp;#47;"
+#: must yield the literal "&#47;", not "/")
 _XML_ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -218,6 +220,50 @@ _XML_ENTITIES = (
     ("&apos;", "'"),
     ("&amp;", "&"),
 )
+
+#: numeric character reference (decimal &#47; or hex &#x2F;)
+_NUMREF = r"&#[xX]?[0-9A-Fa-f]+;"
+
+
+def _numref_char(ref):
+    """Decode one numeric character reference Column to its character,
+    for PRINTABLE-ASCII code points (32..126 — the range that occurs in
+    URLs: / & = ? : ' " etc.); anything else stays literal. Pure
+    codegen: code point -> 2-hex-digit byte -> unhex -> utf-8 decode.
+    try_* everywhere so a garbage body ("&#AF;") degrades to literal
+    instead of an ANSI cast failure."""
+    body = F.substring(ref, 3, F.length(ref) - F.lit(3))
+    is_hex = F.lower(F.substring(body, 1, 1)) == "x"
+    code = F.when(
+        is_hex, F.conv(F.substring(body, 2, F.length(body) - F.lit(1)), 16, 10)
+    ).otherwise(body).try_cast("bigint")
+    ch = F.decode(F.unhex(F.lpad(F.conv(code.cast("string"), 10, 16), 2, "0")), "UTF-8")
+    return F.when((code >= 32) & (code <= 126), ch).otherwise(ref)
+
+
+def _decode_xml_entities(col):
+    """Single-pass XML unescape of the named entities plus printable-
+    ASCII numeric references. Named entities other than &amp; first
+    (their bodies can't overlap a numeric ref), then numeric refs, then
+    &amp; last — so "&amp;lt;"/"&amp;#47;" decode to the literal texts
+    "&lt;"/"&#47;" exactly as a one-pass decoder would."""
+    for ent, ch in _XML_ENTITIES[:-1]:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    parts = F.split(col, _NUMREF)
+    refs = F.regexp_extract_all(col, F.lit(f"({_NUMREF})"), F.lit(1))
+    tail = F.zip_with(
+        refs,
+        F.slice(parts, 2, F.greatest(F.size(parts) - F.lit(1), F.lit(0))),
+        lambda r, p: F.concat(_numref_char(r), p),
+    )
+    col = F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
+    return F.replace(col, F.lit("&amp;"), F.lit("&"))
+
+
+#: parse_sitemap output columns — same-named input columns are replaced
+#: (rename before calling to keep a parent sitemap's fields, e.g. in the
+#: two-level sitemapindex flow)
+_SITEMAP_FIELDS = ("seq", "loc", "lastmod", "priority")
 
 
 def parse_sitemap(
@@ -228,10 +274,14 @@ def parse_sitemap(
     """XML sitemap parse (sitemaps.org protocol) — the discovery stage
     between robots.txt (which names the sitemap) and the crawl frontier:
     turn ``<urlset>`` documents into one row per ``<url>`` entry with
-    `loc` (required; whitespace-trimmed, XML entities decoded), `lastmod`
-    (W3C date string or NULL) and `priority` (double or NULL). Sitemap
-    INDEX files (``<sitemapindex>``) parse with ``block_tag="sitemap"``,
-    yielding the child sitemap locs.
+    `loc` (required; whitespace-trimmed, XML entities + printable-ASCII
+    numeric character references decoded), `lastmod` (W3C date string or
+    NULL) and `priority` (double, NULL when absent or malformed —
+    try_cast, so one bad value can't fail the job under ANSI mode).
+    Sitemap INDEX files (``<sitemapindex>``) parse with
+    ``block_tag="sitemap"``, yielding the child sitemap locs; input
+    columns named seq/loc/lastmod/priority are REPLACED by the outputs
+    (rename the parent's first when chaining index -> child parses).
 
     Fully declarative: one ``regexp_extract_all`` pulls the entry blocks
     ((?s) non-greedy, so multi-line pretty-printed XML works), one
@@ -245,7 +295,8 @@ def parse_sitemap(
         F.lit(rf"(?s)<{block_tag}(?:\s[^>]*)?>(.*?)</{block_tag}>"),
         F.lit(1),
     )
-    e = df.select("*", F.posexplode(blocks).alias("_seq", "_block"))
+    keep = [c for c in df.columns if c != xml and c not in _SITEMAP_FIELDS]
+    e = df.select(*keep, F.posexplode(blocks).alias("_seq", "_block"))
 
     def _field(tag: str) -> F.Column:
         v = F.regexp_extract(
@@ -253,14 +304,11 @@ def parse_sitemap(
         )
         return F.nullif(v, F.lit(""))
 
-    loc = _field("loc")
-    for ent, ch in _XML_ENTITIES:
-        loc = F.replace(loc, F.lit(ent), F.lit(ch))
     out = e.select(
-        *[c for c in df.columns if c != xml],
+        *keep,
         F.col("_seq").cast("bigint").alias("seq"),
-        loc.alias("loc"),
+        _decode_xml_entities(_field("loc")).alias("loc"),
         _field("lastmod").alias("lastmod"),
-        _field("priority").cast("double").alias("priority"),
+        _field("priority").try_cast("double").alias("priority"),
     )
     return out.filter(F.col("loc").isNotNull())

@@ -1128,12 +1128,15 @@ def c4_filter(
 
     Scale shape: one pure-codegen higher-order ``filter`` over the split
     line array — scan-shaped, zero shuffle, embarrassingly parallel; no
-    UDF, no explode (the array never leaves the row)."""
+    UDF, no explode (the array never leaves the row). Lines split on
+    ``\\r?\\n`` (CRLF pages clean the same as LF) and the per-line trim
+    strips ALL whitespace (tabs included), so layout whitespace never
+    defeats the punctuation test or pads the word count."""
     t = F.coalesce(F.col(text), F.lit(""))
-    lines = F.split(t, "\n")
+    lines = F.split(t, r"\r?\n")
 
     def _line_ok(x: Column) -> Column:
-        s = F.trim(x)
+        s = F.regexp_replace(x, r"^\s+|\s+$", "")
         return (
             s.substr(-1, 1).isin(list(C4_TERMINAL))
             & (F.size(F.split(s, r"\s+")) >= min_words)

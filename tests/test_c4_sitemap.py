@@ -104,6 +104,57 @@ def test_sitemap_empty_and_null(spark):
     assert crawlops.parse_sitemap(df).count() == 0
 
 
+def test_c4_crlf_and_tab_lines(spark):
+    """CRLF pages clean like LF pages; tab padding neither defeats the
+    terminal-punctuation test nor inflates the word count."""
+    crlf = "Line one has enough words.\r\nLine two also has words.\r\nLine three is here too."
+    tabbed = "\tok go now.\nreal words in this line."
+    df = spark.createDataFrame(
+        [(1, crlf), (2, tabbed)], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.keep) for r in textops.c4_filter(df).collect()}
+    assert got[1] == (3, 3, True)
+    # "\tok go now." trims to 3 words (a leading-empty token would make 4
+    # of a 2-word line elsewhere; here it pins the trim semantics)
+    assert got[2] == (2, 2, True)
+
+
+def test_sitemap_malformed_priority_and_numref(spark):
+    """A garbage <priority> degrades to NULL (no ANSI cast crash); ASCII
+    numeric character references decode; &amp;#47; stays literal &#47;
+    (single-pass semantics); out-of-range refs stay literal."""
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h/a?q=1&#47;2&#x26;b</loc><priority>high</priority></url>"
+        "<url><loc>https://h/amp&amp;#47;lit</loc></url>"
+        "<url><loc>https://h/big&#9731;ref</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+    rows = crawlops.parse_sitemap(df).orderBy("seq").collect()
+    assert rows[0].loc == "https://h/a?q=1/2&b"
+    assert rows[0].priority is None
+    assert rows[1].loc == "https://h/amp&#47;lit"
+    assert rows[2].loc == "https://h/big&#9731;ref"
+
+
+def test_sitemap_two_level_index_chain(spark):
+    """The docstring's own recipe: index parse -> (pretend-fetch) ->
+    child parse. The child parse replaces the parent's loc column, so
+    the chain composes without ambiguity."""
+    idx = spark.createDataFrame(
+        [("h.example", SITEMAP_INDEX)], "host string, sitemap_xml string"
+    )
+    level1 = crawlops.parse_sitemap(idx, block_tag="sitemap")
+    fetched = level1.select(
+        "host", "loc", F.lit(SITEMAP).alias("sitemap_xml")
+    )
+    level2 = crawlops.parse_sitemap(fetched)
+    # 2 child sitemaps x 3 loc-bearing entries each
+    assert level2.count() == 6
+    assert level2.columns == ["host", "seq", "loc", "lastmod", "priority"]
+
+
 def test_c4_filter_plan_is_scan_shaped(spark):
     """Zero exchanges, no Python eval: the filter is pure codegen."""
     df = spark.createDataFrame([(1, C4_PAGE)], "doc_id bigint, text string")
