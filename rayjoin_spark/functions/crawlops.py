@@ -230,12 +230,19 @@ def _numref_char(ref):
     for PRINTABLE-ASCII code points (32..126 — the range that occurs in
     URLs: / & = ? : ' " etc.); anything else stays literal. Pure
     codegen: code point -> 2-hex-digit byte -> unhex -> utf-8 decode.
-    try_* everywhere so a garbage body ("&#AF;") degrades to literal
-    instead of an ANSI cast failure."""
+    Every parse is guarded so a garbage body degrades to literal: the
+    hex branch is length-capped BEFORE conv() (ANSI conv overflows —
+    throws, not wraps — past 64 bits, and it is not try_-guardable),
+    the decimal branch try_casts (huge values -> NULL, no overflow)."""
     body = F.substring(ref, 3, F.length(ref) - F.lit(3))
     is_hex = F.lower(F.substring(body, 1, 1)) == "x"
+    hex_digits = F.substring(body, 2, F.length(body) - F.lit(1))
     code = F.when(
-        is_hex, F.conv(F.substring(body, 2, F.length(body) - F.lit(1)), 16, 10)
+        is_hex,
+        # CASE branches evaluate lazily, so conv() never sees a >15-digit
+        # body (15 hex digits < 2^60 always fits bigint; in-range code
+        # points need only 2)
+        F.when(F.length(hex_digits) <= 15, F.conv(hex_digits, 16, 10)),
     ).otherwise(body).try_cast("bigint")
     ch = F.decode(F.unhex(F.lpad(F.conv(code.cast("string"), 10, 16), 2, "0")), "UTF-8")
     return F.when((code >= 32) & (code <= 126), ch).otherwise(ref)
@@ -246,18 +253,26 @@ def _decode_xml_entities(col):
     ASCII numeric references. Named entities other than &amp; first
     (their bodies can't overlap a numeric ref), then numeric refs, then
     &amp; last — so "&amp;lt;"/"&amp;#47;" decode to the literal texts
-    "&lt;"/"&#47;" exactly as a one-pass decoder would."""
+    "&lt;"/"&#47;" exactly as a one-pass decoder would. The &amp; pass
+    runs PER SEGMENT (the texts between numeric refs), before the
+    decoded ref characters are spliced back in — an '&' produced by the
+    numeric pass can therefore never pair with a following 'amp;' into
+    a phantom '&amp;' ("&#38;amp;" correctly yields the literal
+    "&amp;", not "&")."""
     for ent, ch in _XML_ENTITIES[:-1]:
         col = F.replace(col, F.lit(ent), F.lit(ch))
+
+    def _amp(c):
+        return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
     parts = F.split(col, _NUMREF)
     refs = F.regexp_extract_all(col, F.lit(f"({_NUMREF})"), F.lit(1))
     tail = F.zip_with(
         refs,
         F.slice(parts, 2, F.greatest(F.size(parts) - F.lit(1), F.lit(0))),
-        lambda r, p: F.concat(_numref_char(r), p),
+        lambda r, p: F.concat(_numref_char(r), _amp(p)),
     )
-    col = F.concat(F.element_at(parts, 1), F.array_join(tail, ""))
-    return F.replace(col, F.lit("&amp;"), F.lit("&"))
+    return F.concat(_amp(F.element_at(parts, 1)), F.array_join(tail, ""))
 
 
 #: parse_sitemap output columns — same-named input columns are replaced

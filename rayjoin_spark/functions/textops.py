@@ -1160,7 +1160,6 @@ def c4_filter(
 def dedup_against(
     new: DataFrame,
     ref: DataFrame,
-    id_col: str = "doc_id",
     text: str = "text",
 ) -> DataFrame:
     """Incremental-corpus dedup: keep only rows of `new` whose content

@@ -138,6 +138,27 @@ def test_sitemap_malformed_priority_and_numref(spark):
     assert rows[2].loc == "https://h/big&#9731;ref"
 
 
+def test_sitemap_hostile_numrefs(spark):
+    """Adversarial numeric refs: a 17-hex-digit ref must not ANSI-
+    overflow conv() (stays literal), and '&#38;amp;' must decode to the
+    literal '&amp;' (the numeric pass's '&' must not pair with the
+    following 'amp;' and get re-decoded)."""
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h/w&#xFFFFFFFFFFFFFFFFF;end</loc></url>"
+        "<url><loc>https://h/a?q=1&#38;amp;x</loc></url>"
+        "<url><loc>https://h/b?q=1&#x26;amp;y</loc></url>"
+        "<url><loc>https://h/c&#999999999999999999999;d</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, sitemap_xml string")
+    rows = crawlops.parse_sitemap(df).orderBy("seq").collect()
+    assert rows[0].loc == "https://h/w&#xFFFFFFFFFFFFFFFFF;end"
+    assert rows[1].loc == "https://h/a?q=1&amp;x"
+    assert rows[2].loc == "https://h/b?q=1&amp;y"
+    assert rows[3].loc == "https://h/c&#999999999999999999999;d"
+
+
 def test_sitemap_two_level_index_chain(spark):
     """The docstring's own recipe: index parse -> (pretend-fetch) ->
     child parse. The child parse replaces the parent's loc column, so
