@@ -821,6 +821,76 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_against(new, ref).select("doc_id", "text")
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery FROM robots.txt (crawlops.robots_sitemaps): the
+    ``Sitemap:`` directive is global (not section-scoped), so every host
+    yields its sitemap regardless of the surrounding User-agent groups.
+    Exercises mixed-case directive + host, comment stripping, leading
+    whitespace, duplicate collapse, and the every-third-host extra
+    news sitemap. Oracle states the expected (host, url) set."""
+    from rayjoin_spark.functions import crawlops
+
+    idstr = F.col("id").cast("string")
+    hosts = spark.range(97).select(
+        F.concat(F.lit("Site"), idstr, F.lit(".EXAMPLE")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\nSitemap: https://site"),
+            idstr,
+            F.lit(".example/sitemap.xml\n  sitemap: https://site"),
+            idstr,
+            F.lit(".example/sitemap.xml  # dup, stripped comment\n"),
+            F.when(
+                F.pmod("id", 3) == 0,
+                F.concat(
+                    F.lit("SITEMAP: https://site"),
+                    idstr,
+                    F.lit(".example/news.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("User-agent: GraftBot\nDisallow: /d/\n"),
+        ).alias("robots_txt"),
+    )
+    return crawlops.robots_sitemaps(hosts).select("host", "sitemap_url")
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate revisit scheduling (crawlops.recrawl_schedule):
+    documents become 2-5 captures each with deterministic timestamps and
+    a fingerprint that flips at known steps; the estimator's outputs are
+    integer-exact (no log/double), so the oracle mirrors the window +
+    aggregation with DuckDB's // on the same non-negative bigints."""
+    from rayjoin_spark.functions import crawlops
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    caps = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.pmod(i, 4) + 1)).alias("k"),
+    )
+    k = F.col("k")
+    hist = caps.select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod("doc_id", 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1766016000) + k * (F.lit(3600) + F.pmod("doc_id", 7)))
+        .cast("long")
+        .alias("ts_epoch"),
+        F.pmod(F.col("doc_id") + k * k, 7).cast("string").alias("fingerprint"),
+    )
+    return crawlops.recrawl_schedule(hist).select(
+        "url",
+        "n_caps",
+        "n_changes",
+        "span_s",
+        "change_ppm",
+        "revisit_s",
+        "next_due_epoch",
+    )
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (htmlops.extract_main_text): pages built with
     a nav bar, the document text as the content paragraph, a too-short
@@ -1303,6 +1373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "c4_filter": q_c4_filter,
         "sitemap_parse": q_sitemap_parse,
+        "robots_sitemaps": q_robots_sitemaps,
+        "recrawl_schedule": q_recrawl_schedule,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
@@ -2157,6 +2229,55 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example'
 FROM documents
 """
 
+#: robots_sitemaps: the directive is host-global, so the expected set is
+#: one sitemap.xml per host (the indented mixed-case duplicate collapses)
+#: plus news.xml for hosts ≡ 0 (mod 3); host lowers like all crawlops keys.
+_ROBOTS_SITEMAPS_SQL = """
+WITH h AS (SELECT CAST(range AS BIGINT) AS id FROM range(97))
+SELECT 'site' || CAST(id AS VARCHAR) || '.example' AS host,
+       'https://site' || CAST(id AS VARCHAR) || '.example/sitemap.xml' AS sitemap_url
+FROM h
+UNION ALL
+SELECT 'site' || CAST(id AS VARCHAR) || '.example' AS host,
+       'https://site' || CAST(id AS VARCHAR) || '.example/news.xml' AS sitemap_url
+FROM h WHERE id % 3 = 0
+"""
+
+#: recrawl_schedule: same capture fixture, same lag-window change flags,
+#: same integer estimator (DuckDB // == Spark DIV on these non-negative
+#: bigints; SUM is HUGEINT in DuckDB -> cast back to BIGINT).
+_RECRAWL_SCHEDULE_SQL = """
+WITH caps AS (
+  SELECT 'https://site' || CAST(d.doc_id % 97 AS VARCHAR) || '.example/d/'
+           || CAST(d.doc_id AS VARCHAR) AS url,
+         CAST(1766016000 + g.k * (3600 + d.doc_id % 7) AS BIGINT) AS ts_epoch,
+         CAST((d.doc_id + g.k * g.k) % 7 AS VARCHAR) AS fingerprint
+  FROM documents d,
+       unnest(generate_series(0, CAST(d.doc_id % 4 + 1 AS BIGINT))) AS g(k)
+), chg AS (
+  SELECT url, ts_epoch,
+         CASE WHEN lag(fingerprint) OVER (PARTITION BY url ORDER BY ts_epoch)
+                   IS NOT NULL
+               AND fingerprint <> lag(fingerprint)
+                   OVER (PARTITION BY url ORDER BY ts_epoch)
+              THEN 1 ELSE 0 END AS c
+  FROM caps
+), agg AS (
+  SELECT url, COUNT(*) AS n_caps, CAST(SUM(c) AS BIGINT) AS n_changes,
+         MAX(ts_epoch) - MIN(ts_epoch) AS span_s, MAX(ts_epoch) AS last_ts
+  FROM chg GROUP BY url
+), est AS (
+  SELECT *, CASE WHEN n_changes > 0 THEN span_s // n_changes
+                 ELSE span_s * 2 END AS raw_est
+  FROM agg
+)
+SELECT url, n_caps, n_changes, span_s,
+       (n_changes * 1000000) // greatest(n_caps - 1, 1) AS change_ppm,
+       greatest(raw_est, 60) AS revisit_s,
+       last_ts + greatest(raw_est, 60) AS next_due_epoch
+FROM est
+"""
+
 _CORPUS_CARD_SQL = """
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -2741,6 +2862,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_card": _CORPUS_CARD_SQL,
         "c4_filter": _C4_FILTER_SQL,
         "sitemap_parse": _SITEMAP_PARSE_SQL,
+        "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
+        "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,

@@ -327,3 +327,98 @@ def parse_sitemap(
         _field("priority").try_cast("double").alias("priority"),
     )
     return out.filter(F.col("loc").isNotNull())
+
+
+#: Sitemap directive line (RFC 9309 §2.2.4 sitemaps.org extension):
+#: GLOBAL scope — valid anywhere in the file, not owned by a User-agent
+#: group, so extraction ignores sections entirely.
+_SITEMAP_LINE = r"(?i)^\s*sitemap\s*:\s*(\S+)"
+
+
+def robots_sitemaps(
+    df: DataFrame, host: str = "host", body: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies -> (host, sitemap_url): the ``Sitemap:``
+    discovery seam that feeds `parse_sitemap` (robots names the sitemap;
+    the sitemap names the pages). Unlike Allow/Disallow, the directive
+    is global — no section join, just a line scan. URL case is
+    preserved (paths are case-sensitive); the host column lowers like
+    every other crawlops host key; comments strip before the match
+    (same ``#``-to-EOL grammar as `_sections`); duplicates collapse.
+
+    Scale shape: explode + regexp + distinct — one shuffle for the
+    dedup, over (host, url) pairs only (robots files name a handful of
+    sitemaps each). Pure codegen until the distinct."""
+    lines = df.select(
+        F.lower(F.col(host)).alias("host"),
+        F.explode(F.split(F.col(body), "\n")).alias("line"),
+    ).select("host", F.regexp_replace("line", "#.*$", "").alias("line"))
+    url = F.regexp_extract("line", _SITEMAP_LINE, 1)
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def recrawl_schedule(
+    df: DataFrame,
+    url: str = "url",
+    ts: str = "ts_epoch",
+    fingerprint: str = "fingerprint",
+    min_interval_s: int = 60,
+    backoff_factor: int = 2,
+) -> DataFrame:
+    """Change-rate-driven revisit scheduling (Cho & Garcia-Molina,
+    "Estimating frequency of change", TOIT 2003 — the classic incremental
+    -crawler policy): from a capture history (url, ts, content
+    fingerprint), estimate each URL's change period and emit when it is
+    next due.
+
+    Estimator, kept INTEGER-EXACT so results hash identically on any
+    engine (no log/double): X = observed changes (consecutive captures
+    whose fingerprints differ), T = observed span seconds. X/T is the
+    Poisson MLE of the change rate, so the revisit period is its
+    reciprocal ``T DIV X``; URLs never seen to change back off to
+    ``backoff_factor * T`` (exponential horizon growth as evidence of
+    stability accumulates — rerunning after the next capture doubles
+    again); everything clamps to ``min_interval_s`` politeness.
+
+    Output per url: ``n_caps, n_changes, span_s, change_ppm`` (changes
+    per observation interval, parts-per-million — the exact-integer
+    stand-in for the rate), ``revisit_s, next_due_epoch``.
+
+    Scale shape: one window (partition by url — captures per url are
+    dozens, never skewed) + one combinable groupBy. Both shuffle on the
+    url key; at 10^10 urls that is the natural partitioning, and the
+    output is exactly the frontier scheduler's input.
+    """
+    w = Window.partitionBy(url).orderBy(ts)
+    prev = F.lag(fingerprint).over(w)
+    changed = (prev.isNotNull() & (F.col(fingerprint) != prev)).cast("bigint")
+    agg = (
+        df.select(url, ts, changed.alias("_chg"))
+        .groupBy(url)
+        .agg(
+            F.count("*").alias("n_caps"),
+            F.sum("_chg").alias("n_changes"),
+            (F.max(ts) - F.min(ts)).alias("span_s"),
+            F.max(ts).alias("_last"),
+        )
+    )
+    est = F.when(
+        F.col("n_changes") > 0, F.expr("span_s DIV n_changes")
+    ).otherwise(F.col("span_s") * backoff_factor)
+    return agg.select(
+        url,
+        "n_caps",
+        "n_changes",
+        "span_s",
+        F.expr("(n_changes * 1000000) DIV greatest(n_caps - 1, 1)").alias(
+            "change_ppm"
+        ),
+        F.greatest(est, F.lit(min_interval_s)).alias("revisit_s"),
+        (F.col("_last") + F.greatest(est, F.lit(min_interval_s))).alias(
+            "next_due_epoch"
+        ),
+    )

@@ -153,3 +153,45 @@ def test_robots_host_case_insensitive(spark):
     urls = spark.createDataFrame([("https://h.example/p/x",)], "url string")
     got = crawlops.robots_allowed(urls, crawlops.parse_robots(df)).collect()
     assert got[0].robots_ok is False  # would fail OPEN without lowercasing
+
+
+def test_robots_sitemaps_global_scope_and_dedup(spark):
+    """Sitemap: lines surface regardless of User-agent sections; case
+    and indentation don't matter; comments strip; duplicates collapse;
+    a file with none yields nothing."""
+    body = (
+        "User-agent: *\nDisallow: /p\n"
+        "Sitemap: https://h.example/a.xml\n"
+        "  sitemap: https://h.example/a.xml  # same, indented\n"
+        "User-agent: Bot\n"
+        "SITEMAP: https://h.example/B.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("H.Example", body), ("other.example", "User-agent: *\nAllow: /\n")],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.sitemap_url) for r in crawlops.robots_sitemaps(df).collect()}
+    assert got == {
+        ("h.example", "https://h.example/a.xml"),
+        ("h.example", "https://h.example/B.xml"),  # URL case preserved
+    }
+
+
+def test_recrawl_schedule_contract(spark):
+    """Three shapes: a changing url (period = span // changes), a stable
+    url (backoff = 2x span), a single capture (clamps to min)."""
+    rows = [
+        ("u1", 0, "a"), ("u1", 100, "b"), ("u1", 300, "b"), ("u1", 600, "c"),
+        ("u2", 0, "x"), ("u2", 500, "x"),
+        ("u3", 42, "z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts_epoch bigint, fingerprint string")
+    got = {r.url: r for r in crawlops.recrawl_schedule(df, min_interval_s=60).collect()}
+    u1 = got["u1"]  # 4 caps, 2 changes over span 600
+    assert (u1.n_caps, u1.n_changes, u1.span_s) == (4, 2, 600)
+    assert u1.change_ppm == 2 * 1000000 // 3
+    assert u1.revisit_s == 300 and u1.next_due_epoch == 900
+    u2 = got["u2"]  # never changed: backoff 2*500, due 500+1000
+    assert (u2.n_changes, u2.revisit_s, u2.next_due_epoch) == (0, 1000, 1500)
+    u3 = got["u3"]  # single capture: span 0 -> min clamp
+    assert (u3.n_caps, u3.revisit_s, u3.next_due_epoch) == (1, 60, 102)
