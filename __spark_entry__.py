@@ -415,6 +415,77 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive lookup index (sources/warc.cdx_index): pack documents
+    into PLAIN WARC blobs (byte offsets are then pure string arithmetic
+    an external engine can restate), index them, and return the full CDX
+    row — SURT key, capture time, record byte span, payload sha256. The
+    oracle rebuilds each record's exact byte length from the writer's
+    deterministic template (placeholder md5/date strings of the right
+    LENGTH) and window-sums spans into offsets; the gzip-member span
+    variant is pinned by unit test (compressed lengths aren't SQL-
+    computable)."""
+    from rayjoin_spark.sources import warc as warcmod
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.pmod(F.col("doc_id"), 16).cast("long").alias("warc_group"),
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1766016000) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        F.encode("text", "UTF-8").alias("html"),
+    )
+    blobs = warcmod.pages_to_warc_blobs(pages)
+    return warcmod.cdx_index(blobs).select(
+        "surt",
+        "ts_epoch",
+        "url",
+        "content_type",
+        "offset",
+        "rec_length",
+        "digest_sha256",
+    )
+
+
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record seam (sources/warc.pages_to_wet_blobs):
+    documents' text into WARC `conversion` records (half plain, half
+    record-per-gzip-member), read back with keep_types=("conversion",).
+    Text passthrough byte-identical; content_type pins the WET
+    contract."""
+    from rayjoin_spark.sources import warc as warcmod
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.pmod(F.col("doc_id"), 16).cast("long").alias("warc_group"),
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.lit(1766016000) + F.col("doc_id")).cast("long").alias("ts_epoch"),
+        F.col("text"),
+    )
+    plain = warcmod.pages_to_wet_blobs(pages.filter(F.col("warc_group") < 8))
+    gz = warcmod.pages_to_wet_blobs(
+        pages.filter(F.col("warc_group") >= 8), gzip_members=True
+    )
+    parsed = warcmod.parse_warc_blobs(
+        plain.unionByName(gz), keep_types=("conversion",)
+    )
+    return parsed.select(
+        "url",
+        "ts_epoch",
+        "content_type",
+        F.decode("html", "UTF-8").alias("text"),
+    )
+
+
 def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> Common-Crawl-shaped pages, geocoded; byte-identical
     text passthrough is the checked invariant."""
@@ -1374,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "sitemap_parse": q_sitemap_parse,
         "robots_sitemaps": q_robots_sitemaps,
+        "cdx_index": q_cdx_index,
+        "wet_roundtrip": q_wet_roundtrip,
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
@@ -2486,6 +2559,60 @@ SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(d
 FROM documents
 """
 
+#: cdx_index: the writer's record template is deterministic, so each
+#: record's byte length is string arithmetic — the md5/date placeholders
+#: below only contribute their (fixed) LENGTHs; offsets are the window-
+#: sum of preceding record lengths within a blob (records sort by url).
+_CDX_INDEX_SQL = """
+WITH pages AS (
+  SELECT CAST(doc_id % 16 AS BIGINT) AS grp,
+         CAST(doc_id % 97 AS VARCHAR) AS k,
+         'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CAST(1766016000 + doc_id AS BIGINT) AS ts_epoch,
+         text
+  FROM documents
+), rec AS (
+  SELECT grp, k, url, ts_epoch,
+         sha256(text) AS digest_sha256,
+         CAST(
+           strlen(e'WARC/1.0\\r\\nWARC-Type: response\\r\\n'
+             || 'WARC-Record-ID: <urn:md5:00000000000000000000000000000000>'
+             || e'\\r\\nWARC-Date: 2026-01-01T00:00:00Z\\r\\nWARC-Target-URI: '
+             || url
+             || e'\\r\\nContent-Type: application/http; msgtype=response\\r\\n'
+             || 'Content-Length: '
+             || CAST(strlen(e'HTTP/1.1 200 OK\\r\\n'
+                  || e'Content-Type: text/html; charset=utf-8\\r\\n'
+                  || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR)
+                  || e'\\r\\n\\r\\n' || text) AS VARCHAR)
+             || e'\\r\\n\\r\\n')
+           + strlen(e'HTTP/1.1 200 OK\\r\\n'
+               || e'Content-Type: text/html; charset=utf-8\\r\\n'
+               || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR)
+               || e'\\r\\n\\r\\n' || text)
+           + 4
+         AS BIGINT) AS rec_length
+  FROM pages
+)
+SELECT 'example,site' || k || ')' || substr(url, strlen('https://site' || k || '.example') + 1) AS surt,
+       ts_epoch, url,
+       'application/http; msgtype=response' AS content_type,
+       CAST(COALESCE(SUM(rec_length) OVER (
+         PARTITION BY grp ORDER BY url
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+       rec_length, digest_sha256
+FROM rec
+"""
+
+_WET_ROUNDTRIP_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1766016000 + doc_id AS BIGINT) AS ts_epoch,
+       'text/plain; charset=utf-8' AS content_type,
+       text
+FROM documents
+"""
+
 _PAGES_SQL = """
 SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/' || CAST(doc_id AS VARCHAR) AS url,
        ((doc_id * 2654435761) % 4294967296) / 4294967296.0 * 1021.0 AS x,
@@ -2863,6 +2990,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _C4_FILTER_SQL,
         "sitemap_parse": _SITEMAP_PARSE_SQL,
         "robots_sitemaps": _ROBOTS_SITEMAPS_SQL,
+        "cdx_index": _CDX_INDEX_SQL,
+        "wet_roundtrip": _WET_ROUNDTRIP_SQL,
         "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,

@@ -195,6 +195,41 @@ def url_parts(df: DataFrame, url: str = "url") -> DataFrame:
     )
 
 
+def surt_keys(df: DataFrame, url: str = "url", out: str = "surt") -> DataFrame:
+    """Add the SURT (Sort-friendly URI Reordering Transform) key — the
+    canonical sort/lookup key of web-archive CDX indexes: host labels
+    reversed and comma-joined, then ``)`` and the path+query, e.g.
+    ``https://www.example.org:8080/a?q=1#f -> org,example:8080)/a?q=1``.
+    Scheme and fragment drop, host lowercases, a leading ``www.`` strips
+    (the standard CDX canonicalization), non-default ports keep, an
+    empty path becomes ``/``. Sorting by surt clusters one registered
+    domain's captures contiguously — the access pattern CDX exists for.
+
+    Pure regexp/array codegen (no UDF, no shuffle); an external SQL
+    engine reproduces it exactly."""
+    auth = F.lower(F.regexp_extract(F.col(url), _HOST_RE, 1))
+    hostp = F.regexp_replace(
+        F.regexp_extract(auth, r"^([^:]*)", 1), r"^www\.", ""
+    )
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(hostp, r"\.")), ",")
+    pq = F.regexp_replace(
+        F.regexp_replace(
+            F.col(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
+        ),
+        r"#.*$",
+        "",
+    )
+    pq = F.when(pq == "", F.lit("/")).otherwise(pq)
+    surt = F.concat(
+        rev,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        pq,
+    )
+    return df.withColumn(out, surt)
+
+
 def host_stats(df: DataFrame, url: str = "url", text: str = "text") -> DataFrame:
     """Per-host corpus statistics: page count, distinct languages, total
     text bytes, mean path depth. One groupBy (map-side partial agg);

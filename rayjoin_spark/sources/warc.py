@@ -100,6 +100,17 @@ def _parse_one_blob(blob: bytes, keep_types: frozenset[str]) -> Iterator[dict]:
     the scan stops there; everything parsed up to that point is kept."""
     if blob[:2] == _GZIP_MAGIC:
         blob = _gunzip_members(blob)
+    for _s, _e, rec in _scan_records(blob, keep_types):
+        yield rec
+
+
+def _scan_records(
+    blob: bytes, keep_types: frozenset[str]
+) -> Iterator[tuple[int, int, dict]]:
+    """Record scan over an UNCOMPRESSED buffer, yielding
+    ``(start, end, record)`` — end covers the trailing CRLFCRLF, so
+    ``blob[start:end]`` is the writer-exact record span (clamped at a
+    truncated tail)."""
     pos = 0
     while True:
         start = blob.find(b"WARC/", pos)
@@ -143,14 +154,18 @@ def _parse_one_blob(blob: bytes, keep_types: frozenset[str]) -> Iterator[dict]:
             body = payload
             if ctype is not None and ctype.startswith("application/http"):
                 body = _split_http_body(payload)
-            yield {
-                "url": headers.get("warc-target-uri"),
-                "ts_epoch": ts,
-                "warc_type": wtype,
-                "content_type": ctype,
-                "html": body,
-                "n_payload_bytes": len(payload),
-            }
+            yield (
+                start,
+                min(head_end + 4 + clen + 4, len(blob)),
+                {
+                    "url": headers.get("warc-target-uri"),
+                    "ts_epoch": ts,
+                    "warc_type": wtype,
+                    "content_type": ctype,
+                    "html": body,
+                    "n_payload_bytes": len(payload),
+                },
+            )
 
 
 def parse_warc_blobs(
@@ -180,6 +195,92 @@ def parse_warc_blobs(
     return df.select(blob_col).mapInPandas(run, schema=WARC_SCHEMA)
 
 
+#: CDX index row (the web-archive lookup index, one row per record):
+#: surt sort key + where the record lives (offset/rec_length: gzip-member
+#: span in the compressed blob for .gz archives — the Common-Crawl CDX
+#: contract — or the record's byte span for plain blobs) + payload digest.
+CDX_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("ts_epoch", T.LongType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("rec_length", T.LongType(), False),
+        T.StructField("html", T.BinaryType(), True),
+    ]
+)
+
+
+def _scan_with_offsets(
+    blob: bytes, keep_types: frozenset[str]
+) -> Iterator[dict]:
+    """Like `_parse_one_blob` but each record carries (offset,
+    rec_length): for a gzip-member blob that is the COMPRESSED member
+    span (a reader can fetch exactly those bytes and gunzip one record
+    — what CDX offsets are for); for a plain blob, the record's own
+    span. Records sharing one gzip member (non-CC layout) share its
+    span — documented degradation, never wrong bytes."""
+    if blob[:2] == _GZIP_MAGIC:
+        pos = 0
+        while pos < len(blob) and blob[pos : pos + 2] == _GZIP_MAGIC:
+            d = zlib.decompressobj(wbits=31)
+            try:
+                data = d.decompress(blob[pos:])
+            except zlib.error:
+                return
+            if not d.eof:
+                return
+            mlen = len(blob) - len(d.unused_data) - pos
+            for _s, _e, rec in _scan_records(data, keep_types):
+                yield {**rec, "offset": pos, "rec_length": mlen}
+            pos += mlen
+    else:
+        for s, e, rec in _scan_records(blob, keep_types):
+            yield {**rec, "offset": s, "rec_length": e - s}
+
+
+def cdx_index(
+    df: DataFrame,
+    blob_col: str = "content",
+    keep_types: tuple[str, ...] = ("response", "resource"),
+) -> DataFrame:
+    """WARC blobs -> CDX index rows: ``(surt, ts_epoch, url,
+    content_type, offset, rec_length, digest_sha256)`` — the archive's
+    random-access lookup table (Common Crawl's cc-index equivalent).
+    Sorting/bucketing the OUTPUT by surt is the reader's choice; the
+    build itself is scan-shaped.
+
+    Scale shape: the same per-blob Python pass as ingest (offsets must
+    come from the byte scan), then everything derived — SURT key, SHA-256
+    payload digest — is JVM codegen on the parsed columns. Writing the
+    index for a 100-TB archive is one linear read of the archive."""
+    from rayjoin_spark.functions.htmlops import surt_keys
+
+    kt = frozenset(keep_types)
+    cols = [f.name for f in CDX_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [
+                {k: r[k] for k in cols}
+                for blob in b[blob_col]
+                if blob is not None
+                for r in _scan_with_offsets(bytes(blob), kt)
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = df.select(blob_col).mapInPandas(run, schema=CDX_SCHEMA)
+    return surt_keys(parsed, url="url").select(
+        "surt",
+        "ts_epoch",
+        "url",
+        "content_type",
+        "offset",
+        "rec_length",
+        F.sha2("html", 256).alias("digest_sha256"),
+    )
+
+
 def read_warc(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     """``binaryFile`` scan -> parse. One task per file; pre-split large
     .warc.gz archives at gzip-member boundaries upstream for finer
@@ -189,24 +290,34 @@ def read_warc(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     )
 
 
-def warc_record_bytes(url: str, ts_epoch: int, body: bytes) -> bytes:
-    """One deterministic WARC response record (record id = md5 of url,
-    so re-writing the same page yields identical bytes)."""
+def warc_record_bytes(
+    url: str, ts_epoch: int, body: bytes, warc_type: str = "response"
+) -> bytes:
+    """One deterministic WARC record (record id = md5 of url, so
+    re-writing the same page yields identical bytes). ``response``
+    records wrap the body in an HTTP/1.1 envelope (archive convention);
+    any other type — e.g. ``conversion``, the WET extracted-text record
+    — carries the body raw as text/plain."""
     rid = hashlib.md5(url.encode()).hexdigest()
     date = datetime.fromtimestamp(ts_epoch, tz=timezone.utc).strftime(_DATE_FMT)
-    http = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-        + b"Content-Length: %d\r\n\r\n" % len(body)
-        + body
-    )
+    if warc_type == "response":
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(body)
+            + body
+        )
+        ctype = "application/http; msgtype=response"
+    else:
+        payload = body
+        ctype = "text/plain; charset=utf-8"
     head = (
-        f"WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
         f"WARC-Record-ID: <urn:md5:{rid}>\r\nWARC-Date: {date}\r\n"
         f"WARC-Target-URI: {url}\r\n"
-        f"Content-Type: application/http; msgtype=response\r\n"
-        f"Content-Length: {len(http)}\r\n\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode()
-    return head + http + b"\r\n\r\n"
+    return head + payload + b"\r\n\r\n"
 
 
 def pages_to_warc_blobs(
@@ -216,12 +327,15 @@ def pages_to_warc_blobs(
     ts_epoch: str = "ts_epoch",
     body: str = "html",
     gzip_members: bool = False,
+    warc_type: str = "response",
 ) -> DataFrame:
     """Inverse seam (the archive *writer*): pack pages into one WARC blob
     per group — (group, content binary). Records are ordered by url
     within a blob so output bytes are partitioning-independent. With
     ``gzip_members`` each record is its own gzip member (mtime pinned to
     0, OS byte fixed — deterministic), the CC splittable layout.
+    ``warc_type`` passes through to `warc_record_bytes` (``conversion``
+    -> WET-style raw text records).
     """
     out_schema = T.StructType(
         [
@@ -234,7 +348,7 @@ def pages_to_warc_blobs(
         recs = []
         pdf = pdf.sort_values(url)
         for u, t, b in zip(pdf[url], pdf[ts_epoch], pdf[body]):
-            rec = warc_record_bytes(u, int(t), bytes(b))
+            rec = warc_record_bytes(u, int(t), bytes(b), warc_type)
             if gzip_members:
                 co = zlib.compressobj(6, zlib.DEFLATED, 31)
                 # stdlib emits a 10-byte header (no fname); mtime/OS are
@@ -248,4 +362,36 @@ def pages_to_warc_blobs(
         pages.select(group_col, url, ts_epoch, body)
         .groupBy(group_col)
         .applyInPandas(pack, schema=out_schema)
+    )
+
+
+def pages_to_wet_blobs(
+    pages: DataFrame,
+    group_col: str = "warc_group",
+    url: str = "url",
+    ts_epoch: str = "ts_epoch",
+    text: str = "text",
+    gzip_members: bool = False,
+) -> DataFrame:
+    """WET writer (the Common-Crawl *.warc.wet convention): pack pages'
+    EXTRACTED TEXT into WARC ``conversion`` records — the derived-text
+    sibling of the response archive, what text-first pipelines actually
+    read. Compose after `functions/htmlops.extract_main_text` for the
+    full WARC -> WET conversion. Same determinism/splittability contract
+    as `pages_to_warc_blobs`; `parse_warc_blobs(...,
+    keep_types=("conversion",))` reads it back."""
+    enc = pages.select(
+        group_col,
+        url,
+        ts_epoch,
+        F.encode(F.col(text), "UTF-8").alias("_wet_body"),
+    )
+    return pages_to_warc_blobs(
+        enc,
+        group_col,
+        url,
+        ts_epoch,
+        "_wet_body",
+        gzip_members,
+        warc_type="conversion",
     )

@@ -219,3 +219,20 @@ def test_main_content_skipped_subtree_no_block_split():
     html2 = "<p><a href='/x'>link<noscript></a></noscript>text that is plenty long enough to keep okay</p>"
     m2, _, k2 = extract_main_html_text(html2)
     assert k2 == 1 and m2.startswith("linktext")
+
+
+def test_surt_keys_contract(spark):
+    """SURT: reversed host labels, www strip, port kept, scheme/fragment
+    dropped, empty path -> '/', query kept."""
+    cases = [
+        ("https://www.Example.ORG:8080/a/b?q=1#frag", "org,example:8080)/a/b?q=1"),
+        ("http://example.org", "org,example)/"),
+        ("https://a.b.c.example.com/x", "com,example,c,b,a)/x"),
+        ("https://host/", "host)/"),
+    ]
+    from rayjoin_spark.functions import htmlops
+
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r.url: r.surt for r in htmlops.surt_keys(df).collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)

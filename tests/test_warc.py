@@ -247,3 +247,41 @@ def test_warc11_nanosecond_date():
     )
     (r,) = _parse(rec)
     assert r["ts_epoch"] == EPOCH + 1
+
+
+def test_cdx_offsets_plain_slice_exact():
+    """Plain-blob CDX spans are writer-exact: blob[offset:offset+len]
+    is one full record (starts 'WARC/', ends CRLFCRLF) that re-parses
+    to the same url."""
+    blob = _blob(3)
+    rows = list(warc._scan_with_offsets(blob, frozenset(("response",))))
+    assert [r["offset"] for r in rows] == sorted(r["offset"] for r in rows)
+    assert sum(r["rec_length"] for r in rows) == len(blob)
+    for r in rows:
+        span = blob[r["offset"] : r["offset"] + r["rec_length"]]
+        assert span.startswith(b"WARC/") and span.endswith(b"\r\n\r\n")
+        (re,) = _parse(span)
+        assert re["url"] == r["url"]
+
+
+def test_cdx_offsets_gzip_member_span():
+    """Gz-blob CDX spans are COMPRESSED member spans: the slice starts
+    at gzip magic, gunzips standalone, and re-parses to the same url —
+    the random-access contract CDX offsets exist for."""
+    blob = _blob(3, gz=True)
+    rows = list(warc._scan_with_offsets(blob, frozenset(("response",))))
+    assert sum(r["rec_length"] for r in rows) == len(blob)
+    for r in rows:
+        span = blob[r["offset"] : r["offset"] + r["rec_length"]]
+        assert span[:2] == b"\x1f\x8b"
+        (re,) = _parse(zlib.decompress(span, 31))
+        assert re["url"] == r["url"]
+
+
+def test_wet_conversion_record_roundtrip():
+    rec = warc.warc_record_bytes("https://h/x", EPOCH, "Té xt.".encode(), "conversion")
+    (got,) = list(warc._parse_one_blob(rec, frozenset(("conversion",))))
+    assert got["content_type"] == "text/plain; charset=utf-8"
+    assert bytes(got["html"]).decode() == "Té xt."
+    # conversion records are invisible to the default corpus parse
+    assert _parse(rec) == []
