@@ -962,6 +962,52 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder fetch-budget allocation
+    (crawlops.allocate_budget): per-host demand derived from the
+    documents' host distribution (count x a 1-7 weight), global budget
+    1000. Integer-exact Hamilton apportionment — the oracle replays the
+    same floor + top-R-remainder arithmetic with a row_number window."""
+    from rayjoin_spark.functions import crawlops
+
+    d = _docs(spark, sf_dir)
+    hosts = (
+        d.groupBy(F.pmod("doc_id", 97).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(
+                F.lit("site"), F.col("k").cast("string"), F.lit(".example")
+            ).alias("host"),
+            (F.col("n") * (F.pmod("k", 7) + 1)).cast("bigint").alias("demand"),
+        )
+    )
+    return crawlops.allocate_budget(hosts, budget=1000).select(
+        "host", "demand", "quota"
+    )
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization (textops.normalize_text):
+    documents wrapped in NBSP / zero-width / CRLF / control-char /
+    blank-run noise (every fifth doc swapped for an already-clean
+    literal to exercise the changed=False path). Oracle replays the
+    shared NORM_STEPS regexp chain (patterns are ASCII-safe and valid in
+    both Java regex and RE2 — the contract NORM_STEPS documents)."""
+    d = _docs(spark, sf_dir)
+    messy = F.when(
+        F.pmod("doc_id", 5) == 0, F.lit("Already clean.")
+    ).otherwise(
+        F.concat(
+            F.lit("  A\u00a0B\u200b "),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\r\nC\tD   E\u0007soft\u00adhyphen\n\n\n\n F  "),
+        )
+    )
+    return textops.normalize_text(d.select("doc_id", messy.alias("text"))).select(
+        "doc_id", "norm_text", "changed"
+    )
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (htmlops.extract_main_text): pages built with
     a nav bar, the document text as the content paragraph, a too-short
@@ -1448,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "wet_roundtrip": q_wet_roundtrip,
         "recrawl_schedule": q_recrawl_schedule,
+        "crawl_budget": q_crawl_budget,
+        "normalize_text": q_normalize_text,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
@@ -2351,6 +2399,61 @@ SELECT url, n_caps, n_changes, span_s,
 FROM est
 """
 
+#: crawl_budget: same Hamilton apportionment — floor shares, then +1 to
+#: the R largest remainders (tie: host asc), R = budget - sum(floors).
+_CRAWL_BUDGET_SQL = """
+WITH hosts AS (
+  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+         CAST(COUNT(*) * ((doc_id % 97) % 7 + 1) AS BIGINT) AS demand
+  FROM documents GROUP BY doc_id % 97
+), tot AS (
+  SELECT CAST(SUM(demand) AS BIGINT) AS t FROM hosts
+), j AS (
+  SELECT host, demand,
+         least(1000, t) AS beff,
+         (least(1000, t) * demand) // t AS base,
+         (least(1000, t) * demand) % t AS rem
+  FROM hosts, tot
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, host) - 1 AS r FROM j
+), sb AS (
+  SELECT CAST(SUM(base) AS BIGINT) AS s FROM j
+)
+SELECT host, demand,
+       CAST(base + CASE WHEN r < beff - s THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM rk, sb
+"""
+
+
+def _normalize_text_sql() -> str:
+    """DuckDB twin of textops.normalize_text over the messy fixture:
+    replays the shared NORM_STEPS chain verbatim (the patterns are
+    ASCII-safe in both Java regex and RE2); replacement newlines emit as
+    chr(10) because RE2/SQL replacement-string escaping differs."""
+    expr = "messy"
+    for pat, rep in textops.NORM_STEPS:
+        rep_sql = "||".join("chr(10)" for _ in rep) if "\n" in rep else f"'{rep}'"
+        if rep == "":
+            rep_sql = "''"
+        expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'Already clean.'
+              ELSE '  A' || chr(160) || 'B' || chr(8203) || ' '
+                   || COALESCE(text, '')
+                   || chr(13) || chr(10) || 'C' || chr(9) || 'D   E'
+                   || chr(7) || 'soft' || chr(173) || 'hyphen'
+                   || repeat(chr(10), 4) || ' F  '
+         END AS messy
+  FROM documents
+)
+SELECT doc_id, {expr} AS norm_text,
+       (messy IS DISTINCT FROM {expr}) AS changed
+FROM m
+"""
+
+
 _CORPUS_CARD_SQL = """
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -2993,6 +3096,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _CDX_INDEX_SQL,
         "wet_roundtrip": _WET_ROUNDTRIP_SQL,
         "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
+        "crawl_budget": _CRAWL_BUDGET_SQL,
+        "normalize_text": _normalize_text_sql(),
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,

@@ -422,3 +422,52 @@ def recrawl_schedule(
             "next_due_epoch"
         ),
     )
+
+
+def allocate_budget(
+    df: DataFrame,
+    budget: int,
+    host: str = "host",
+    demand: str = "demand",
+) -> DataFrame:
+    """Crawl-budget allocation: split a global per-cycle fetch budget
+    across hosts proportionally to their pending demand, by the
+    LARGEST-REMAINDER (Hamilton) method — ``sum(quota) == min(budget,
+    total_demand)`` exactly, every host gets at most its demand, and the
+    result is integer-exact (no double apportionment drift), so two
+    engines agree bit-for-bit.
+
+    Plan shape: two scalar aggregates broadcast back via crossJoin (the
+    total and the floor-allocation sum — one row each, never a shuffle
+    of the host table), plus one `ordered_index` over (-remainder, host)
+    for the top-R remainder bonus — the distributed rank, no
+    single-partition window, so a web-scale host table (10^8 rows)
+    allocates in one range shuffle. Hosts with zero/negative demand drop
+    (nothing to fetch)."""
+    from rayjoin_spark.plans.ranking import ordered_index
+
+    pos = df.select(
+        F.col(host).alias("_host"), F.col(demand).cast("bigint").alias("_dem")
+    ).filter(F.col("_dem") > 0)
+    tot = pos.agg(F.sum("_dem").alias("_tot"))
+    j = (
+        pos.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_beff", F.least(F.lit(int(budget)).cast("bigint"), F.col("_tot"))
+        )
+        # _floor, not _base: ordered_index uses _base internally
+        .withColumn("_floor", F.expr("(_beff * _dem) DIV _tot"))
+        .withColumn("_rem", F.expr("(_beff * _dem) % _tot"))
+        .withColumn("_negrem", -F.col("_rem"))
+    )
+    r = ordered_index(j, ["_negrem", "_host"], "_rk")
+    sb = j.agg(F.sum("_floor").alias("_sb"))
+    out = r.crossJoin(F.broadcast(sb)).select(
+        F.col("_host").alias(host),
+        F.col("_dem").alias(demand),
+        (
+            F.col("_floor")
+            + F.when(F.col("_rk") < F.col("_beff") - F.col("_sb"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    return out

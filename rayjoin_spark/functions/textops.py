@@ -1183,3 +1183,39 @@ def dedup_against(
         .join(ref_hashes, "_h", "left_anti")
         .drop("_h")
     )
+
+
+#: normalization chain (order matters; see normalize_text). Patterns are
+#: ASCII-safe strings valid in BOTH Java regex (Spark) and RE2 (DuckDB),
+#: so the oracle replays the same chain verbatim — keep them that way.
+NORM_STEPS = (
+    (r"\r\n?", "\n"),  # CR / CRLF -> LF first (CR is not in the ctrl class)
+    (r"[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]", ""),  # zero-width + soft hyphen
+    (r"[\x{00A0}\x{2007}\x{202F}]", " "),  # no-break space family
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""),  # control chars (keep \t \n)
+    (r"[ \t]+", " "),  # blank runs -> one space
+    (r" ?\n ?", "\n"),  # spaces hugging newlines
+    (r"\n{3,}", "\n\n"),  # >2 blank lines -> paragraph break
+    (r"^[ \n]+|[ \n]+$", ""),  # trim
+)
+
+
+def normalize_text(
+    df: DataFrame, text: str = "text", out: str = "norm_text"
+) -> DataFrame:
+    """Unicode/whitespace normalization — the cleanup pass corpus
+    pipelines (CCNet, C4) run before tokenization and dedup so that
+    invisible byte differences (NBSP vs space, zero-width joiners, CRLF,
+    soft hyphens, stray control chars) don't split otherwise-identical
+    documents or pollute token counts. NULL text normalizes to ''.
+
+    The chain is `NORM_STEPS` applied in order; ``changed`` flags rows
+    the pass actually touched (null-safe — a NULL input that becomes ''
+    counts as changed). Scale shape: a regexp_replace chain, pure
+    whole-stage codegen, scan-shaped, zero shuffle."""
+    c = F.coalesce(F.col(text), F.lit(""))
+    for pat, rep in NORM_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return df.withColumn(out, c).withColumn(
+        "changed", ~F.col(out).eqNullSafe(F.col(text))
+    )

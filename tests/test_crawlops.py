@@ -195,3 +195,25 @@ def test_recrawl_schedule_contract(spark):
     assert (u2.n_changes, u2.revisit_s, u2.next_due_epoch) == (0, 1000, 1500)
     u3 = got["u3"]  # single capture: span 0 -> min clamp
     assert (u3.n_caps, u3.revisit_s, u3.next_due_epoch) == (1, 60, 102)
+
+
+def test_allocate_budget_hamilton_exact(spark):
+    """sum(quota) == min(budget, total); quota <= demand; largest
+    remainders get the bonus; zero-demand hosts drop."""
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2), ("d", 0)],
+        "host string, demand bigint",
+    )
+    got = {r.host: r.quota for r in crawlops.allocate_budget(hosts, budget=7).collect()}
+    # floors: a=3 (35/10), b=2 (21/10), c=1 (14/10); rems .5/.1/.4 -> bonus to a
+    assert got == {"a": 4, "b": 2, "c": 1}
+    assert sum(got.values()) == 7
+
+
+def test_allocate_budget_not_binding(spark):
+    """budget >= total: every host gets exactly its demand."""
+    hosts = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "host string, demand bigint"
+    )
+    got = {r.host: r.quota for r in crawlops.allocate_budget(hosts, budget=100).collect()}
+    assert got == {"a": 5, "b": 3}

@@ -313,3 +313,20 @@ def test_dedup_against(spark):
     kept = sorted(r.doc_id for r in textops.dedup_against(new, ref).collect())
     # corpus dup dropped; in-batch dups both kept (documented contract)
     assert kept == [11, 12]
+
+
+def test_normalize_text_contract(spark):
+    """CRLF->LF, NBSP->space, zero-width/soft-hyphen/control removal,
+    blank-run + paragraph collapse, trim, null-safe changed flag."""
+    rows = [
+        (1, "A\u00a0B\u200b\u00adC\r\nD\te   f\n\n\n\n\nG"),
+        (2, "clean line"),
+        (3, None),
+        (4, " x y "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.norm_text, r.changed) for r in textops.normalize_text(df).collect()}
+    assert got[1] == ("A BC\nD e f\n\nG", True)
+    assert got[2] == ("clean line", False)
+    assert got[3] == ("", True)  # NULL normalizes to '' and counts as changed
+    assert got[4] == ("x y", True)
