@@ -598,6 +598,38 @@ def q_anchor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.extract_links(pages).select("url", "href", "anchor")
 
 
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus (htmlops.anchor_text_agg over real extracted
+    links): every page links its host hub (anchor 'home' for doc_id%3==0
+    else 'Site k' — so hubs aggregate ~n/97 inbound links with two
+    competing anchor texts) plus a next-doc link. Oracle restates the
+    link set and replays the count/rank/top-k aggregation."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), 97).cast("string")
+    url = F.concat(
+        F.lit("https://site"), k, F.lit(".example/d/"), F.col("doc_id").cast("string")
+    )
+    nxt = (F.col("doc_id") + 1).cast("string")
+    html = F.concat(
+        F.lit('<html><body><nav><a href="https://site'),
+        k,
+        F.lit('.example/">'),
+        F.when(F.pmod("doc_id", 3) == 0, F.lit("home")).otherwise(
+            F.concat(F.lit("Site "), k)
+        ),
+        F.lit('</a></nav><p><a href="/d/'),
+        nxt,
+        F.lit('">next</a></p></body></html>'),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+    links = htmlops.extract_links(pages)
+    return htmlops.anchor_text_agg(links, top_k=2).select(
+        "href", "n_links", "n_distinct_anchors", "top_anchors"
+    )
+
+
 def q_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Douglas–Peucker simplification (operators/simplify.py) over
     deterministic wiggly chains derived from doc_id. DP is recursive —
@@ -1482,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "url_canonical": q_url_canonical,
         "anchor_links": q_anchor_links,
+        "anchor_profile": q_anchor_profile,
         "crawl_priorities": q_crawl_priorities,
         "latest_snapshot": q_latest_snapshot,
         "ngram_novelty": q_ngram_novelty,
@@ -2333,6 +2366,37 @@ SELECT url,
 FROM p
 """
 
+#: anchor_profile: restate the extracted link set (hub link with one of
+#: two anchors + next-doc link), then the same count / rank (n desc,
+#: anchor asc) / top-2 join-and-aggregate.
+_ANCHOR_PROFILE_SQL = """
+WITH links AS (
+  SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/' AS href,
+         CASE WHEN doc_id % 3 = 0 THEN 'home'
+              ELSE 'Site ' || CAST(doc_id % 97 AS VARCHAR) END AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id + 1 AS VARCHAR) AS href,
+         'next' AS anchor
+  FROM documents
+), cnt AS (
+  SELECT href, anchor, COUNT(*) AS n FROM links GROUP BY href, anchor
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY href ORDER BY n DESC, anchor) - 1 AS rk
+  FROM cnt
+), tot AS (
+  SELECT href, CAST(SUM(n) AS BIGINT) AS n_links,
+         COUNT(*) AS n_distinct_anchors
+  FROM cnt GROUP BY href
+), top AS (
+  SELECT href, string_agg(anchor, '|' ORDER BY rk) AS top_anchors
+  FROM rk WHERE rk < 2 GROUP BY href
+)
+SELECT tot.href, n_links, n_distinct_anchors, top_anchors
+FROM tot JOIN top USING (href)
+"""
+
 #: expected REP verdicts: GraftBot hosts (k%3==0) use ONLY the specific
 #: group (Disallow /d/ overridden by Allow /d/open); others use '*'
 #: (Disallow /private/ overridden by Allow /private/ok)
@@ -3080,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "anchor_links": _ANCHOR_LINKS_SQL,
+        "anchor_profile": _ANCHOR_PROFILE_SQL,
         "crawl_priorities": (
             "SELECT node AS host, rank FROM ("
             + _pagerank_sql(iters=3, edges_sql=_CRAWL_EDGES_SQL)

@@ -567,3 +567,56 @@ def extract_main_text(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def anchor_text_agg(
+    links: DataFrame,
+    href: str = "href",
+    anchor: str = "anchor",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-target anchor-text profile — how the rest of the web
+    DESCRIBES each URL: inbound-link count, distinct anchor-text count,
+    and the top_k most frequent anchor texts ('|'-joined, count desc /
+    text asc). The classic anchor-text corpus for retrieval training
+    data and link-spam features; feed `extract_links` output in.
+
+    Scale shape: one combinable (href, anchor) count groupBy collapses
+    the raw link volume first (a mega-target's billion inbound rows
+    become one row per distinct anchor text), then the per-target top-k
+    rank runs through `grouped_index` — the skew-safe distributed rank,
+    no PARTITION BY href window, so the web's most-linked page cannot
+    pin a task. The final collect_list is bounded at top_k rows/group.
+    """
+    from rayjoin_spark.plans.ranking import grouped_index
+
+    cnt = (
+        links.groupBy(F.col(href).alias("_href"), F.col(anchor).alias("_anchor"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_negn", -F.col("_n"))
+    )
+    rk = grouped_index(cnt, ["_href"], ["_negn", "_anchor"], "_rk")
+    tot = rk.groupBy("_href").agg(
+        F.sum("_n").alias("n_links"),
+        F.count("*").alias("n_distinct_anchors"),
+    )
+    top = (
+        rk.filter(F.col("_rk") < top_k)
+        .groupBy("_href")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_rk"), F.col("_anchor")))
+                    ),
+                    lambda s: s["_anchor"],
+                ),
+                "|",
+            ).alias("top_anchors")
+        )
+    )
+    return (
+        tot.join(top, "_href")
+        .withColumnRenamed("_href", href)
+        .select(href, "n_links", "n_distinct_anchors", "top_anchors")
+    )

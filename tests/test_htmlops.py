@@ -236,3 +236,17 @@ def test_surt_keys_contract(spark):
     got = {r.url: r.surt for r in htmlops.surt_keys(df).collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_anchor_text_agg_topk_and_ties(spark):
+    """Counts collapse per (href, anchor); top-k orders by count desc
+    then anchor asc; n_links counts raw inbound rows."""
+    from rayjoin_spark.functions import htmlops
+
+    rows = [("t", "b"), ("t", "b"), ("t", "a"), ("t", "c"), ("t", "c"), ("u", "z")]
+    links = spark.createDataFrame(rows, "href string, anchor string")
+    got = {r.href: r for r in htmlops.anchor_text_agg(links, top_k=2).collect()}
+    t = got["t"]
+    assert (t.n_links, t.n_distinct_anchors) == (5, 3)
+    assert t.top_anchors == "b|c"  # b(2) ties c(2) -> anchor asc; a(1) cut
+    assert (got["u"].n_links, got["u"].top_anchors) == (1, "z")
