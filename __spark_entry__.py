@@ -2441,10 +2441,10 @@ WITH caps AS (
        unnest(generate_series(0, CAST(d.doc_id % 4 + 1 AS BIGINT))) AS g(k)
 ), chg AS (
   SELECT url, ts_epoch,
-         CASE WHEN lag(fingerprint) OVER (PARTITION BY url ORDER BY ts_epoch)
+         CASE WHEN lag(fingerprint) OVER (PARTITION BY url ORDER BY ts_epoch, fingerprint)
                    IS NOT NULL
                AND fingerprint <> lag(fingerprint)
-                   OVER (PARTITION BY url ORDER BY ts_epoch)
+                   OVER (PARTITION BY url ORDER BY ts_epoch, fingerprint)
               THEN 1 ELSE 0 END AS c
   FROM caps
 ), agg AS (
@@ -2496,9 +2496,14 @@ def _normalize_text_sql() -> str:
     chr(10) because RE2/SQL replacement-string escaping differs."""
     expr = "messy"
     for pat, rep in textops.NORM_STEPS:
-        rep_sql = "||".join("chr(10)" for _ in rep) if "\n" in rep else f"'{rep}'"
-        if rep == "":
-            rep_sql = "''"
+        # per-CHARACTER translation (newline -> chr(10), else a quoted
+        # literal); fail loudly on quotes rather than emit a subtly
+        # wrong oracle if NORM_STEPS ever grows one
+        assert "'" not in pat and "'" not in rep, (pat, rep)
+        rep_sql = (
+            "||".join("chr(10)" if ch == "\n" else f"'{ch}'" for ch in rep)
+            or "''"
+        )
         expr = f"regexp_replace({expr}, '{pat}', {rep_sql}, 'g')"
     return f"""
 WITH m AS (

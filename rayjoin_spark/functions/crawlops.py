@@ -393,7 +393,10 @@ def recrawl_schedule(
     url key; at 10^10 urls that is the natural partitioning, and the
     output is exactly the frontier scheduler's input.
     """
-    w = Window.partitionBy(url).orderBy(ts)
+    # fingerprint tiebreak: two captures in the same second must order
+    # deterministically or n_changes varies run-to-run (the same rule as
+    # latest_snapshot's md5 tiebreak — hash-identical on any engine)
+    w = Window.partitionBy(url).orderBy(ts, fingerprint)
     prev = F.lag(fingerprint).over(w)
     changed = (prev.isNotNull() & (F.col(fingerprint) != prev)).cast("bigint")
     agg = (

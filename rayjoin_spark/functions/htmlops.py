@@ -200,18 +200,27 @@ def surt_keys(df: DataFrame, url: str = "url", out: str = "surt") -> DataFrame:
     canonical sort/lookup key of web-archive CDX indexes: host labels
     reversed and comma-joined, then ``)`` and the path+query, e.g.
     ``https://www.example.org:8080/a?q=1#f -> org,example:8080)/a?q=1``.
-    Scheme and fragment drop, host lowercases, a leading ``www.`` strips
-    (the standard CDX canonicalization), non-default ports keep, an
-    empty path becomes ``/``. Sorting by surt clusters one registered
+    Scheme, fragment and userinfo drop, host lowercases, a leading
+    ``www.`` strips, scheme-DEFAULT ports (http:80 / https:443) drop
+    (all standard CDX canonicalization — an index built from one form
+    must serve lookups in the other), non-default ports keep, an empty
+    path becomes ``/``. Sorting by surt clusters one registered
     domain's captures contiguously — the access pattern CDX exists for.
 
     Pure regexp/array codegen (no UDF, no shuffle); an external SQL
     engine reproduces it exactly."""
-    auth = F.lower(F.regexp_extract(F.col(url), _HOST_RE, 1))
+    scheme = F.lower(F.regexp_extract(F.col(url), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url), _HOST_RE, 1)), r"^[^@]*@", ""
+    )
     hostp = F.regexp_replace(
         F.regexp_extract(auth, r"^([^:]*)", 1), r"^www\.", ""
     )
-    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    raw_port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    is_default = ((scheme == "http") & (raw_port == "80")) | (
+        (scheme == "https") & (raw_port == "443")
+    )
+    port = F.when(is_default, F.lit("")).otherwise(raw_port)
     rev = F.array_join(F.reverse(F.split(hostp, r"\.")), ",")
     pq = F.regexp_replace(
         F.regexp_replace(
@@ -596,27 +605,30 @@ def anchor_text_agg(
         .withColumn("_negn", -F.col("_n"))
     )
     rk = grouped_index(cnt, ["_href"], ["_negn", "_anchor"], "_rk")
-    tot = rk.groupBy("_href").agg(
-        F.sum("_n").alias("n_links"),
-        F.count("*").alias("n_distinct_anchors"),
-    )
-    top = (
-        rk.filter(F.col("_rk") < top_k)
-        .groupBy("_href")
+    # one aggregation computes totals AND the top-k list: collect_list
+    # skips the NULLs the when() leaves for rank >= top_k, so the list
+    # stays bounded at top_k entries per group — no second groupBy, no
+    # rejoin
+    return (
+        rk.groupBy("_href")
         .agg(
+            F.sum("_n").alias("n_links"),
+            F.count("*").alias("n_distinct_anchors"),
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("_rk"), F.col("_anchor")))
+                        F.collect_list(
+                            F.when(
+                                F.col("_rk") < top_k,
+                                F.struct(F.col("_rk"), F.col("_anchor")),
+                            )
+                        )
                     ),
                     lambda s: s["_anchor"],
                 ),
                 "|",
-            ).alias("top_anchors")
+            ).alias("top_anchors"),
         )
-    )
-    return (
-        tot.join(top, "_href")
         .withColumnRenamed("_href", href)
         .select(href, "n_links", "n_distinct_anchors", "top_anchors")
     )

@@ -66,21 +66,42 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+_GZ_CHUNK = 1 << 20  # feed the decompressor 1 MiB at a time (see below)
+
+
+def _iter_member_spans(blob: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Walk a concatenation of gzip members, yielding (offset,
+    compressed_length, decompressed_bytes) per member. Input is fed in
+    bounded chunks off a memoryview: handing the decompressor the whole
+    remaining tail would copy O(members x blob) bytes through
+    ``unused_data`` — quadratic on the CC record-per-member layout this
+    exists for. Trailing garbage / a truncated final member ends the
+    walk at the last complete member — degrade, don't crash."""
+    mv = memoryview(blob)
+    n = len(blob)
+    pos = 0
+    while pos < n and blob[pos : pos + 2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        p = pos
+        try:
+            while not d.eof and p < n:
+                chunk = mv[p : p + _GZ_CHUNK]
+                out.append(d.decompress(chunk))
+                p += len(chunk) - len(d.unused_data)
+        except zlib.error:
+            return
+        if not d.eof:  # truncated member
+            return
+        yield pos, p - pos, b"".join(out)
+        pos = p
+
+
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the CC record-per-
     member layout). Trailing garbage / a truncated final member yields
     the bytes decoded so far — degrade, don't crash."""
-    out, pos = [], 0
-    while pos < len(blob) and blob[pos : pos + 2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(blob[pos:]))
-        except zlib.error:
-            break
-        if not d.eof:  # truncated member
-            break
-        pos = len(blob) - len(d.unused_data)
-    return b"".join(out)
+    return b"".join(data for _, _, data in _iter_member_spans(blob))
 
 
 def _split_http_body(payload: bytes) -> bytes:
@@ -108,9 +129,11 @@ def _scan_records(
     blob: bytes, keep_types: frozenset[str]
 ) -> Iterator[tuple[int, int, dict]]:
     """Record scan over an UNCOMPRESSED buffer, yielding
-    ``(start, end, record)`` — end covers the trailing CRLFCRLF, so
-    ``blob[start:end]`` is the writer-exact record span (clamped at a
-    truncated tail)."""
+    ``(start, end, record)`` — end is the record's THEORETICAL end
+    (trailing CRLFCRLF included), which may exceed len(blob) for a
+    truncated tail record; callers clamp or skip as their contract
+    requires (ingest keeps the partial payload, the CDX index must
+    not digest partial bytes)."""
     pos = 0
     while True:
         start = blob.find(b"WARC/", pos)
@@ -156,7 +179,7 @@ def _scan_records(
                 body = _split_http_body(payload)
             yield (
                 start,
-                min(head_end + 4 + clen + 4, len(blob)),
+                head_end + 4 + clen + 4,
                 {
                     "url": headers.get("warc-target-uri"),
                     "ts_epoch": ts,
@@ -219,24 +242,23 @@ def _scan_with_offsets(
     span (a reader can fetch exactly those bytes and gunzip one record
     — what CDX offsets are for); for a plain blob, the record's own
     span. Records sharing one gzip member (non-CC layout) share its
-    span — documented degradation, never wrong bytes."""
+    span — documented degradation, never wrong bytes. A record whose
+    payload CONTINUES PAST its member (a compressor that cut members
+    mid-record) is SKIPPED here — its member span cannot serve the
+    whole record, and an index row digesting partial bytes would be
+    silently wrong; `_parse_one_blob` (ingest), which concatenates
+    members first, still parses it fully."""
     if blob[:2] == _GZIP_MAGIC:
-        pos = 0
-        while pos < len(blob) and blob[pos : pos + 2] == _GZIP_MAGIC:
-            d = zlib.decompressobj(wbits=31)
-            try:
-                data = d.decompress(blob[pos:])
-            except zlib.error:
-                return
-            if not d.eof:
-                return
-            mlen = len(blob) - len(d.unused_data) - pos
-            for _s, _e, rec in _scan_records(data, keep_types):
+        for pos, mlen, data in _iter_member_spans(blob):
+            for _s, end, rec in _scan_records(data, keep_types):
+                if end - 4 > len(data):  # payload spans past this member
+                    continue
                 yield {**rec, "offset": pos, "rec_length": mlen}
-            pos += mlen
     else:
-        for s, e, rec in _scan_records(blob, keep_types):
-            yield {**rec, "offset": s, "rec_length": e - s}
+        for s, end, rec in _scan_records(blob, keep_types):
+            if end - 4 > len(blob):  # truncated tail — same skip rule
+                continue
+            yield {**rec, "offset": s, "rec_length": min(end, len(blob)) - s}
 
 
 def cdx_index(
@@ -346,7 +368,9 @@ def pages_to_warc_blobs(
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         recs = []
-        pdf = pdf.sort_values(url)
+        # degrade, don't crash: a NULL url/ts/body row (e.g. extraction
+        # returned NULL upstream) is unarchivable — skip it
+        pdf = pdf.dropna(subset=[url, ts_epoch, body]).sort_values(url)
         for u, t, b in zip(pdf[url], pdf[ts_epoch], pdf[body]):
             rec = warc_record_bytes(u, int(t), bytes(b), warc_type)
             if gzip_members:

@@ -217,3 +217,19 @@ def test_allocate_budget_not_binding(spark):
     )
     got = {r.host: r.quota for r in crawlops.allocate_budget(hosts, budget=100).collect()}
     assert got == {"a": 5, "b": 3}
+
+
+def test_recrawl_schedule_same_second_deterministic(spark):
+    """Captures sharing a timestamp order by fingerprint — n_changes is
+    a pure function of the multiset, not of shuffle order."""
+    rows = [("u", 100, "b"), ("u", 100, "a"), ("u", 200, "a")]
+    df = spark.createDataFrame(rows, "url string, ts_epoch bigint, fingerprint string")
+    outs = {
+        tuple(r)
+        for _ in range(3)
+        for r in crawlops.recrawl_schedule(
+            df.repartition(4), min_interval_s=1
+        ).select("n_changes").collect()
+    }
+    # order a,b then b->a at ts 200? no: (100,a),(100,b),(200,a): a->b change, b->a change = 2
+    assert outs == {(2,)}

@@ -285,3 +285,37 @@ def test_wet_conversion_record_roundtrip():
     assert bytes(got["html"]).decode() == "Té xt."
     # conversion records are invisible to the default corpus parse
     assert _parse(rec) == []
+
+
+def test_cdx_skips_member_spanning_record_ingest_keeps_it():
+    """A record whose payload continues past its gzip member gets NO
+    index row (a member-span slice can't serve it; a partial digest
+    would be wrong) — but ingest, which concatenates members, parses it
+    fully."""
+    rec = warc.warc_record_bytes("https://h/long", EPOCH, b"x" * 100)
+    cut = len(rec) - 60  # split mid-payload
+    members = []
+    for part in (rec[:cut], rec[cut:]):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        members.append(co.compress(part) + co.flush())
+    blob = b"".join(members)
+    idx = list(warc._scan_with_offsets(blob, frozenset(("response",))))
+    assert idx == []
+    (got,) = _parse(blob)
+    assert got["url"] == "https://h/long" and len(got["html"]) == 100
+
+
+def test_pack_skips_null_rows(spark):
+    """NULL url/ts/body rows are unarchivable — skipped, not a task
+    crash."""
+    pages = spark.createDataFrame(
+        [
+            (0, "https://h/a", EPOCH, b"ok"),
+            (0, None, EPOCH, b"x"),
+            (0, "https://h/b", EPOCH, None),
+        ],
+        "warc_group long, url string, ts_epoch long, html binary",
+    )
+    blobs = warc.pages_to_warc_blobs(pages).collect()
+    recs = list(warc._parse_one_blob(bytes(blobs[0].content), frozenset(("response",))))
+    assert [r["url"] for r in recs] == ["https://h/a"]
