@@ -1040,6 +1040,45 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (crawlops.crawl_diff): old crawl = every document;
+    new crawl drops doc_id%5==0 (removed), rewrites text for %4==0
+    (changed), adds a /new/ url for %7==0 (added), rest unchanged. The
+    oracle states each url's status from the same arithmetic."""
+    from rayjoin_spark.functions import crawlops
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://site"),
+        F.pmod(i, 97).cast("string"),
+        F.lit(".example/d/"),
+        i.cast("string"),
+    )
+    fp = lambda t: F.md5(F.encode(t, "UTF-8"))  # noqa: E731
+    old = d.select(url.alias("url"), fp(F.col("text")).alias("fingerprint"))
+    kept = d.filter(F.pmod(i, 5) != 0).select(
+        url.alias("url"),
+        fp(
+            F.when(
+                F.pmod(i, 4) == 0, F.concat(F.col("text"), F.lit("v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fingerprint"),
+    )
+    added = d.filter(F.pmod(i, 7) == 0).select(
+        F.concat(
+            F.lit("https://site"),
+            F.pmod(i, 97).cast("string"),
+            F.lit(".example/new/"),
+            i.cast("string"),
+        ).alias("url"),
+        fp(F.col("text")).alias("fingerprint"),
+    )
+    return crawlops.crawl_diff(old, kept.unionByName(added)).select(
+        "url", "status"
+    )
+
+
 def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal (htmlops.extract_main_text): pages built with
     a nav bar, the document text as the content paragraph, a too-short
@@ -1529,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": q_recrawl_schedule,
         "crawl_budget": q_crawl_budget,
         "normalize_text": q_normalize_text,
+        "crawl_diff": q_crawl_diff,
         "crawl_frontier": q_crawl_frontier,
         "robots_filter": q_robots_filter,
         "fetch_schedule": q_fetch_schedule,
@@ -2523,6 +2563,23 @@ FROM m
 """
 
 
+#: crawl_diff: status from the fixture arithmetic — removed for %5==0,
+#: changed for %4==0 (text rewritten), unchanged otherwise, plus an
+#: added /new/ url for %7==0. md5 never collides on 'text' vs 'textv2'.
+_CRAWL_DIFF_SQL = """
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/d/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 5 = 0 THEN 'removed'
+            WHEN doc_id % 4 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT 'https://site' || CAST(doc_id % 97 AS VARCHAR) || '.example/new/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       'added' AS status
+FROM documents WHERE doc_id % 7 = 0
+"""
+
 _CORPUS_CARD_SQL = """
 SELECT lang, source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -3168,6 +3225,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": _RECRAWL_SCHEDULE_SQL,
         "crawl_budget": _CRAWL_BUDGET_SQL,
         "normalize_text": _normalize_text_sql(),
+        "crawl_diff": _CRAWL_DIFF_SQL,
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "robots_filter": _ROBOTS_FILTER_SQL,
         "fetch_schedule": _FETCH_SCHEDULE_SQL,

@@ -474,3 +474,32 @@ def allocate_budget(
         ).alias("quota"),
     )
     return out
+
+
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url: str = "url",
+    fingerprint: str = "fingerprint",
+) -> DataFrame:
+    """Snapshot diff — the freshness report between two crawl cycles:
+    one row per url with status ``added`` (new only), ``removed`` (old
+    only), ``changed`` (both, fingerprints differ) or ``unchanged``.
+    Feed each side through `latest_snapshot` first so urls are unique
+    per side. The output drives recrawl dashboards and incremental
+    index updates (added+changed = the reprocess set).
+
+    Scale shape: ONE full-outer equi-join on url — both sides shuffle
+    on the natural key once; everything else is a codegen CASE."""
+    o = old.select(F.col(url).alias("_u"), F.col(fingerprint).alias("_fo"))
+    n = new.select(F.col(url).alias("_u"), F.col(fingerprint).alias("_fn"))
+    status = (
+        F.when(F.col("_fo").isNull(), "added")
+        .when(F.col("_fn").isNull(), "removed")
+        .when(F.col("_fo") != F.col("_fn"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, "_u", "full_outer")
+        .select(F.col("_u").alias(url), status.alias("status"))
+    )

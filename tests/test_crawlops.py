@@ -233,3 +233,14 @@ def test_recrawl_schedule_same_second_deterministic(spark):
     }
     # order a,b then b->a at ts 200? no: (100,a),(100,b),(200,a): a->b change, b->a change = 2
     assert outs == {(2,)}
+
+
+def test_crawl_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, fingerprint string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B"), ("u4", "d")], "url string, fingerprint string"
+    )
+    got = {r.url: r.status for r in crawlops.crawl_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}

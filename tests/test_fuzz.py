@@ -77,3 +77,97 @@ def test_fuzz_pip(spark, seed):
     for (pid, _, _), px, py in zip(qpts, xi, yi):
         best = pip_oracle_one(int(px), int(py), ea_py)
         assert got[pid] == (None if best is None else best["eid"], face_of(best)), pid
+
+
+# ---------------------------------------------------------------------------
+# Entity-decode + normalize fuzz (webtext graft)
+# ---------------------------------------------------------------------------
+
+_NAMED = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"))
+
+
+def _onepass_decode(s):
+    """Independent ONE-PASS reference for crawlops._decode_xml_entities:
+    scan left to right, decode numeric refs (printable ASCII, bounded)
+    and the five XML named entities; anything else stays literal."""
+    import re as _re
+
+    out, i = [], 0
+    numref = _re.compile(r"&#([xX])?([0-9A-Fa-f]+);")
+    while i < len(s):
+        if s[i] == "&":
+            m = numref.match(s, i)
+            if m:
+                isx, body = m.group(1), m.group(2)
+                code = None
+                if isx:
+                    if len(body) <= 15:
+                        code = int(body, 16)
+                elif body.isdigit() and int(body) < 2**63:
+                    code = int(body)
+                out.append(chr(code) if code is not None and 32 <= code <= 126 else m.group(0))
+                i = m.end()
+                continue
+            for ent, ch in _NAMED:
+                if s.startswith(ent, i):
+                    out.append(ch)
+                    i += len(ent)
+                    break
+            else:
+                out.append("&")
+                i += 1
+            continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+_SOUP = ["&", "amp;", "#38;", "#x26;", "#X2f;", "lt;", "gt;", "quot;", "apos;",
+         "#xFFFFFFFFFFFFFFFFF;", "#999999999999999999999;", "#9731;", "#x10FFFF;",
+         "#AF;", "#x;", "a", "Zz", "/", ";", "#", "x", "&#", "&amp;", "&#38;amp;",
+         "#0;", "#31;", "#32;", "#126;", "#127;"]
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_fuzz_entity_decode_vs_onepass(spark, seed):
+    """The declarative entity decoder == an independent one-pass scanner
+    on random adversarial entity soup."""
+    from rayjoin_spark.functions import crawlops
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    texts = [
+        "".join(rng.choice(_SOUP) for _ in range(int(rng.integers(0, 25))))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: r.d
+        for r in df.select("i", crawlops._decode_xml_entities(F.col("t")).alias("d")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _onepass_decode(t), (t, got[i], _onepass_decode(t))
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_fuzz_normalize_text_idempotent_and_invariants(spark, seed):
+    """normalize_text is idempotent and its output never contains CR,
+    tab, control chars, runs of spaces, 3+ newlines, or edge whitespace."""
+    import re as _re
+    from rayjoin_spark.functions import textops
+    from pyspark.sql import functions as F
+
+    pool = [" ", "  ", "\t", "\r\n", "\r", "\n", "\n\n\n\n", "a", "Bc", ".",
+            "\u00a0", "\u200b", "\u00ad", "\u0007", "\u202f", "w x", "\ufeff"]
+    rng = np.random.default_rng(seed)
+    texts = [
+        "".join(rng.choice(pool) for _ in range(int(rng.integers(0, 40))))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = textops.normalize_text(df).select("doc_id", F.col("norm_text").alias("text"))
+    twice = textops.normalize_text(once)
+    bad = _re.compile("[\r\t\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u00a0\u200b\u00ad]|  |\n{3}|^[ \n]|[ \n]$")
+    for r in twice.collect():
+        assert r.norm_text == r.text, (r.text, r.norm_text)  # idempotent
+        assert not bad.search(r.norm_text), repr(r.norm_text)
