@@ -1512,6 +1512,49 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "dot", "n_a", "n_b")
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS; Schleimer et al. 2003): per-window
+    rightmost-min k-gram hash selection — the local, position-aware
+    dedup primitive. Zero-shuffle array codegen; oracle replays the
+    window-min + rightmost-argmin selection with SQL window frames."""
+    return textops.winnow_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "pos", "fingerprint"
+    )
+
+
+def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment over the LSH candidate pairs: the asymmetric
+    |A∩B|/|A| measure that catches short docs embedded in long ones."""
+    docs = _docs(spark, sf_dir)
+    cands = textops.neardup_candidates(
+        textops.lsh_bands(textops.minhash_signatures(docs))
+    )
+    return textops.ngram_containment(docs, cands).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard",
+        "contain_a", "contain_b",
+    )
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hub/authority scores over the derived host
+    graph (operators/graph.py hits, 3 rounds, max-normalized). Oracle:
+    the identical truncating-integer rounds unrolled as CTEs."""
+    from rayjoin_spark.operators import graph
+
+    return graph.hits(_host_edges(spark, sf_dir), iters=3)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p25/p50/p75 of document length via the
+    histogram+cumsum distributed selection (no per-group row sort)."""
+    d = _docs(spark, sf_dir).select(
+        "lang", F.length("text").cast("bigint").alias("len")
+    )
+    return textops.exact_quantiles(d, "lang", "len").select(
+        "lang", "n_rows", "p25", "p50", "p75"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -1603,6 +1646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "dist_join": q_dist_join,
         "zonal_stats": q_zonal_stats,
+        "winnow_fingerprints": q_winnow,
+        "neardup_containment": q_neardup_containment,
+        "hits_hosts": q_hits,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -3171,6 +3218,104 @@ def _overlay_oracle_sql_cached(result: str = "chains") -> str:
     return overlay_oracle_sql(4, result=result)
 
 
+#: winnowing (k=9, w=4): window min over k-gram md5s with rightmost-min
+#: argmin (max pos among window rows holding the min), then distinct —
+#: the same selection textops.winnow_fingerprints does with array codegen
+_WINNOW_SQL = """
+WITH g AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS p,
+         md5(substr(text, CAST(pos AS INT), 9)) AS h
+  FROM (
+    SELECT doc_id, text, unnest(range(1, greatest(length(text) - 8, 1) + 1)) AS pos
+    FROM documents
+  )
+), ng AS (
+  SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+), wins AS (
+  SELECT doc_id, p AS wstart,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM g
+), lim AS (
+  SELECT w.doc_id, w.wstart, w.m
+  FROM wins w JOIN ng ON ng.doc_id = w.doc_id
+  WHERE w.wstart <= greatest(ng.n - 3, 1)
+), sel AS (
+  SELECT l.doc_id, max(g.p) AS pos, l.m AS fingerprint
+  FROM lim l JOIN g ON g.doc_id = l.doc_id
+   AND g.p >= l.wstart AND g.p <= l.wstart + 3
+   AND g.h = l.m
+  GROUP BY l.doc_id, l.wstart, l.m
+)
+SELECT DISTINCT doc_id, pos, fingerprint FROM sel
+"""
+
+def _containment_sql() -> str:
+    """The jaccard oracle with Broder containment ratios appended: the
+    final SELECT gains contain_a/contain_b; everything upstream is the
+    identical candidate + intersection chain."""
+    body = _NEARDUP_SQL.rstrip()
+    needle = "FROM pairs p"
+    head, tail = body.rsplit(needle, 1)
+    extra = (
+        "       COALESCE(i.n_inter, 0) / CAST(greatest(na.n, 1) AS DOUBLE) AS contain_a,\n"
+        "       COALESCE(i.n_inter, 0) / CAST(greatest(nb.n, 1) AS DOUBLE) AS contain_b\n"
+    )
+    return head.rstrip().rstrip(",") + ",\n" + extra + needle + tail
+
+
+def _hits_sql(iters: int = 3, scale: int = 1_000_000,
+              edges_sql: str | None = None) -> str:
+    """Unrolled truncating-integer HITS mirroring operators/graph.py
+    hits() exactly (sum of hubs -> max-normalize -> sum of auths ->
+    max-normalize per round; DuckDB // == Spark DIV on non-negatives).
+    `edges_sql` must define a CTE named ``e`` with (src, dst)."""
+    sql = (
+        f"WITH {(edges_sql or _HOST_EDGES_SQL).strip()},\n"
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes)"
+    )
+    for i in range(1, iters + 1):
+        sql += f""",
+ra{i} AS (SELECT e.dst AS node, sum(h.hub) AS s
+          FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+a{i} AS (SELECT n.node,
+  CAST((coalesce(r.s, 0) * {scale})
+       // (SELECT greatest(coalesce(max(s), 0), 1) FROM ra{i}) AS BIGINT) AS auth
+  FROM nodes n LEFT JOIN ra{i} r ON r.node = n.node),
+rh{i} AS (SELECT e.src AS node, sum(a.auth) AS s
+          FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+h{i} AS (SELECT n.node,
+  CAST((coalesce(r.s, 0) * {scale})
+       // (SELECT greatest(coalesce(max(s), 0), 1) FROM rh{i}) AS BIGINT) AS hub
+  FROM nodes n LEFT JOIN rh{i} r ON r.node = n.node)"""
+    return sql + (
+        f"\nSELECT n.node, h{iters}.hub, a{iters}.auth FROM nodes n"
+        f" JOIN h{iters} ON h{iters}.node = n.node"
+        f" JOIN a{iters} ON a{iters}.node = n.node"
+    )
+
+
+#: exact per-lang percentiles: histogram + cumulative window + the
+#: lower-nearest-rank rule ((n-1)*q DIV 100), mirroring exact_quantiles
+_LENGTH_QUANTILES_SQL = """
+WITH v AS (SELECT lang, CAST(length(text) AS BIGINT) AS len FROM documents),
+hist AS (SELECT lang, len, COUNT(*) AS c FROM v GROUP BY lang, len),
+cum AS (
+  SELECT lang, len, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY len
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM hist
+), tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows FROM hist GROUP BY lang)
+SELECT c.lang, max(t.n_rows) AS n_rows,
+       min(CASE WHEN c.cm >= ((t.n_rows - 1) * 25) // 100 + 1 THEN c.len END) AS p25,
+       min(CASE WHEN c.cm >= ((t.n_rows - 1) * 50) // 100 + 1 THEN c.len END) AS p50,
+       min(CASE WHEN c.cm >= ((t.n_rows - 1) * 75) // 100 + 1 THEN c.len END) AS p75
+FROM cum c JOIN tot t ON t.lang = c.lang
+GROUP BY c.lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lsi_join": _LSI_SQL,
@@ -3244,6 +3389,10 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _REDACT_PII_SQL,
         "dist_join": _DIST_JOIN_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
+        "winnow_fingerprints": _WINNOW_SQL,
+        "neardup_containment": _containment_sql(),
+        "hits_hosts": _hits_sql(),
+        "length_quantiles": _LENGTH_QUANTILES_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

@@ -1100,6 +1100,131 @@ def ngram_novelty(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 9,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every k-gram, slide a window of `w` consecutive
+    hashes, and in each window select the minimum hash, breaking ties by
+    the RIGHTMOST position; the distinct selected (position, hash) pairs
+    are the document's fingerprints. Guarantees: any shared substring of
+    length >= k + w - 1 yields a shared fingerprint (the winnowing
+    theorem), and fingerprint density is ~2/(w+1) — the local,
+    position-aware complement to MinHash (which is global per doc).
+
+    Hashes are md5 hex strings of the raw k-char shingle, totally ordered
+    the same on any engine (module contract). The whole selection is
+    per-row array code (transform/slice/array_min/reverse) — scan-shaped,
+    ZERO shuffle before the final distinct; fan-out is one row per window
+    (linear in text length). Docs shorter than k + w - 1 still emit >= 1
+    fingerprint (one truncated window), matching the paper's "every
+    document has at least one fingerprint" property.
+
+    Output: (id, pos, fingerprint) — pos is the 1-based char position of
+    the selected k-gram.
+    """
+    assert k >= 1 and w >= 1
+    t = F.coalesce(F.col(text), F.lit(""))
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda p: F.md5(F.encode(F.substring(t, p, k), "UTF-8")),
+    )
+    d = df.select(
+        F.col(id_col),
+        hashes.alias("_h"),
+        n_grams.alias("_ng"),
+    ).withColumn(
+        "wstart",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("_ng") - F.lit(w - 1), F.lit(1)))
+        ),
+    )
+    win = F.slice(F.col("_h"), F.col("wstart"), w)
+    m = F.array_min(win)
+    # rightmost occurrence of the min inside the window:
+    # size(win) - position_in_reversed + 1, then offset by the start
+    rightmost = F.size(win) - F.array_position(F.reverse(win), m) + 1
+    sel = d.select(
+        id_col,
+        (F.col("wstart") + rightmost - 1).cast("bigint").alias("pos"),
+        m.alias("fingerprint"),
+    )
+    return sel.distinct()
+
+
+def ngram_containment(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 9,
+) -> DataFrame:
+    """Broder containment for candidate pairs: on top of the exact
+    k-shingle Jaccard, emit ``contain_a = |A∩B| / |A|`` and
+    ``contain_b = |A∩B| / |B|`` — the asymmetric measure that catches a
+    short document wholly embedded in a long one (quote farms, scraped
+    excerpts), which symmetric Jaccard under-scores (Broder 1997, "On
+    the Resemblance and Containment of Documents"). Each ratio is one
+    IEEE division over the exact integer counts — bit-identical across
+    engines. Same scale shape as ngram_jaccard: joins only over the
+    candidate pairs."""
+    j = ngram_jaccard(df, pairs, id_col=id_col, text=text, k=k)
+    return j.withColumn(
+        "contain_a",
+        F.col("n_inter") / F.greatest(F.col("n_a"), F.lit(1)).cast("double"),
+    ).withColumn(
+        "contain_b",
+        F.col("n_inter") / F.greatest(F.col("n_b"), F.lit(1)).cast("double"),
+    )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple = (25, 50, 75),
+) -> DataFrame:
+    """Exact per-group percentiles of an integer column WITHOUT a
+    per-group global sort: the distributed selection a 100-TB corpus
+    card needs (p25/p50/p75 of document length per language, etc.).
+
+    Definition (exact, integer): the q-th percentile is the element at
+    0-based rank ``((n - 1) * q) DIV 100`` of the group's values sorted
+    ascending — the "lower nearest-rank" convention, no float
+    interpolation, so results hash-match any engine.
+
+    Scale shape: groupBy (group, value) histogram first (map-side
+    combinable — the shuffled table is DISTINCT-VALUE sized, not
+    row-sized), then one cumulative-sum window over that small
+    histogram, then a conditional min per group. A naive row_number
+    window would sort every row of a group on one task; this plan's
+    window partitions are bounded by the value cardinality."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("_c"))
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(wcum))
+    tot = hist.groupBy(group_col).agg(F.sum("_c").cast("bigint").alias("n_rows"))
+    j = cum.join(tot, group_col)
+    aggs = [F.max("n_rows").alias("n_rows")]
+    for q in qs:
+        target = F.expr(f"((n_rows - 1) * {int(q)}) DIV 100") + 1
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col(value_col))).alias(f"p{int(q)}")
+        )
+    return j.groupBy(group_col).agg(*aggs)
+
+
 #: line-terminal punctuation accepted by the C4 line rule
 C4_TERMINAL = (".", "!", "?", '"')
 

@@ -103,3 +103,81 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = SCALE,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999, "Authoritative Sources in a
+    Hyperlinked Environment"): hub and authority scores over (src, dst)
+    edges — the crawl-side complement to PageRank (a good HUB is a page
+    worth re-crawling for link discovery; a good AUTHORITY is a page
+    worth keeping in the corpus).
+
+    Update per round, all truncating-integer (module contract):
+      ``auth_i = sum over edges u->i of hub_u``  then max-normalized to
+      ``(auth * scale) DIV max(auth)``;
+      ``hub_u  = sum over edges u->i of auth_i`` then max-normalized the
+      same way. Max-normalization (vs the textbook L2) keeps every step
+      in bigint with a provable bound: after normalization scores are
+      <= scale, a sum over degree d is <= d*scale, and the ``* scale``
+      in the next normalization needs d * scale^2 < 2^63 — i.e. max
+      degree < 9.2e6 at the default scale; raise/lower `scale` to trade
+      precision against the degree bound. Ranking order equals the
+      float algorithm's in the large-scale limit; ties broken by the
+      truncation are deterministic on every engine.
+
+    Scale shape per round: two equi-joins of the score table against the
+    edge list + two map-side-combinable groupBys; the scalar max rides a
+    broadcast 1-row cross join (no driver collect). Each round's frame
+    is eagerly localCheckpoint-ed (house iterative-frontier pattern).
+    Returns (node, hub, auth) for every node appearing as src or dst.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        raw_auth = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_s"))
+        )
+        auth = _max_normalized(nodes, raw_auth, "dst", "auth", scale)
+        raw_hub = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_s"))
+        )
+        hub = _max_normalized(nodes, raw_hub, "src", "hub", scale)
+    return nodes.join(hub, "node").join(auth, "node").select("node", "hub", "auth")
+
+
+def _max_normalized(
+    nodes: DataFrame, raw: DataFrame, key: str, out: str, scale: int
+) -> DataFrame:
+    """(node, out) = (raw._s * scale) DIV max(raw._s), absent nodes -> 0,
+    empty/zero max guarded to 1. The scalar max is a broadcast 1-row
+    cross join, not a collect."""
+    mx = raw.agg(F.greatest(F.max("_s"), F.lit(1)).alias("_mx"))
+    scored = (
+        nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.expr(f"(coalesce(_s, CAST(0 AS BIGINT)) * {scale}) DIV _mx")
+            .cast("bigint")
+            .alias(out),
+        )
+    )
+    return scored.localCheckpoint(eager=True)
