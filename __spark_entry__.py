@@ -1555,6 +1555,86 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic page fixture for the WAT-metadata queries: html built
+    around each document with a title (entity-encoded ampersand), a
+    conditional meta description (doc_id % 3), conditional meta robots
+    (% 5), conditional rel=canonical (% 2, bucketed so several pages
+    share one canonical), and the html lang attribute."""
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
+        i, F.lit(" &amp; "), F.col("source"), F.lit("</title>"),
+        F.when(
+            F.pmod(F.col("doc_id"), 3) == 0,
+            F.concat(F.lit('<meta name="description" content="About doc '), i, F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), 5) == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), 2) == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://canon.example/'),
+                F.pmod(F.col("doc_id"), 50).cast("string"), F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://site"), F.pmod(F.col("doc_id"), 97).cast("string"),
+        F.lit(".example/d/"), i,
+    )
+    return d.select("doc_id", url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style head-metadata extraction (title / meta description /
+    meta robots / rel=canonical / html lang) from page bytes — the
+    Common Crawl WAT-record fields via the stdlib-parser mapInPandas
+    plumbing. Oracle states the expected fields directly (contract
+    style), proving entity decode + first-wins + attribute parsing."""
+    from rayjoin_spark.functions import htmlops
+
+    return htmlops.extract_metadata(_meta_pages(spark, sf_dir)).select(
+        "doc_id", "title", "description", "robots", "canonical", "page_lang"
+    )
+
+
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup: group pages by their effective canonical
+    (rel=canonical when present, else own url) — the crawl-side dedup
+    that catches mirror/tracking-parameter duplicates before any
+    content hashing. Composition: extract_metadata -> coalesce ->
+    one combinable groupBy (n_pages, min doc id kept)."""
+    from rayjoin_spark.functions import htmlops
+
+    pages = _meta_pages(spark, sf_dir)
+    meta = htmlops.extract_metadata(pages)
+    j = pages.select("doc_id", "url").join(
+        meta.select("doc_id", "canonical"), "doc_id"
+    )
+    return (
+        j.withColumn("canonical_url", F.coalesce("canonical", "url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.min("doc_id").alias("kept_doc"),
+        )
+    )
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unicode script composition + dominant script — pure
+    codegen regexp counts (functions/textops.py script_profile)."""
+    return textops.script_profile(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_latin", "n_cyrillic", "n_cjk", "n_arabic",
+        "dominant_script",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -1650,6 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_containment": q_neardup_containment,
         "hits_hosts": q_hits,
         "length_quantiles": q_length_quantiles,
+        "page_metadata": q_page_metadata,
+        "canonical_dedup": q_canonical_dedup,
+        "script_profile": q_script_profile,
     }
 
 
@@ -3316,6 +3399,65 @@ GROUP BY c.lang
 """
 
 
+#: page_metadata: the oracle STATES the expected extracted fields
+#: directly from the fixture arithmetic (contract style) — entity-decoded
+#: title, conditional description/robots/canonical, lang attribute
+_PAGE_METADATA_SQL = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & ' || source AS title,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'About doc ' || CAST(doc_id AS VARCHAR) END AS description,
+       CASE WHEN doc_id % 5 = 0 THEN 'noindex, nofollow' END AS robots,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://canon.example/' || CAST(doc_id % 50 AS VARCHAR) END AS canonical,
+       lang AS page_lang
+FROM documents
+"""
+
+_CANONICAL_DEDUP_SQL = """
+WITH eff AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://canon.example/' || CAST(doc_id % 50 AS VARCHAR)
+              ELSE 'https://site' || CAST(doc_id % 97 AS VARCHAR)
+                   || '.example/d/' || CAST(doc_id AS VARCHAR)
+         END AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       MIN(doc_id) AS kept_doc
+FROM eff GROUP BY canonical_url
+"""
+
+
+def _script_profile_sql() -> str:
+    """Mirror of textops.script_profile: per-script counts via global
+    regexp_replace deletion (DuckDB needs the explicit 'g' flag; Spark
+    replaces all matches by default) + the same ordered CASE."""
+    from rayjoin_spark.functions.textops import SCRIPT_RANGES
+
+    cnt = ",\n       ".join(
+        f"CAST(length(text) - length(regexp_replace(text, '{pat}', '', 'g')) AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_RANGES
+    )
+    names = [name for name, _ in SCRIPT_RANGES]
+    best = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = f"CASE WHEN {best} = 0 THEN 'other'\n"
+    for n in names:
+        dom += f"            WHEN n_{n} = {best} THEN '{n}'\n"
+    dom += "       END AS dominant_script"
+    return f"""
+WITH c AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       {cnt}
+  FROM documents
+)
+SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+       {dom}
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lsi_join": _LSI_SQL,
@@ -3393,6 +3535,9 @@ def oracle_sql() -> dict[str, str]:
         "neardup_containment": _containment_sql(),
         "hits_hosts": _hits_sql(),
         "length_quantiles": _LENGTH_QUANTILES_SQL,
+        "page_metadata": _PAGE_METADATA_SQL,
+        "canonical_dedup": _CANONICAL_DEDUP_SQL,
+        "script_profile": _script_profile_sql(),
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

@@ -632,3 +632,100 @@ def anchor_text_agg(
         .withColumnRenamed("_href", href)
         .select(href, "n_links", "n_distinct_anchors", "top_anchors")
     )
+
+
+class _MetaExtractor(HTMLParser):
+    """Collects the WAT-style head metadata of a page: <title> text, the
+    first <meta name=description|robots content=...>, the first
+    <link rel=canonical href=...>, and the <html lang=...> attribute.
+    Head content is metadata here, NOT text — this parser reads exactly
+    the subtrees extract_text skips (complementary contracts)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.title: str | None = None
+        self.description: str | None = None
+        self.robots: str | None = None
+        self.canonical: str | None = None
+        self.lang: str | None = None
+        self._in_title = False
+        self._title_parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = {k: v for k, v in attrs if v is not None}
+        if tag == "html" and self.lang is None and "lang" in a:
+            self.lang = a["lang"]
+        elif tag == "title" and self.title is None:
+            self._in_title = True
+        elif tag == "meta":
+            name = (a.get("name") or "").lower()
+            if name == "description" and self.description is None:
+                self.description = a.get("content")
+            elif name == "robots" and self.robots is None:
+                self.robots = a.get("content")
+        elif tag == "link":
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and self.canonical is None:
+                self.canonical = a.get("href")
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self.title = _WS_RUN.sub(" ", "".join(self._title_parts)).strip()
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title_parts.append(data)
+
+
+def extract_html_metadata(raw) -> tuple:
+    """(title, description, robots, canonical, lang) from one html
+    payload; absent fields are None. First occurrence wins for each
+    field (the WAT convention); an unclosed <title> at EOF yields no
+    title (no balanced close = no value, matching extract_html_links'
+    conservative read). Pure + idempotent."""
+    s = _decode_payload(raw)
+    if s is None:
+        return (None, None, None, None, None)
+    p = _MetaExtractor()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    return (p.title, p.description, p.robots, p.canonical, p.lang)
+
+
+def extract_metadata(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page head metadata — the WAT-record extraction stage of an
+    archive pipeline (Common Crawl WAT files carry exactly these fields:
+    Head-Title, Head-Metas, Link rel=canonical): one output row per page
+    with (title, description, robots, canonical, lang), nulls for absent
+    fields. Canonical feeds canonical-URL dedup; robots feeds
+    noindex/nofollow admission.
+
+    Arrow-batched `mapInPandas` over the binary html, scan-shaped (one
+    output row per input row, no fan-out, no shuffle) — the same
+    plumbing and decode contract as extract_text/extract_links."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("description", T.StringType(), True),
+            T.StructField("robots", T.StringType(), True),
+            T.StructField("canonical", T.StringType(), True),
+            T.StructField("page_lang", T.StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (i, *extract_html_metadata(payload))
+                for i, payload in zip(pdf[id_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)

@@ -1225,6 +1225,45 @@ def exact_quantiles(
     return j.groupBy(group_col).agg(*aggs)
 
 
+#: unicode script ranges as character classes valid in BOTH Java regex
+#: (Spark) and RE2 (DuckDB) — hex \x{...} ranges only, BMP only, no \p
+#: properties (RE2 and Java disagree on some property names). Latin
+#: includes the supplement/extended blocks so accented European text
+#: counts as latin.
+SCRIPT_RANGES = (
+    ("latin", r"[A-Za-z\x{00C0}-\x{024F}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("cjk", r"[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+)
+
+
+def script_profile(df: DataFrame, text: str = "text") -> DataFrame:
+    """Unicode script composition per document — the script-mix signal a
+    web corpus uses next to language-ID (lang_id is stopword-based and
+    latin-biased; script counts catch mixed-script spam, mojibake and
+    wrong-language routing). Per script: the character count, computed
+    as ``length(t) - length(regexp_replace(t, class, ''))`` — two
+    codegen ops, no explode; plus the dominant script ('other' when no
+    listed script occurs), ties broken in SCRIPT_RANGES order.
+
+    Scale shape: pure whole-stage-codegen column expressions,
+    scan-shaped, zero shuffle, embarrassingly parallel."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, pat, ""))).cast("bigint")
+        for name, pat in SCRIPT_RANGES
+    }
+    out = df.withColumn("n_chars", F.length(t).cast("bigint"))
+    for name in counts:
+        out = out.withColumn(f"n_{name}", counts[name])
+    best = F.greatest(*[F.col(f"n_{n}") for n, _ in SCRIPT_RANGES])
+    dom = F.when(best == 0, F.lit("other"))
+    for name, _ in SCRIPT_RANGES:
+        dom = dom.when(F.col(f"n_{name}") == best, F.lit(name))
+    return out.withColumn("dominant_script", dom)
+
+
 #: line-terminal punctuation accepted by the C4 line rule
 C4_TERMINAL = (".", "!", "?", '"')
 
