@@ -1635,6 +1635,19 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (phi = 1/200) over the whitespace
+    token stream — the mergeable fixed-size frequency summary
+    (functions/sketches.py); exact counts ride along to exhibit the
+    one-sided error. Oracle rebuilds the identical md5-addressed sketch
+    in SQL."""
+    from rayjoin_spark.functions import sketches
+
+    return sketches.heavy_hitters(_docs(spark, sf_dir)).select(
+        "term", "est", "n_exact"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -1733,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "canonical_dedup": q_canonical_dedup,
         "script_profile": q_script_profile,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3458,6 +3472,40 @@ FROM c
 """
 
 
+#: count-min heavy hitters: the sketch rebuilt in SQL with the identical
+#: md5 bucket addressing (j || ':' || term, first 12 hex chars, % width)
+_HEAVY_HITTERS_SQL = """
+WITH tokf AS (
+  SELECT term FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), jt AS (
+  SELECT term, CAST(j AS BIGINT) AS j FROM tokf, range(0, 4) t(j)
+), sk AS (
+  SELECT j,
+         CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || term), 1, 12))
+              AS BIGINT) % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM jt GROUP BY 1, 2
+), exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tokf GROUP BY term
+), addr AS (
+  SELECT e.term, CAST(r.j AS BIGINT) AS j,
+         CAST(concat('0x', substr(md5(CAST(r.j AS VARCHAR) || ':' || e.term), 1, 12))
+              AS BIGINT) % 1024 AS bucket
+  FROM exact e, range(0, 4) r(j)
+), est AS (
+  SELECT a.term, MIN(s.cnt) AS est
+  FROM addr a JOIN sk s ON s.j = a.j AND s.bucket = a.bucket
+  GROUP BY a.term
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tokf)
+SELECT e.term, e.est, x.n_exact
+FROM est e JOIN exact x ON x.term = e.term, tot
+WHERE e.est >= tot.n // 200
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lsi_join": _LSI_SQL,
@@ -3538,6 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         "page_metadata": _PAGE_METADATA_SQL,
         "canonical_dedup": _CANONICAL_DEDUP_SQL,
         "script_profile": _script_profile_sql(),
+        "heavy_hitters": _HEAVY_HITTERS_SQL,
         "overlay_chains": _overlay_oracle_sql_cached(),
         "overlay_points": _overlay_oracle_sql_cached("points"),
         "cell_morton": _morton_sql(),

@@ -113,6 +113,10 @@ def _queries(spark, sf_dir):
     def q_dedup():
         return textops.dedup_exact(docs)
 
+    def q_winnow():
+        # local fingerprinting (MOSS): array-codegen selection + distinct
+        return textops.winnow_fingerprints(docs)
+
     def q_quality():
         return textops.quality_score(textops.token_count(docs))
 
@@ -290,6 +294,7 @@ def _queries(spark, sf_dir):
         "overlay_chains": q_overlay,
         "minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup,
+        "winnow": q_winnow,
         "quality_tokens": q_quality,
         "ann_topk": q_ann,
         "ann_lsh": q_ann_lsh,

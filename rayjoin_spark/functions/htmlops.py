@@ -708,10 +708,12 @@ def extract_metadata(
 
     Arrow-batched `mapInPandas` over the binary html, scan-shaped (one
     output row per input row, no fan-out, no shuffle) — the same
-    plumbing and decode contract as extract_text/extract_links."""
+    plumbing and decode contract as extract_text/extract_links. The id
+    column's type is carried through from the input (bigint doc ids and
+    string urls both work — streamed pages key by url)."""
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType(), False),
+            T.StructField(id_col, df.schema[id_col].dataType, True),
             T.StructField("title", T.StringType(), True),
             T.StructField("description", T.StringType(), True),
             T.StructField("robots", T.StringType(), True),

@@ -171,3 +171,60 @@ def test_fuzz_normalize_text_idempotent_and_invariants(spark, seed):
     for r in twice.collect():
         assert r.norm_text == r.text, (r.text, r.norm_text)  # idempotent
         assert not bad.search(r.norm_text), repr(r.norm_text)
+
+
+def test_fuzz_winnow_vs_python_mirror(spark):
+    """Random texts — including adversarial all-equal and periodic hash
+    runs — through the Spark winnowing selection vs an independent pure-
+    python mirror of the documented rule (window min, rightmost tie)."""
+    import hashlib
+    from rayjoin_spark.functions import textops
+
+    rng = np.random.default_rng(12345)
+    alpha = "ab \n."  # tiny alphabet -> dense hash collisions and ties
+    texts = []
+    for i in range(40):
+        n = int(rng.integers(0, 60))
+        texts.append("".join(rng.choice(list(alpha), n)))
+    texts += ["a" * 30, "ab" * 20, "", "abcdefgh"]  # degenerate classes
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in textops.winnow_fingerprints(docs, k=4, w=3).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fingerprint"]))
+    for i, t in enumerate(texts):
+        ng = max(len(t) - 3, 1)
+        hs = [hashlib.md5(t[p:p + 4].encode()).hexdigest() for p in range(ng)]
+        want = set()
+        for s in range(max(ng - 2, 1)):
+            win = hs[s:s + 3]
+            m = min(win)
+            want.add((s + 1 + max(j for j, h in enumerate(win) if h == m), m))
+        assert got.get(i, set()) == want, (i, repr(t))
+
+
+def test_fuzz_metadata_parser_hostile(spark):
+    """Random tag soup through extract_html_metadata: must never raise,
+    must be deterministic, and fields must obey the first-wins +
+    whitespace-collapse contract."""
+    from rayjoin_spark.functions.htmlops import extract_html_metadata
+
+    rng = np.random.default_rng(999)
+    frags = [
+        "<title>", "</title>", "<meta name=description content=x>",
+        '<meta name="robots"', ">", "<link rel=canonical href=h>",
+        "<html lang=xx>", "&amp;", "&#xZZ;", "txt ", "<!-- c ", "--!>",
+        "<a href='", "<script>", "</head>", "\x00", "é", "<TITLE>T</TITLE>",
+    ]
+    for trial in range(60):
+        n = int(rng.integers(0, 12))
+        s = "".join(rng.choice(frags) for _ in range(n))
+        out1 = extract_html_metadata(s.encode("utf-8", "ignore"))
+        out2 = extract_html_metadata(s.encode("utf-8", "ignore"))
+        assert out1 == out2
+        title = out1[0]
+        if title is not None:
+            assert "  " not in title and title == title.strip()
+    # invalid utf-8 decodes with replacement, never raises
+    assert extract_html_metadata(b"\xff\xfe<title>x</title>")[0] == "x"

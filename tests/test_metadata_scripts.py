@@ -88,3 +88,40 @@ def test_script_profile_null_text(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = textops.script_profile(df).collect()[0]
     assert r["n_chars"] == 0 and r["dominant_script"] == "other"
+
+
+def test_stream_warc_to_metadata(spark, tmp_path):
+    """Composition: streaming WARC ingest -> WAT metadata extraction in
+    the same micro-batch plan (mapInPandas runs inside Structured
+    Streaming; pages key by url, not doc_id)."""
+    from rayjoin_spark.sources import warc
+    from rayjoin_spark.streaming.pages_stream import stream_warc_ingest
+
+    src = tmp_path / "warcs"
+    src.mkdir()
+    recs = b"".join(
+        warc.warc_record_bytes(
+            f"https://s{i}.example/", 1700000000 + i,
+            f'<html lang="en"><head><title>Page {i}</title></head>'
+            f"<body>b</body></html>".encode(),
+        )
+        for i in range(3)
+    )
+    (src / "a.warc").write_bytes(recs)
+    pages = stream_warc_ingest(spark, str(src))
+    meta = extract_metadata(pages, id_col="url")
+    q = (
+        meta.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("meta_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["url"]: r for r in spark.sql("SELECT * FROM meta_stream_out").collect()}
+    finally:
+        q.stop()
+    assert len(got) == 3
+    assert got["https://s1.example/"]["title"] == "Page 1"
+    assert all(r["page_lang"] == "en" for r in got.values())

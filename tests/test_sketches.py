@@ -1,0 +1,74 @@
+"""Count-min sketch semantics: python mirror, one-sided error, merge."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from rayjoin_spark.functions import sketches
+
+
+def _py_bucket(j, term, width):
+    h = hashlib.md5(f"{j}:{term}".encode()).hexdigest()
+    return int(h[:12], 16) % width
+
+
+def _py_cms(terms, depth, width):
+    sk = {}
+    for t in terms:
+        for j in range(depth):
+            key = (j, _py_bucket(j, t, width))
+            sk[key] = sk.get(key, 0) + 1
+    return sk
+
+
+def test_cms_build_matches_python_mirror(spark):
+    terms = ["a", "b", "a", "c", "a", "b"] * 3
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {(r["j"], r["bucket"]): r["cnt"] for r in sketches.cms_build(df, depth=3, width=16).collect()}
+    assert got == _py_cms(terms, 3, 16)
+
+
+def test_cms_estimate_exact_when_no_collisions(spark):
+    # width >> vocab: estimates equal exact counts
+    terms = ["x"] * 5 + ["y"] * 3 + ["z"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sk = sketches.cms_build(df, depth=4, width=4096)
+    q = spark.createDataFrame([("x",), ("y",), ("z",)], "term string")
+    got = {r["term"]: r["est"] for r in sketches.cms_estimate(sk, q, depth=4, width=4096).collect()}
+    assert got == {"x": 5, "y": 3, "z": 1}
+
+
+def test_cms_one_sided_error_under_collisions(spark):
+    # width 2 forces collisions: every estimate must still be >= exact
+    terms = [f"t{i}" for i in range(20)] + ["hot"] * 10
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    sk = sketches.cms_build(df, depth=2, width=2)
+    q = df.distinct()
+    est = {r["term"]: r["est"] for r in sketches.cms_estimate(sk, q, depth=2, width=2).collect()}
+    exact = {t: terms.count(t) for t in set(terms)}
+    assert all(est[t] >= exact[t] for t in exact)
+    assert any(est[t] > exact[t] for t in exact)  # collisions actually occurred
+
+
+def test_cms_merge_by_cell_addition(spark):
+    # sketch(A ∪ B) == cellwise sum of sketch(A) and sketch(B)
+    a = spark.createDataFrame([("p",), ("q",), ("p",)], "term string")
+    b = spark.createDataFrame([("q",), ("r",)], "term string")
+    both = a.unionAll(b)
+    sab = sketches.cms_build(both, depth=3, width=8)
+    merged = (
+        sketches.cms_build(a, depth=3, width=8)
+        .unionByName(sketches.cms_build(b, depth=3, width=8))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, sab.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_heavy_hitters_threshold_and_bound(spark):
+    docs = [(1, "the the the the the rare"), (2, "the the the word word")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # 11 tokens; denom=3 -> threshold 11 DIV 3 = 3: only 'the' (7) passes
+    rows = {r["term"]: r for r in sketches.heavy_hitters(df, denom=3).collect()}
+    assert set(rows) == {"the"}
+    assert rows["the"]["n_exact"] == 8 and rows["the"]["est"] >= 8
