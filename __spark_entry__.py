@@ -1454,6 +1454,40 @@ def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cells_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal multi-level cell covering (functions/cellcodes.compact_cells,
+    the S2 CellUnion::Normalize analog): level-6 Morton cells of the
+    derived query points with every complete sibling quartet merged into
+    its parent, recursively. Oracle: the same per-level sibling-count
+    promotion as six chained DuckDB CTEs."""
+    from rayjoin_spark.functions.cellcodes import compact_cells, morton_id
+
+    pts = derived.query_points(spark, sf_dir)
+    ids = morton_id(pts, DERIVED_SCALING, DERIVED_GRID, level=6)
+    return compact_cells(ids, level=6)
+
+
+def q_range_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial range reporting (operators/rangequery.range_report): every
+    (query rectangle, edge) pair whose SEGMENT meets the rectangle —
+    grid-pruned cell equi-join + exact int64 separating-axis predicate.
+    Oracle: the identical integer SAT test over a rect x edge join."""
+    from rayjoin_spark.operators.rangequery import range_report, snap_rects
+
+    ea = derived.edges_a(spark, sf_dir)
+    rects = snap_rects(derived.query_rects(spark, sf_dir), DERIVED_SCALING)
+    return range_report(ea, rects, DERIVED_GRID)
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram LM quality score (functions/textops.lm_score):
+    integer-exact add-one bigram model trained on the curated seed
+    (sources src0/src1/src2), applied to every document. Oracle: the
+    identical truncating-integer train+score as DuckDB CTEs."""
+    d = _docs(spark, sf_dir)
+    return textops.lm_score(d, train=F.col("source").isin("src0", "src1", "src2"))
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature pipeline: image rows decode REAL PNG payloads
     with the stdlib+NumPy codec (width/height actually parsed); audio rows
@@ -1747,6 +1781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_dedup": q_canonical_dedup,
         "script_profile": q_script_profile,
         "heavy_hitters": q_heavy_hitters,
+        "cells_compact": q_cells_compact,
+        "range_report": q_range_report,
+        "lm_score": q_lm_score,
     }
 
 
@@ -2995,6 +3032,88 @@ FROM documents
 """
 
 
+def _compact_sql(level: int = 6) -> str:
+    """DuckDB twin of functions/cellcodes.compact_cells over the level-6
+    Morton ids of the derived query points: one CTE pair per level (sibling
+    count via window, keep <4, promote =4), matching the engine's
+    fine-to-coarse promotion exactly."""
+    def ilv(cv: str, off: int) -> str:
+        return " + ".join(
+            f"((({cv} >> {i}) & 1) << {2 * i + off})" for i in range(level)
+        )
+
+    ctes = [
+        f"pts AS ({points_sql(2, 4)})",
+        f"""c{level} AS (
+  SELECT DISTINCT CAST({ilv(_CELL('px'), 0)} + {ilv(_CELL('py'), 1)} AS BIGINT) AS cell_id
+  FROM pts)""",
+    ]
+    selects = []
+    for lvl in range(level, 0, -1):
+        ctes.append(
+            f"n{lvl} AS (SELECT cell_id, COUNT(*) OVER (PARTITION BY cell_id // 4) AS sib FROM c{lvl})"
+        )
+        ctes.append(
+            f"c{lvl - 1} AS (SELECT DISTINCT cell_id // 4 AS cell_id FROM n{lvl} WHERE sib = 4)"
+        )
+        selects.append(
+            f"SELECT cell_id, CAST({lvl} AS INT) AS level FROM n{lvl} WHERE sib < 4"
+        )
+    selects.append("SELECT cell_id, CAST(0 AS INT) AS level FROM c0")
+    return "WITH " + ",\n ".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _range_report_sql() -> str:
+    """DuckDB twin of operators/rangequery.range_report: bbox overlap +
+    exact integer separating-axis corner test (no grid — the oracle is the
+    brute-force rect x edge join)."""
+    from rayjoin_spark.sources.derived import rects_sql
+
+    corners = ", ".join(
+        f"(a * {cx} + b * {cy} + c)"
+        for cx in ("rx1", "rx2")
+        for cy in ("ry1", "ry2")
+    )
+    return f"""
+WITH ea AS ({EDGES_A_SQL}),
+ r AS ({rects_sql()})
+SELECT r.rect_id, ea.eid
+FROM r JOIN ea
+  ON greatest(x1, x2) >= rx1 AND least(x1, x2) <= rx2
+ AND greatest(y1, y2) >= ry1 AND least(y1, y2) <= ry2
+WHERE least({corners}) <= 0 AND greatest({corners}) >= 0
+"""
+
+
+_LM_SCORE_SQL = """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id, source, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT doc_id, source, toks,
+               unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM t)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM c12
+), w AS (
+  SELECT big.doc_id,
+         (1000000 * (COALESCE(c12.c12, 0) + 1)) // (COALESCE(c1.c1, 0) + v.v) AS w
+  FROM big
+  LEFT JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+  LEFT JOIN c1 ON big.w1 = c1.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT) AS lm_score,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams
+FROM w GROUP BY doc_id
+"""
+
+
 def _morton_sql() -> str:
     """DuckDB twin of functions/cellcodes.interleave_bits at level 6 over
     the derived query points (same >>, &, << integer ops)."""
@@ -3614,4 +3733,7 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         # literal-derivable from the deterministic fixture; the float
         # feature vector stays pytest-only (mapInPandas decode internals)
         "multimodal_features": _multimodal_sql(),
+        "cells_compact": _compact_sql(),
+        "range_report": _range_report_sql(),
+        "lm_score": _LM_SCORE_SQL,
     }

@@ -68,6 +68,50 @@ def parent_id(cell: Column, levels_up: int) -> Column:
     return F.shiftright(cell.cast("bigint"), 2 * levels_up)
 
 
+def compact_cells(cells: DataFrame, level: int, cell: str = "cell_id") -> DataFrame:
+    """Minimal multi-level covering — the S2 ``CellUnion::Normalize``
+    analog over Morton quadtree ids.
+
+    Input: cell ids at one quadtree `level` (duplicates allowed; the set
+    is what matters). Output: ``(cell_id, level)`` rows where every
+    complete quartet of siblings has been merged into its parent,
+    recursively — the canonical smallest covering of the same region,
+    unique for a given input set.
+
+    Plan shape (scale): one pass per level from fine to coarse. Each pass
+    is a single hash shuffle on the parent id (a window count), and the
+    frame entering pass *k+1* holds only the promoted parents — at most a
+    quarter of pass *k*'s rows — so the first pass dominates and total
+    work is O(n) with at most `level` (≤ 11) shuffles of geometrically
+    shrinking data. No collect, no iteration-until-convergence: the depth
+    is the fixed quadtree depth.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    cur = cells.select(F.col(cell).cast("bigint").alias("cell_id")).distinct()
+    out_parts: list[DataFrame] = []
+    for lvl in range(level, 0, -1):
+        w = Window.partitionBy(F.shiftright(F.col("cell_id"), 2))
+        sized = cur.withColumn("_sib", F.count("*").over(w))
+        out_parts.append(
+            sized.filter(F.col("_sib") < 4).select(
+                "cell_id", F.lit(lvl).cast("int").alias("level")
+            )
+        )
+        # all four children present -> promote the parent one level up;
+        # the quartet collapses to one row (duplicates from the 4 siblings
+        # drop partition-locally: the frame is already hashed on parent)
+        cur = (
+            sized.filter(F.col("_sib") == 4)
+            .select(F.shiftright(F.col("cell_id"), 2).alias("cell_id"))
+            .dropDuplicates(["cell_id"])
+        )
+    out_parts.append(cur.select("cell_id", F.lit(0).cast("int").alias("level")))
+    return reduce(lambda a, b: a.unionByName(b), out_parts)
+
+
 def morton_id_pandas(
     df: DataFrame,
     scaling: Scaling,

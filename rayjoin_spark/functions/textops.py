@@ -1049,6 +1049,78 @@ def quality_classifier(
     )
 
 
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    train=None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality filter: score every
+    document by how well a bigram model (trained on a seed subset, or on
+    the corpus itself) predicts it. The CCNet/KenLM original ranks pages
+    by LM perplexity; this is the same signal with the log-space math
+    replaced by truncating-integer arithmetic so scores are
+    bit-reproducible on any engine or partitioning:
+
+      w(w1,w2) = (scale * (c(w1,w2) + 1)) DIV (c(w1·) + V)   (add-one MLE)
+      lm_score(doc) = sum(w over doc bigrams) DIV n_bigrams
+
+    where c(w1·) is the count of bigrams starting with w1 and V the
+    distinct-successor vocabulary size. Higher = more in-distribution.
+    Docs with < 2 tokens get no row (no bigram evidence).
+
+    Scale shape: one explode over the token stream, two combinable
+    groupBys for the model (c12, then c1 derived FROM c12 — never a
+    second pass over the corpus), a scalar V via crossJoin, and two
+    equi-joins model→doc-bigrams (hot common-bigram keys are hot on the
+    probe side only; the build side is unique per key). No Python, no
+    windows, no collect.
+
+    `train` is an optional boolean Column marking the in-distribution
+    seed (e.g. ``F.col("source") == "wiki"``); default trains on all rows.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    n = F.size(toks)
+    big = df.select(
+        F.col(id_col).alias("_doc"),
+        (F.lit(True) if train is None else train).cast("int").alias("_tr"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(
+        "_doc", "_tr", F.col("_bg.w1").alias("_w1"), F.col("_bg.w2").alias("_w2")
+    )
+    c12 = (
+        big.filter(F.col("_tr") == 1)
+        .groupBy("_w1", "_w2")
+        .agg(F.count("*").cast("bigint").alias("_c12"))
+    )
+    c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    v = c12.select(F.count_distinct("_w2").alias("_v"))
+    scored = (
+        big.join(c12, ["_w1", "_w2"], "left")
+        .join(c1, "_w1", "left")
+        .crossJoin(v)
+        .select(
+            "_doc",
+            F.expr(
+                f"({scale} * (coalesce(_c12, 0) + 1)) DIV (coalesce(_c1, 0) + _v)"
+            ).alias("_w"),
+        )
+        .groupBy("_doc")
+        .agg(
+            F.expr("sum(_w) DIV count(*)").cast("bigint").alias("lm_score"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    return scored.select(F.col("_doc").alias(id_col), "lm_score", "n_bigrams")
+
+
 def ngram_novelty(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -109,6 +109,38 @@ def edges_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def query_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic axis-aligned query rectangles (raw double corners):
+    centers from the same Lehmer hash family as query_points, half-sizes
+    from small key residues. One rect per orders key ≡ 3 (mod 16)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.filter(F.pmod(F.col("o_orderkey"), 16) == 3)
+    k = F.col("o_orderkey")
+    cx = F.pmod(k * 14741, P).cast("double")
+    cy = F.pmod(k * 28657, P).cast("double")
+    w = (F.pmod(k, 37) + 2).cast("double")
+    h = (F.pmod(k, 29) + 2).cast("double")
+    return o.select(
+        k.alias("rect_id"),
+        (cx - w).alias("x1"),
+        (cy - h).alias("y1"),
+        (cx + w).alias("x2"),
+        (cy + h).alias("y2"),
+    )
+
+
+def rects_sql() -> str:
+    """DuckDB twin of query_rects + operators/rangequery.snap_rects (the
+    snap is monotone with rx,ry > 0, so corner order is preserved)."""
+    return f"""
+  SELECT o_orderkey AS rect_id,
+         {_snap_sql(f'CAST((o_orderkey * 14741) % {P} AS DOUBLE) - CAST(o_orderkey % 37 + 2 AS DOUBLE)', 'x')} AS rx1,
+         {_snap_sql(f'CAST((o_orderkey * 28657) % {P} AS DOUBLE) - CAST(o_orderkey % 29 + 2 AS DOUBLE)', 'y')} AS ry1,
+         {_snap_sql(f'CAST((o_orderkey * 14741) % {P} AS DOUBLE) + CAST(o_orderkey % 37 + 2 AS DOUBLE)', 'x')} AS rx2,
+         {_snap_sql(f'CAST((o_orderkey * 28657) % {P} AS DOUBLE) + CAST(o_orderkey % 29 + 2 AS DOUBLE)', 'y')} AS ry2
+  FROM orders WHERE o_orderkey % 16 = 3"""
+
+
 def query_points(spark: SparkSession, sf_dir: str, residue: int = 2, mod: int = 4) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     o = o.filter(F.pmod(F.col("o_orderkey"), mod) == residue)

@@ -1,0 +1,197 @@
+"""Unit invariants for operators/rangequery.py and cellcodes.compact_cells
+(independent of the DuckDB oracle gate in test_entry_oracle.py)."""
+
+from __future__ import annotations
+
+import random
+
+from rayjoin_spark.functions.cellcodes import compact_cells
+from rayjoin_spark.operators.rangequery import range_report, snap_rects
+from rayjoin_spark.plans.layers import build_edges
+from rayjoin_spark.plans.scaling import GridSpec, Scaling
+
+
+# ------------------------------------------------------------- compact_cells
+
+
+def _descendants(cell: int, level: int, target: int) -> set[int]:
+    """All level-`target` descendants of a cell at `level` (python oracle)."""
+    k = target - level
+    base = cell << (2 * k)
+    return {base + i for i in range(1 << (2 * k))}
+
+
+def test_compact_cells_roundtrip_and_minimality(spark):
+    rnd = random.Random(42)
+    level = 5
+    cells = sorted({rnd.randrange(1 << (2 * level)) for _ in range(600)})
+    df = spark.createDataFrame([(c,) for c in cells], "cell_id bigint")
+    out = compact_cells(df, level=level).collect()
+
+    # 1. the covering is exact: descendants of the output == the input set
+    covered: set[int] = set()
+    for r in out:
+        d = _descendants(r.cell_id, r.level, level)
+        assert not (covered & d), "output cells overlap"
+        covered |= d
+    assert covered == set(cells)
+
+    # 2. minimality: no complete sibling quartet at any level
+    by_level: dict[int, set[int]] = {}
+    for r in out:
+        by_level.setdefault(r.level, set()).add(r.cell_id)
+    for lvl, ids in by_level.items():
+        if lvl == 0:
+            continue
+        from collections import Counter
+
+        sibs = Counter(c >> 2 for c in ids)
+        assert max(sibs.values()) < 4, f"complete quartet left at level {lvl}"
+
+
+def test_compact_cells_full_region_collapses_to_root(spark):
+    level = 3
+    df = spark.createDataFrame(
+        [(c,) for c in range(1 << (2 * level))], "cell_id bigint"
+    )
+    out = compact_cells(df, level=level).collect()
+    assert [(r.cell_id, r.level) for r in out] == [(0, 0)]
+
+
+def test_compact_cells_dedups_input(spark):
+    df = spark.createDataFrame([(5,), (5,), (6,)], "cell_id bigint")
+    out = {(r.cell_id, r.level) for r in compact_cells(df, level=4).collect()}
+    assert out == {(5, 4), (6, 4)}
+
+
+# -------------------------------------------------------------- range_report
+
+
+def _brute_pairs(edges, rects):
+    """Python oracle: exact SAT segment-vs-AABB over all pairs."""
+    out = set()
+    for e in edges:
+        for r in rects:
+            if max(e.x1, e.x2) < r.rx1 or min(e.x1, e.x2) > r.rx2:
+                continue
+            if max(e.y1, e.y2) < r.ry1 or min(e.y1, e.y2) > r.ry2:
+                continue
+            s = [
+                e.a * x + e.b * y + e.c
+                for x in (r.rx1, r.rx2)
+                for y in (r.ry1, r.ry2)
+            ]
+            if min(s) <= 0 <= max(s):
+                out.add((r.rect_id, e.eid))
+    return out
+
+
+def _fixture(spark, seed=7, n_edges=200, n_rects=40):
+    rnd = random.Random(seed)
+    chain_rows, point_rows = [], []
+    for cid in range(n_edges):
+        x1, y1 = rnd.uniform(0, 1000), rnd.uniform(0, 1000)
+        x2 = x1 + rnd.uniform(-80, 80)
+        y2 = y1 + rnd.uniform(-80, 80)
+        chain_rows.append((cid, 1, 2))
+        point_rows.append((cid, 0, x1, y1))
+        point_rows.append((cid, 1, x2, y2))
+    cdf = spark.createDataFrame(
+        chain_rows, "chain_id bigint, left_polygon_id int, right_polygon_id int"
+    )
+    pdf = spark.createDataFrame(
+        point_rows, "chain_id bigint, seq int, x double, y double"
+    )
+    scaling = Scaling.from_bbox(-100.0, 1100.0, -100.0, 1100.0)
+    edges = build_edges(cdf, pdf, scaling)
+    rrows = []
+    for rid in range(n_rects):
+        cx, cy = rnd.uniform(0, 1000), rnd.uniform(0, 1000)
+        w, h = rnd.uniform(1, 120), rnd.uniform(1, 120)
+        rrows.append((rid, cx - w, cy - h, cx + w, cy + h))
+    rdf = spark.createDataFrame(
+        rrows, "rect_id bigint, x1 double, y1 double, x2 double, y2 double"
+    )
+    return edges, snap_rects(rdf, scaling)
+
+
+def test_range_report_matches_bruteforce(spark):
+    edges, rects = _fixture(spark)
+    got = {
+        (r.rect_id, r.eid)
+        for r in range_report(edges, rects, GridSpec(64)).collect()
+    }
+    want = _brute_pairs(edges.collect(), rects.collect())
+    assert got == want
+    assert len(want) > 50  # fixture is non-trivial
+
+
+def test_range_report_grid_invariance(spark):
+    edges, rects = _fixture(spark, seed=11)
+    a = {
+        (r.rect_id, r.eid)
+        for r in range_report(edges, rects, GridSpec(16)).collect()
+    }
+    b = {
+        (r.rect_id, r.eid)
+        for r in range_report(edges, rects, GridSpec(512)).collect()
+    }
+    assert a == b
+
+
+def test_range_report_degenerate_and_touching(spark):
+    """A rect whose corner only touches the segment's line, and a segment
+    fully inside a rect, both count as intersecting (closed semantics)."""
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    cdf = spark.createDataFrame(
+        [(0, 1, 2), (1, 1, 2)],
+        "chain_id bigint, left_polygon_id int, right_polygon_id int",
+    )
+    pdf = spark.createDataFrame(
+        [
+            (0, 0, 10.0, 10.0), (0, 1, 20.0, 20.0),  # diagonal
+            (1, 0, 50.0, 50.0), (1, 1, 52.0, 52.0),  # inside rect 1
+        ],
+        "chain_id bigint, seq int, x double, y double",
+    )
+    edges = build_edges(cdf, pdf, scaling)
+    rects = snap_rects(
+        spark.createDataFrame(
+            [
+                (0, 15.0, 15.0, 18.0, 18.0),  # straddles the diagonal
+                (1, 40.0, 40.0, 60.0, 60.0),  # contains edge 1 entirely
+                (2, 30.0, 0.0, 40.0, 5.0),  # far away
+            ],
+            "rect_id bigint, x1 double, y1 double, x2 double, y2 double",
+        ),
+        scaling,
+    )
+    got = {
+        (r.rect_id, r.eid)
+        for r in range_report(edges, rects, GridSpec(8)).collect()
+    }
+    eids = {r.chain_id: r.eid for r in edges.select("chain_id", "eid").collect()}
+    assert (0, eids[0]) in got
+    assert (1, eids[1]) in got
+    assert all(rid != 2 for rid, _ in got)
+
+
+# ------------------------------------------------------------------ lm_score
+
+
+def test_lm_score_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from rayjoin_spark.functions.textops import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "seed"), (2, "a b c", "crawl"), (3, "x", "crawl")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.lm_score, r.n_bigrams)
+        for r in lm_score(df, train=F.col("source") == "seed").collect()
+    }
+    # model: c12 = {(a,b):2, (b,a):1}, c1 = {a:2, b:1}, V = 2
+    # d1: (750000 + 666666 + 750000) // 3 ; d2: (750000 + 333333) // 2
+    assert out == {1: (722222, 3), 2: (541666, 2)}  # d3 has no bigram -> no row
