@@ -1479,6 +1479,19 @@ def q_range_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_report(ea, rects, DERIVED_GRID)
 
 
+def q_segment_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vector-tile cutting (operators/clip.py clip_segments):
+    Liang-Barsky in integer rationals — every edge clipped to every query
+    rectangle it meets, endpoints as exact (num, den) pairs. Oracle: the
+    identical cross-multiplied CASE folds in DuckDB."""
+    from rayjoin_spark.operators.clip import clip_segments
+    from rayjoin_spark.operators.rangequery import snap_rects
+
+    ea = derived.edges_a(spark, sf_dir)
+    rects = snap_rects(derived.query_rects(spark, sf_dir), DERIVED_SCALING)
+    return clip_segments(ea, rects, DERIVED_GRID)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram LM quality score (functions/textops.lm_score):
     integer-exact add-one bigram model trained on the curated seed
@@ -1784,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_compact": q_cells_compact,
         "range_report": q_range_report,
         "lm_score": q_lm_score,
+        "segment_clip": q_segment_clip,
     }
 
 
@@ -3085,6 +3099,57 @@ WHERE least({corners}) <= 0 AND greatest({corners}) >= 0
 """
 
 
+def _segment_clip_sql() -> str:
+    """DuckDB twin of operators/clip.clip_segments: the same integer
+    Liang-Barsky folds (strict-< selection order preserved so the emitted
+    (num, den) pairs — not just their values — match bit-for-bit)."""
+    from rayjoin_spark.sources.derived import rects_sql
+
+    return f"""
+WITH ea AS ({EDGES_A_SQL}),
+ r AS ({rects_sql()}),
+ cand AS (
+  SELECT r.rect_id, ea.eid, x1, y1, rx1, ry1, rx2, ry2,
+         (x2 - x1) AS dx, (y2 - y1) AS dy
+  FROM r JOIN ea
+    ON greatest(x1, x2) >= rx1 AND least(x1, x2) <= rx2
+   AND greatest(y1, y2) >= ry1 AND least(y1, y2) <= ry2
+), w AS (
+  SELECT *, abs(dx) AS px, abs(dy) AS py,
+         CASE WHEN dx > 0 THEN rx1 - x1 ELSE x1 - rx2 END AS qx_in,
+         CASE WHEN dx > 0 THEN rx2 - x1 ELSE x1 - rx1 END AS qx_out,
+         CASE WHEN dy > 0 THEN ry1 - y1 ELSE y1 - ry2 END AS qy_in,
+         CASE WHEN dy > 0 THEN ry2 - y1 ELSE y1 - ry1 END AS qy_out
+  FROM cand
+), f0 AS (
+  SELECT *,
+         CASE WHEN dx != 0 AND 0 < qx_in THEN qx_in ELSE 0 END AS n0a,
+         CASE WHEN dx != 0 AND 0 < qx_in THEN px ELSE 1 END AS d0a,
+         CASE WHEN dx != 0 AND qx_out < px THEN qx_out ELSE 1 END AS n1a,
+         CASE WHEN dx != 0 AND qx_out < px THEN px ELSE 1 END AS d1a
+  FROM w
+), f1 AS (
+  SELECT *,
+         CASE WHEN dy != 0 AND n0a * py < qy_in * d0a THEN qy_in ELSE n0a END AS n0,
+         CASE WHEN dy != 0 AND n0a * py < qy_in * d0a THEN py ELSE d0a END AS d0,
+         CASE WHEN dy != 0 AND n1a * py > qy_out * d1a THEN qy_out ELSE n1a END AS n1,
+         CASE WHEN dy != 0 AND n1a * py > qy_out * d1a THEN py ELSE d1a END AS d1
+  FROM f0
+)
+SELECT rect_id, eid,
+       CAST(x1 * d0 + dx * n0 AS BIGINT) AS cx1_num,
+       CAST(y1 * d0 + dy * n0 AS BIGINT) AS cy1_num,
+       CAST(d0 AS BIGINT) AS den1,
+       CAST(x1 * d1 + dx * n1 AS BIGINT) AS cx2_num,
+       CAST(y1 * d1 + dy * n1 AS BIGINT) AS cy2_num,
+       CAST(d1 AS BIGINT) AS den2
+FROM f1
+WHERE (dx != 0 OR (x1 >= rx1 AND x1 <= rx2))
+  AND (dy != 0 OR (y1 >= ry1 AND y1 <= ry2))
+  AND n0 * d1 <= n1 * d0
+"""
+
+
 _LM_SCORE_SQL = """
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -3736,4 +3801,5 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "segment_clip": _segment_clip_sql(),
     }

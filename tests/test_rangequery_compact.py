@@ -195,3 +195,87 @@ def test_lm_score_hand_computed(spark):
     # model: c12 = {(a,b):2, (b,a):1}, c1 = {a:2, b:1}, V = 2
     # d1: (750000 + 666666 + 750000) // 3 ; d2: (750000 + 333333) // 2
     assert out == {1: (722222, 3), 2: (541666, 2)}  # d3 has no bigram -> no row
+
+
+# ------------------------------------------------------------- clip_segments
+
+
+def _clip_oracle(e, r):
+    """Arbitrary-precision Liang-Barsky (fractions.Fraction)."""
+    from fractions import Fraction
+
+    dx, dy = e.x2 - e.x1, e.y2 - e.y1
+    t0, t1 = Fraction(0), Fraction(1)
+    for d, lo, hi, s in ((dx, r.rx1, r.rx2, e.x1), (dy, r.ry1, r.ry2, e.y1)):
+        if d == 0:
+            if not (lo <= s <= hi):
+                return None
+        else:
+            tin = Fraction(lo - s, d) if d > 0 else Fraction(hi - s, d)
+            tout = Fraction(hi - s, d) if d > 0 else Fraction(lo - s, d)
+            t0, t1 = max(t0, tin), min(t1, tout)
+    if t0 > t1:
+        return None
+    return (
+        Fraction(e.x1) + dx * t0, Fraction(e.y1) + dy * t0,
+        Fraction(e.x1) + dx * t1, Fraction(e.y1) + dy * t1,
+    )
+
+
+def test_clip_segments_matches_fraction_oracle(spark):
+    from fractions import Fraction
+
+    from rayjoin_spark.operators.clip import clip_segments
+
+    edges, rects = _fixture(spark, seed=23)
+    got = {
+        (r.rect_id, r.eid): (
+            Fraction(r.cx1_num, r.den1), Fraction(r.cy1_num, r.den1),
+            Fraction(r.cx2_num, r.den2), Fraction(r.cy2_num, r.den2),
+        )
+        for r in clip_segments(edges, rects, GridSpec(64)).collect()
+    }
+    want = {}
+    for e in edges.collect():
+        for r in rects.collect():
+            res = _clip_oracle(e, r)
+            if res is not None:
+                want[(r.rect_id, e.eid)] = res
+    assert got == want
+    assert len(want) > 50
+
+
+def test_clip_agrees_with_range_report(spark):
+    """The clipped pair set IS the range-report set (both closed)."""
+    from rayjoin_spark.operators.clip import clip_segments
+
+    edges, rects = _fixture(spark, seed=31)
+    clipped = {
+        (r.rect_id, r.eid)
+        for r in clip_segments(edges, rects, GridSpec(32)).collect()
+    }
+    reported = {
+        (r.rect_id, r.eid)
+        for r in range_report(edges, rects, GridSpec(32)).collect()
+    }
+    assert clipped == reported
+
+
+def test_clip_endpoints_inside_box_and_ordered(spark):
+    from fractions import Fraction
+
+    from rayjoin_spark.operators.clip import clip_segments
+
+    edges, rects = _fixture(spark, seed=47)
+    rl = {r.rect_id: r for r in rects.collect()}
+    for row in clip_segments(edges, rects, GridSpec(64)).collect():
+        r = rl[row.rect_id]
+        for num, den, lo, hi in (
+            (row.cx1_num, row.den1, r.rx1, r.rx2),
+            (row.cx2_num, row.den2, r.rx1, r.rx2),
+            (row.cy1_num, row.den1, r.ry1, r.ry2),
+            (row.cy2_num, row.den2, r.ry1, r.ry2),
+        ):
+            v = Fraction(num, den)
+            assert lo <= v <= hi, (row, v)
+        assert row.den1 > 0 and row.den2 > 0
