@@ -1492,6 +1492,20 @@ def q_segment_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_segments(ea, rects, DERIVED_GRID)
 
 
+def q_tile_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-server encode step (operators/tiles.tile_payloads): clipped
+    exact-rational segments assembled into deterministic per-tile payloads
+    with md5 content digests (the cache key / ETag). Oracle: identical
+    serialization + ORDER BY string_agg + md5 in DuckDB."""
+    from rayjoin_spark.operators.clip import clip_segments
+    from rayjoin_spark.operators.rangequery import snap_rects
+    from rayjoin_spark.operators.tiles import tile_payloads
+
+    ea = derived.edges_a(spark, sf_dir)
+    rects = snap_rects(derived.query_rects(spark, sf_dir), DERIVED_SCALING)
+    return tile_payloads(clip_segments(ea, rects, DERIVED_GRID))
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram LM quality score (functions/textops.lm_score):
     integer-exact add-one bigram model trained on the curated seed
@@ -1797,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_compact": q_cells_compact,
         "range_report": q_range_report,
         "lm_score": q_lm_score,
+        "tile_payloads": q_tile_payloads,
         "segment_clip": q_segment_clip,
     }
 
@@ -3150,6 +3165,27 @@ WHERE (dx != 0 OR (x1 >= rx1 AND x1 <= rx2))
 """
 
 
+
+def _tile_payloads_sql() -> str:
+    """DuckDB twin of operators/tiles.tile_payloads over the clipped
+    segments: same serialization bytes, same byte-order sort, same md5."""
+    return f"""
+WITH clip AS ({_segment_clip_sql()}),
+ s AS (
+  SELECT rect_id AS tile_id,
+         CAST(eid AS VARCHAR) || ':' || CAST(cx1_num AS VARCHAR) || ',' ||
+         CAST(cy1_num AS VARCHAR) || ',' || CAST(den1 AS VARCHAR) || ',' ||
+         CAST(cx2_num AS VARCHAR) || ',' || CAST(cy2_num AS VARCHAR) || ',' ||
+         CAST(den2 AS VARCHAR) AS seg
+  FROM clip
+)
+SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(length(string_agg(seg, ';' ORDER BY seg)) AS BIGINT) AS payload_bytes,
+       md5(string_agg(seg, ';' ORDER BY seg)) AS tile_hash
+FROM s GROUP BY tile_id
+"""
+
+
 _LM_SCORE_SQL = """
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -3801,5 +3837,6 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "tile_payloads": _tile_payloads_sql(),
         "segment_clip": _segment_clip_sql(),
     }

@@ -106,6 +106,24 @@ def _queries(spark, sf_dir):
             d.DERIVED_SCALING, d.DERIVED_GRID, shift=3,
         )
 
+    def q_range_clip():
+        # exact vector-tile cutting over the big lattice: 20k query boxes,
+        # grid-pruned candidate join + integer-rational Liang-Barsky folds
+        from rayjoin_spark.operators.clip import clip_segments
+        from rayjoin_spark.operators.rangequery import snap_rects
+
+        rects = snap_rects(
+            lat_pts.filter(F.pmod("point_id", 10) == 0).select(
+                F.col("point_id").alias("rect_id"),
+                (F.col("x") - 0.4).alias("x1"),
+                (F.col("y") - 0.4).alias("y1"),
+                (F.col("x") + 0.4).alias("x2"),
+                (F.col("y") + 0.4).alias("y2"),
+            ),
+            scaling,
+        )
+        return clip_segments(ea, rects, GridSpec(256))
+
     def q_minhash_lsh():
         sigs = textops.minhash_signatures(docs)
         return textops.neardup_candidates(textops.lsh_bands(sigs))
@@ -291,6 +309,7 @@ def _queries(spark, sf_dir):
         "pip_derived": q_pip_derived,
         "knn_cellring": q_knn,
         "tile_counts": q_tiles,
+        "range_clip": q_range_clip,
         "overlay_chains": q_overlay,
         "minhash_lsh": q_minhash_lsh,
         "dedup_exact": q_dedup,

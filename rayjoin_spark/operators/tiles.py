@@ -128,6 +128,51 @@ def vectorize_raster(raster: DataFrame) -> DataFrame:
     return v.unionByName(h)
 
 
+def tile_payloads(clipped: DataFrame, tile: str = "rect_id") -> DataFrame:
+    """Assemble served tile payloads from clipped segments (the encode
+    step after operators/clip.clip_segments): a deterministic per-tile
+    layer serialization plus its content digest, the cache key / ETag a
+    tile server needs.
+
+    Each segment serializes as
+    ``eid:cx1_num,cy1_num,den1,cx2_num,cy2_num,den2`` (the exact-rational
+    endpoints, so the payload is engine- and partitioning-independent);
+    the tile payload is the ';'-join in byte order and ``tile_hash`` its
+    md5. Output: (tile_id, n_segments, payload_bytes, tile_hash).
+
+    Scale shape: one map-side-combinable groupBy per tile with
+    sort_array(collect_list(...)) — per-tile row counts are bounded by
+    tile content (served tiles are small by design; cut oversized tiles
+    at a deeper zoom upstream, not here). No windows, no driver loop.
+    """
+    seg = F.concat_ws(
+        ",",
+        F.col("cy1_num").cast("string"),
+        F.col("den1").cast("string"),
+        F.col("cx2_num").cast("string"),
+        F.col("cy2_num").cast("string"),
+        F.col("den2").cast("string"),
+    )
+    seg = F.concat(
+        F.col("eid").cast("string"), F.lit(":"),
+        F.col("cx1_num").cast("string"), F.lit(","), seg,
+    )
+    return (
+        clipped.select(F.col(tile).alias("tile_id"), seg.alias("_seg"))
+        .groupBy("tile_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.array_join(F.sort_array(F.collect_list("_seg")), ";").alias("_payload"),
+        )
+        .select(
+            "tile_id",
+            "n_segments",
+            F.length("_payload").cast("bigint").alias("payload_bytes"),
+            F.md5(F.col("_payload").cast("binary")).alias("tile_hash"),
+        )
+    )
+
+
 def tile_pyramid(
     points: DataFrame,
     scaling: Scaling,

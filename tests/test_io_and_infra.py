@@ -643,3 +643,31 @@ def test_cli_check_histo_gen(spark, tmp_path, capsys):
             if l.startswith("{")]
     chk = [r for r in recs if "check" in r]
     assert chk and chk[-1]["check_ok"]
+
+
+def test_pyfiles_zip_is_importable(tmp_path):
+    """The spark-submit --py-files artifact must be a self-contained
+    importable package: build it, then import rayjoin_spark from the ZIP
+    ONLY (fresh interpreter, repo root stripped from sys.path) — the same
+    zipimport mechanism executors use for --py-files."""
+    import subprocess
+    import sys
+
+    from rayjoin_spark.pyfiles import build_zip
+
+    zp = build_zip(str(tmp_path / "rayjoin_spark.zip"))
+    probe = (
+        "import sys; sys.path = [p for p in sys.path if 'repo' not in p]; "
+        f"sys.path.insert(0, {zp!r}); "
+        "import rayjoin_spark, rayjoin_spark.operators.clip, "
+        "rayjoin_spark.functions.textops, rayjoin_spark.cli; "
+        "print(rayjoin_spark.__name__)"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe],
+        capture_output=True, text=True, timeout=120,
+        cwd=str(tmp_path),  # not the repo root
+        env={"PATH": "/usr/bin:/bin", "PYTHONDONTWRITEBYTECODE": "1"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "rayjoin_spark"

@@ -279,3 +279,16 @@ def test_clip_endpoints_inside_box_and_ordered(spark):
             v = Fraction(num, den)
             assert lo <= v <= hi, (row, v)
         assert row.den1 > 0 and row.den2 > 0
+
+
+def test_tile_payloads_partitioning_independent(spark):
+    from rayjoin_spark.operators.clip import clip_segments
+    from rayjoin_spark.operators.tiles import tile_payloads
+
+    edges, rects = _fixture(spark, seed=59)
+    clipped = clip_segments(edges, rects, GridSpec(32))
+    a = {r.tile_id: (r.n_segments, r.payload_bytes, r.tile_hash)
+         for r in tile_payloads(clipped).collect()}
+    b = {r.tile_id: (r.n_segments, r.payload_bytes, r.tile_hash)
+         for r in tile_payloads(clipped.repartition(13)).collect()}
+    assert a == b and len(a) > 10
