@@ -535,6 +535,39 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data extraction (functions/htmlops.py
+    extract_jsonld): ld+json script blocks counted, parsed, and their
+    schema.org @type inventory emitted — pages deterministically carry
+    one valid Article block (doc_id%3==0), a valid two-@type array plus
+    a malformed block (==1), or none (==2); a plain <script> decoy is
+    always present. Oracle states the contract's expected output."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), 3)
+    block_a = F.concat(
+        F.lit('<script type="application/ld+json">{"@context":"https://schema.org",'
+              '"@type":"Article","headline":"doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('"}</script>'),
+    )
+    block_b = F.lit(
+        '<script type="application/ld+json">[{"@type":"Product"},'
+        '{"@type":"Offer"}]</script>'
+        '<script type="application/ld+json">{oops</script>'
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(m == 0, block_a).when(m == 1, block_b).otherwise(F.lit("")),
+        F.lit("</head><body><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script></body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    return htmlops.extract_jsonld(pages)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-line removal (C4/CCNet rule): documents are
     re-lined into 4-token lines, lines appearing >= 2 times anywhere in
@@ -1812,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_report": q_range_report,
         "lm_score": q_lm_score,
         "tile_payloads": q_tile_payloads,
+        "structured_data": q_structured_data,
         "segment_clip": q_segment_clip,
     }
 
@@ -3186,6 +3220,16 @@ FROM s GROUP BY tile_id
 """
 
 
+
+_STRUCTURED_DATA_SQL = """
+SELECT doc_id,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END AS BIGINT) AS n_ld_blocks,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS n_ld_valid,
+       CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product;Offer' ELSE '' END AS ld_types
+FROM documents
+"""
+
+
 _LM_SCORE_SQL = """
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -3838,5 +3882,6 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,
         "tile_payloads": _tile_payloads_sql(),
+        "structured_data": _STRUCTURED_DATA_SQL,
         "segment_clip": _segment_clip_sql(),
     }

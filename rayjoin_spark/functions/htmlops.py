@@ -731,3 +731,108 @@ def extract_metadata(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, html_col).mapInPandas(run, schema=schema)
+
+
+class _JsonLdCollector(HTMLParser):
+    """Collects the raw text of every <script type="application/ld+json">
+    block (python's HTMLParser switches to CDATA mode inside <script>, so
+    the JSON arrives verbatim in handle_data, charrefs untouched)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[str] = []
+        self._in_ld = False
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "script":
+            a = {k: v for k, v in attrs if v is not None}
+            # MIME parameters (e.g. "; charset=utf-8") are legal and seen
+            # in the wild — match on the media type alone
+            t = (a.get("type") or "").split(";")[0].strip().lower()
+            if t == "application/ld+json":
+                self._in_ld = True
+                self._parts = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.blocks.append("".join(self._parts))
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ld:
+            self._parts.append(data)
+
+
+def _jsonld_types(obj) -> list[str]:
+    """@type values of a parsed JSON-LD payload: a top-level object's
+    @type (string or list of strings), or each element's @type for a
+    top-level array (order of appearance; absent/odd-typed -> skipped)."""
+    items = obj if isinstance(obj, list) else [obj]
+    out: list[str] = []
+    for it in items:
+        if not isinstance(it, dict):
+            continue
+        t = it.get("@type")
+        if isinstance(t, str):
+            out.append(t)
+        elif isinstance(t, list):
+            out.extend(x for x in t if isinstance(x, str))
+    return out
+
+
+def extract_html_jsonld(raw) -> tuple[int, int, list[str]]:
+    """(n_blocks, n_valid, types) for one html payload: count of ld+json
+    script blocks, how many parse as JSON, and the @type values of the
+    valid ones in document order. Pure + idempotent."""
+    import json
+
+    s = _decode_payload(raw)
+    if s is None:
+        return (0, 0, [])
+    p = _JsonLdCollector()
+    try:
+        p.feed(s)
+        p.close()
+    except Exception:
+        pass
+    n_valid, types = 0, []
+    for block in p.blocks:
+        try:
+            obj = json.loads(block)
+        except ValueError:
+            continue
+        n_valid += 1
+        types.extend(_jsonld_types(obj))
+    return (len(p.blocks), n_valid, types)
+
+
+def extract_jsonld(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Structured-data (JSON-LD) extraction — the schema.org side of a
+    WAT-style archive pipeline (Common Crawl WAT records carry the
+    Script/@type inventory of each page): one row per page with the
+    ld+json block count, how many parse, and the ';'-joined @type list.
+
+    Same Arrow-batched `mapInPandas` plumbing and decode contract as
+    extract_text / extract_metadata: scan-shaped, one output row per
+    input row, no shuffle."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("n_ld_blocks", T.LongType(), False),
+            T.StructField("n_ld_valid", T.LongType(), False),
+            T.StructField("ld_types", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[html_col]):
+                nb, nv, types = extract_html_jsonld(payload)
+                rows.append((i, nb, nv, ";".join(types)))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)

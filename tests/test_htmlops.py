@@ -268,3 +268,26 @@ def test_surt_keys_userinfo_and_default_ports(spark):
     got = {r.url: r.surt for r in htmlops.surt_keys(df).collect()}
     for u, want in cases:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_jsonld_extraction_contract():
+    from rayjoin_spark.functions.htmlops import extract_html_jsonld as x
+
+    # media-type parameters and case noise still match
+    assert x(b'<script TYPE="Application/LD+JSON; charset=utf-8">'
+             b'{"@type":"Person"}</script>') == (1, 1, ["Person"])
+    # @type list, top-level array, and @type-less entries
+    assert x(b'<script type="application/ld+json">'
+             b'[{"@type":["A","B"]},{"x":1},{"@type":"C"}]</script>'
+             ) == (1, 1, ["A", "B", "C"])
+    # unclosed block at EOF yields nothing (conservative, like links/title)
+    assert x(b'<script type="application/ld+json">{"@type":"A"}') == (0, 0, [])
+    # plain scripts and non-ld types are ignored; malformed JSON counts
+    # as a block but not valid
+    assert x(b'<script>var a=1;</script>'
+             b'<script type="text/javascript">b()</script>'
+             b'<script type="application/ld+json">nope{</script>'
+             ) == (1, 0, [])
+    # empty / undecodable payloads
+    assert x(None) == (0, 0, [])
+    assert x(b"") == (0, 0, [])
