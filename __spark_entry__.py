@@ -568,6 +568,51 @@ def q_structured_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.extract_jsonld(pages)
 
 
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing over raw page bytes (functions/htmlops.py
+    detect_charset): WHATWG-ordered precedence BOM > <meta charset> >
+    strict-UTF-8 decodability > windows-1252 fallback. Payloads are
+    built deterministically to hit every evidence branch by doc_id%6:
+    utf-8/utf-16le/utf-16be BOMs, a meta charset declaration, plain
+    ASCII (valid-utf8), and an invalid-UTF-8 byte (fallback). Oracle
+    states the contract's expected output directly."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), 6)
+    body = F.encode(
+        F.concat(
+            F.lit("<html><body>doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    meta_page = F.encode(
+        F.concat(
+            F.lit('<html><head><meta charset="ISO-8859-1"></head><body>doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</body></html>"),
+        ),
+        "UTF-8",
+    )
+    bad_utf8 = F.concat(
+        F.encode(F.lit("<html><body>caf"), "UTF-8"),
+        F.lit(bytearray(b"\xe9")),
+        F.encode(F.lit("</body></html>"), "UTF-8"),
+    )
+    html = (
+        F.when(m == 0, F.concat(F.lit(bytearray(b"\xef\xbb\xbf")), body))
+        .when(m == 1, F.concat(F.lit(bytearray(b"\xff\xfe")), body))
+        .when(m == 2, F.concat(F.lit(bytearray(b"\xfe\xff")), body))
+        .when(m == 3, meta_page)
+        .when(m == 4, body)
+        .otherwise(bad_utf8)
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return htmlops.detect_charset(pages)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-line removal (C4/CCNet rule): documents are
     re-lined into 4-token lines, lines appearing >= 2 times anywhere in
@@ -1775,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_geocode": q_pages_geocode,
         "warc_roundtrip": q_warc_roundtrip,
         "html_extract": q_html_extract,
+        "charset_detect": q_charset_detect,
         "line_dedup": q_line_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
@@ -3230,6 +3276,20 @@ FROM documents
 """
 
 
+_CHARSET_DETECT_SQL = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le' WHEN 2 THEN 'utf-16be'
+         WHEN 3 THEN 'iso-8859-1' WHEN 4 THEN 'utf-8'
+         ELSE 'windows-1252' END AS charset,
+       CASE doc_id % 6
+         WHEN 0 THEN 'bom' WHEN 1 THEN 'bom' WHEN 2 THEN 'bom'
+         WHEN 3 THEN 'meta' WHEN 4 THEN 'valid-utf8'
+         ELSE 'fallback' END AS charset_evidence
+FROM documents
+"""
+
+
 _LM_SCORE_SQL = """
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
@@ -3883,5 +3943,6 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "lm_score": _LM_SCORE_SQL,
         "tile_payloads": _tile_payloads_sql(),
         "structured_data": _STRUCTURED_DATA_SQL,
+        "charset_detect": _CHARSET_DETECT_SQL,
         "segment_clip": _segment_clip_sql(),
     }

@@ -836,3 +836,71 @@ def extract_jsonld(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, html_col).mapInPandas(run, schema=schema)
+
+
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def sniff_charset(raw) -> tuple[str, str]:
+    """(charset, evidence) for one html payload — the decode-stage
+    diagnostic of an archive pipeline (WARC payloads carry no reliable
+    encoding; real crawls sniff). Deterministic precedence, first hit
+    wins, mirroring the WHATWG sniff order:
+
+      1. BOM (utf-8 / utf-16le / utf-16be)         evidence='bom'
+      2. <meta charset=...> / http-equiv content    evidence='meta'
+         (byte-level regex over the first 1024 bytes, ASCII-compatible
+         prefix assumed, charset name lowercased)
+      3. strict-UTF-8 decodability of the payload   evidence='valid-utf8'
+      4. fallback                                   ('windows-1252','fallback')
+
+    Pure function of the bytes; None/str payloads report ('none','empty')
+    / ('utf-8','str')."""
+    if raw is None:
+        return ("none", "empty")
+    if isinstance(raw, str):
+        return ("utf-8", "str")
+    b = bytes(raw)
+    if not b:
+        return ("none", "empty")
+    if b.startswith(b"\xef\xbb\xbf"):
+        return ("utf-8", "bom")
+    if b.startswith(b"\xff\xfe"):
+        return ("utf-16le", "bom")
+    if b.startswith(b"\xfe\xff"):
+        return ("utf-16be", "bom")
+    m = _META_CHARSET.search(b[:1024])
+    if m:
+        return (m.group(1).decode("ascii", "replace").lower(), "meta")
+    try:
+        b.decode("utf-8")
+        return ("utf-8", "valid-utf8")
+    except UnicodeDecodeError:
+        return ("windows-1252", "fallback")
+
+
+def detect_charset(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page charset sniff over binary payloads: (id, charset,
+    charset_evidence). Same Arrow-batched mapInPandas scan shape as the
+    other extractors — no shuffle, one row per page."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("charset", T.StringType(), False),
+            T.StructField("charset_evidence", T.StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (i, *sniff_charset(payload))
+                for i, payload in zip(pdf[id_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, html_col).mapInPandas(run, schema=schema)

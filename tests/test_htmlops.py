@@ -291,3 +291,26 @@ def test_jsonld_extraction_contract():
     # empty / undecodable payloads
     assert x(None) == (0, 0, [])
     assert x(b"") == (0, 0, [])
+
+
+def test_charset_sniff_contract():
+    from rayjoin_spark.functions.htmlops import sniff_charset as s
+
+    # BOMs win over everything, including a contradicting meta tag
+    assert s(b'\xef\xbb\xbf<meta charset="latin-1"><p>hi') == ("utf-8", "bom")
+    assert s(b"\xff\xfeh\x00i\x00") == ("utf-16le", "bom")
+    assert s(b"\xfe\xffh\x00i\x00") == ("utf-16be", "bom")
+    # meta charset= (direct and http-equiv forms), name lowercased
+    assert s(b'<meta charset="ISO-8859-1">') == ("iso-8859-1", "meta")
+    assert s(b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=Shift_JIS">') == ("shift_jis", "meta")
+    # meta only scanned in the first 1024 bytes
+    late = b"<p>" + b"x" * 1024 + b'<meta charset="koi8-r">'
+    assert s(late) == ("utf-8", "valid-utf8")
+    # strict-utf8 decodability, then the 1252 fallback
+    assert s("café".encode("utf-8")) == ("utf-8", "valid-utf8")
+    assert s(b"caf\xe9") == ("windows-1252", "fallback")
+    # degenerate payloads
+    assert s(None) == ("none", "empty")
+    assert s(b"") == ("none", "empty")
+    assert s("already text") == ("utf-8", "str")
