@@ -613,6 +613,28 @@ def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.detect_charset(pages)
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb quality rules (functions/textops.gopher_rules,
+    Rae et al. 2021 app. A1.1): integer-exact per-rule flags + verdict.
+    Payloads branch by doc_id%5 to exercise every rule: plain text, a
+    hash-symbol flood, bullet-led lines, ellipsis-ended lines, and an
+    all-numeric de-alphabetized body. Oracle mirrors the identical
+    integer cross-multiplied tests."""
+    from rayjoin_spark.functions import textops
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), 5)
+    t = (
+        F.when(m == 0, F.col("text"))
+        .when(m == 1, F.concat(F.col("text"), F.lit(" "), F.repeat(F.lit("# "), 40)))
+        .when(m == 2, F.concat(F.lit("- a\n- b\n- c\n"), F.col("text")))
+        .when(m == 3, F.concat(F.col("text"), F.lit("\nx...\ny...\nz...")))
+        .otherwise(F.regexp_replace("text", "[A-Za-z]", "0"))
+    )
+    pages = d.select("doc_id", t.alias("text"))
+    return textops.gopher_rules(pages, min_words=5)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-line removal (C4/CCNet rule): documents are
     re-lined into 4-token lines, lines appearing >= 2 times anywhere in
@@ -1532,6 +1554,23 @@ def q_cell_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell encoding (functions/cellcodes.hilbert_id — the
+    S2 face-order analog; unit-step locality Morton lacks) of the derived
+    query points at level 6, plus the 3-levels-up prefix parent and
+    points-per-parent rollup. Oracle: the identical unrolled state
+    machine as chained DuckDB CTEs."""
+    from rayjoin_spark.functions.cellcodes import hilbert_id, parent_id
+
+    pts = derived.query_points(spark, sf_dir)
+    ids = hilbert_id(pts, DERIVED_SCALING, DERIVED_GRID, level=6)
+    ids = ids.withColumn("parent_id", parent_id(F.col("cell_id"), 3))
+    per_parent = ids.groupBy("parent_id").agg(F.count("*").alias("n_in_parent"))
+    return ids.join(per_parent, "parent_id").select(
+        "point_id", "cell_id", "parent_id", "n_in_parent"
+    )
+
+
 def q_cells_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal multi-level cell covering (functions/cellcodes.compact_cells,
     the S2 CellUnion::Normalize analog): level-6 Morton cells of the
@@ -1821,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "html_extract": q_html_extract,
         "charset_detect": q_charset_detect,
+        "gopher_rules": q_gopher_rules,
         "line_dedup": q_line_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
@@ -1854,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_chains": q_overlay,
         "overlay_points": q_overlay_points,
         "cell_morton": q_cell_morton,
+        "cell_hilbert": q_cell_hilbert,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -3276,6 +3317,67 @@ FROM documents
 """
 
 
+_GOPHER_RULES_SQL = """
+WITH src AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN text
+      WHEN 1 THEN text || ' ' || repeat('# ', 40)
+      WHEN 2 THEN '- a' || chr(10) || '- b' || chr(10) || '- c' || chr(10) || text
+      WHEN 3 THEN text || chr(10) || 'x...' || chr(10) || 'y...' || chr(10) || 'z...'
+      ELSE regexp_replace(text, '[A-Za-z]', '0', 'g')
+    END AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, t,
+    list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS words,
+    string_split_regex(t, '\\r?\\n') AS lines
+  FROM src
+), c AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS BIGINT)
+      AS n_chars,
+    len(lines) AS n_lines,
+    length(t) - length(replace(t, '#', '')) AS n_hash,
+    length(t) - length(replace(t, '...', '')) AS n_ell3,
+    len(list_filter(lines,
+        x -> starts_with(x, chr(8226)) OR starts_with(x, '- '))) AS n_bullet,
+    len(list_filter(lines,
+        x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), chr(8230))))
+      AS n_ell_lines,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+    (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS n_stop
+  FROM w
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words, n_chars,
+  CAST(n_lines AS BIGINT) AS n_lines, CAST(n_stop AS BIGINT) AS n_stopwords,
+  CAST(n_words >= 5 AND n_words <= 100000 AS INT) AS ok_words,
+  CAST(n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS INT) AS ok_word_len,
+  CAST(10 * (3 * n_hash + n_ell3) <= 3 * n_words AS INT) AS ok_symbols,
+  CAST(10 * n_bullet <= n_lines AS INT) AS ok_bullets,
+  CAST(10 * n_ell_lines <= 3 * n_lines AS INT) AS ok_ellipsis,
+  CAST(5 * n_alpha >= 4 * n_words AS INT) AS ok_alpha,
+  CAST(n_stop >= 2 AS INT) AS ok_stopwords,
+  CAST(n_words >= 5 AND n_words <= 100000
+       AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+       AND 10 * (3 * n_hash + n_ell3) <= 3 * n_words
+       AND 10 * n_bullet <= n_lines
+       AND 10 * n_ell_lines <= 3 * n_lines
+       AND 5 * n_alpha >= 4 * n_words
+       AND n_stop >= 2 AS INT) AS keep
+FROM c
+"""
+
+
 _CHARSET_DETECT_SQL = """
 SELECT doc_id,
        CASE doc_id % 6
@@ -3343,6 +3445,42 @@ SELECT point_id, cell_id, CAST(parent_id AS BIGINT) AS parent_id,
        COUNT(*) OVER (PARTITION BY parent_id) AS n_in_parent
 FROM withp
 """
+
+
+def _hilbert_sql(level: int = 6) -> str:
+    """DuckDB twin of functions/cellcodes.hilbert_id: the same MSB-first
+    swap/negate state machine, one chained CTE per level (lateral column
+    aliases carry the per-level temporaries)."""
+    body = f"""
+WITH pts AS ({points_sql(2, 4)}),
+ h{level} AS (
+  SELECT point_id, CAST({_CELL('px')} AS BIGINT) AS hx,
+         CAST({_CELL('py')} AS BIGINT) AS hy,
+         0 AS sw, 0 AS ng, CAST(0 AS BIGINT) AS d
+  FROM pts
+)"""
+    prev = f"h{level}"
+    for k in range(level - 1, -1, -1):
+        body += f""",
+ h{k} AS (
+  SELECT point_id, hx, hy, sw2 AS sw, ng2 AS ng, d2 AS d FROM (
+    SELECT point_id, hx, hy, sw, ng, d,
+           ((hx >> {k}) & 1) AS bx, ((hy >> {k}) & 1) AS byy,
+           CASE WHEN sw = 1 THEN byy ELSE bx END AS tx,
+           CASE WHEN sw = 1 THEN bx ELSE byy END AS ty,
+           xor(tx, ng) AS rx, xor(ty, ng) AS ry,
+           d + (CAST(xor(3 * rx, ry) AS BIGINT) << {2 * k}) AS d2,
+           xor(sw, CASE WHEN ry = 0 THEN 1 ELSE 0 END) AS sw2,
+           xor(ng, CASE WHEN ry = 0 AND rx = 1 THEN 1 ELSE 0 END) AS ng2
+    FROM {prev})
+ )"""
+        prev = f"h{k}"
+    body += """
+SELECT point_id, d AS cell_id, d >> 6 AS parent_id,
+       COUNT(*) OVER (PARTITION BY (d >> 6)) AS n_in_parent
+FROM h0
+"""
+    return body
 
 
 _EVENT_ROLLUP_SQL = """
@@ -3938,11 +4076,13 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         # literal-derivable from the deterministic fixture; the float
         # feature vector stays pytest-only (mapInPandas decode internals)
         "multimodal_features": _multimodal_sql(),
+        "cell_hilbert": _hilbert_sql(),
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,
         "tile_payloads": _tile_payloads_sql(),
         "structured_data": _STRUCTURED_DATA_SQL,
         "charset_detect": _CHARSET_DETECT_SQL,
+        "gopher_rules": _GOPHER_RULES_SQL,
         "segment_clip": _segment_clip_sql(),
     }

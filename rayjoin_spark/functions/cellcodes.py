@@ -153,3 +153,152 @@ def morton_id_pandas(
         return pd.Series(acc)
 
     return df.withColumn(out, _morton(F.col(x), F.col(y)))
+
+
+# --------------------------------------------------------------- Hilbert
+
+
+def hilbert_xy2d(x: int, y: int, level: int = DEFAULT_LEVEL) -> int:
+    """Pure-python Hilbert index of grid cell (x, y) — the reference the
+    column/NumPy twins are tested against, and the spec of the variant:
+
+    MSB-first base-4 state machine over the Z2 x Z2 orientation group
+    (sw = axes swapped, ng = both axes complemented). At each level the
+    effective quadrant (rx, ry) is the raw bit pair pushed through the
+    accumulated transform; the emitted digit is (3*rx) XOR ry (quadrant
+    visit order (0,0) -> (0,1) -> (1,1) -> (1,0)); the child transform
+    composes by XOR (the group is abelian): quadrant (0,0) appends a
+    transpose, (1,0) an anti-transpose, ry=1 the identity.
+
+    Properties pinned by tests (what makes it a Hilbert curve): bijection
+    onto [0, 4^level), unit-step adjacency of consecutive indices, and
+    prefix nesting (id >> 2k is the ancestor's id, same as Morton)."""
+    d = sw = ng = 0
+    for k in range(level - 1, -1, -1):
+        bx = (x >> k) & 1
+        by = (y >> k) & 1
+        tx, ty = (by, bx) if sw else (bx, by)
+        rx, ry = tx ^ ng, ty ^ ng
+        d |= ((3 * rx) ^ ry) << (2 * k)
+        if ry == 0:
+            sw ^= 1
+            if rx == 1:
+                ng ^= 1
+    return d
+
+
+def hilbert_id(
+    df: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    x: str = "x",
+    y: str = "y",
+    level: int = DEFAULT_LEVEL,
+    out: str = "cell_id",
+) -> DataFrame:
+    """Hilbert quadtree id of each row's snapped grid cell — pure JVM
+    column math (the `hilbert_xy2d` state machine unrolled, one chained
+    projection per level so Catalyst never duplicates the when-trees),
+    no UDF. Hilbert ids keep ALL consecutive ids in adjacent cells
+    (Morton has long jumps at quadrant seams), so range-partitioning on
+    them gives strictly better spatial locality for range scans — the
+    reason S2 itself uses Hilbert order on each cube face. Prefix
+    nesting matches Morton: `parent_id` works unchanged."""
+    cx, cy = cell_xy(scaling, grid, F.col(x), F.col(y))
+    return hilbert_from_cells(df, cx, cy, level=level, out=out)
+
+
+def hilbert_from_cells(
+    df: DataFrame,
+    cx: Column,
+    cy: Column,
+    level: int = DEFAULT_LEVEL,
+    out: str = "cell_id",
+) -> DataFrame:
+    """`hilbert_id` over already-integer grid cell columns (the
+    `interleave_bits` analog; DataFrame-shaped because the unrolled state
+    machine needs one named projection per level)."""
+    df = (
+        df.withColumn("_hx", cx.cast("bigint"))
+        .withColumn("_hy", cy.cast("bigint"))
+        .withColumn("_sw", F.lit(0))
+        .withColumn("_ng", F.lit(0))
+        .withColumn("_hd", F.lit(0).cast("bigint"))
+    )
+    for k in range(level - 1, -1, -1):
+        bx = F.shiftright(F.col("_hx"), k).bitwiseAND(F.lit(1))
+        by = F.shiftright(F.col("_hy"), k).bitwiseAND(F.lit(1))
+        tx = F.when(F.col("_sw") == 1, by).otherwise(bx)
+        ty = F.when(F.col("_sw") == 1, bx).otherwise(by)
+        df = (
+            df.withColumn("_rx", tx.bitwiseXOR(F.col("_ng")))
+            .withColumn("_ry", ty.bitwiseXOR(F.col("_ng")))
+            .withColumn(
+                "_hd",
+                F.col("_hd")
+                + F.shiftleft(
+                    (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")).cast("bigint"),
+                    2 * k,
+                ),
+            )
+            .withColumn(
+                "_ng",
+                F.col("_ng").bitwiseXOR(
+                    F.when((F.col("_ry") == 0) & (F.col("_rx") == 1), 1).otherwise(0)
+                ),
+            )
+            .withColumn(
+                "_sw",
+                F.col("_sw").bitwiseXOR(F.when(F.col("_ry") == 0, 1).otherwise(0)),
+            )
+        )
+    return df.withColumn(out, F.col("_hd")).drop(
+        "_hx", "_hy", "_sw", "_ng", "_hd", "_rx", "_ry"
+    )
+
+
+def hilbert_id_pandas(
+    df: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    x: str = "x",
+    y: str = "y",
+    level: int = DEFAULT_LEVEL,
+    out: str = "cell_id",
+) -> DataFrame:
+    """Arrow-batched NumPy twin of `hilbert_id` (vectorized state machine,
+    one pass over the level bits) — tested equal to the column version."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    rx_, ry_ = scaling.rx, scaling.ry
+    dx_, dy_ = scaling.dx, scaling.dy
+    cs = grid.cell_scale
+    from rayjoin_spark.plans.scaling import INTERNAL_MIN
+
+    @pandas_udf("bigint")
+    def _hilbert(xs, ys):
+        import numpy as np
+
+        xi = (xs.to_numpy() * rx_ + dx_).astype(np.int64)
+        yi = (ys.to_numpy() * ry_ + dy_).astype(np.int64)
+        cx = ((xi - INTERNAL_MIN) * cs).astype(np.int64)
+        cy = ((yi - INTERNAL_MIN) * cs).astype(np.int64)
+        sw = np.zeros(len(xs), dtype=np.int64)
+        ng = np.zeros_like(sw)
+        d = np.zeros_like(sw)
+        for k in range(level - 1, -1, -1):
+            bx = (cx >> k) & 1
+            by = (cy >> k) & 1
+            tx = np.where(sw == 1, by, bx)
+            ty = np.where(sw == 1, bx, by)
+            rx = tx ^ ng
+            ry = ty ^ ng
+            d |= ((3 * rx) ^ ry) << (2 * k)
+            quad0 = ry == 0
+            ng = ng ^ (quad0 & (rx == 1)).astype(np.int64)
+            sw = sw ^ quad0.astype(np.int64)
+        return pd.Series(d)
+
+    return df.withColumn(out, _hilbert(F.col(x), F.col(y)))

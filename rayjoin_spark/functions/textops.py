@@ -1455,3 +1455,96 @@ def normalize_text(
     return df.withColumn(out, c).withColumn(
         "changed", ~F.col(out).eqNullSafe(F.col(text))
     )
+
+
+#: Gopher's stopword set (Rae et al. 2021, app. A1.1 "quality filtering")
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher / MassiveWeb document-quality rules (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1) — the filter set most
+    large-scale webtext pipelines (RefinedWeb, Dolma, FineWeb) inherit:
+
+    * word count in [min_words, max_words];
+    * mean word length in [3, 10] characters;
+    * symbol-to-word ratio (``#`` or ``...``) at most 0.1;
+    * at most 10% of lines start with a bullet (``•`` or ``- ``);
+    * at most 30% of lines end with an ellipsis (``...`` or ``…``);
+    * at least 80% of words contain an alphabetic character;
+    * at least 2 distinct stopwords from GOPHER_STOPWORDS.
+
+    Every ratio test is cross-multiplied into INTEGER comparisons (no
+    float thresholds to drift between engines); empty documents fail the
+    word-count rule and every other rule reports vacuously true.
+
+    Output: per-document counters plus one int flag per rule and the
+    conjunction `keep`. Scale shape: pure-codegen higher-order array ops
+    over the in-row split — scan-shaped, zero shuffle, no UDF, no
+    explode."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    n_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    # 3x the non-overlapping "..." count (a multiple of 3 by construction;
+    # kept scaled so the ratio rule below stays in integers)
+    n_ell3 = F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    lines = F.split(t, r"\r?\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("•") | x.startswith("- "),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    rules = {
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        # 3 <= n_chars/n_words <= 10, cross-multiplied
+        "ok_word_len": (n_chars >= 3 * n_words.cast("bigint"))
+        & (n_chars <= 10 * n_words.cast("bigint")),
+        # (n_hash + n_ellipsis) / n_words <= 0.1, cross-multiplied by 3
+        "ok_symbols": F.lit(10) * (F.lit(3) * n_hash + n_ell3)
+        <= F.lit(3) * n_words,
+        # bullet lines <= 10% of lines
+        "ok_bullets": F.lit(10) * n_bullet <= n_lines,
+        # ellipsis-ended lines <= 30% of lines
+        "ok_ellipsis": F.lit(10) * n_ell_lines <= F.lit(3) * n_lines,
+        # >= 80% of words contain a letter
+        "ok_alpha": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "ok_stopwords": n_stop >= 2,
+    }
+    flags = [v.cast("int").alias(k) for k, v in rules.items()]
+    keep = None
+    for v in rules.values():
+        keep = v if keep is None else (keep & v)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_lines.cast("bigint").alias("n_lines"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        *flags,
+        keep.cast("int").alias("keep"),
+    )

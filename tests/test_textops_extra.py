@@ -330,3 +330,38 @@ def test_normalize_text_contract(spark):
     assert got[2] == ("clean line", False)
     assert got[3] == ("", True)  # NULL normalizes to '' and counts as changed
     assert got[4] == ("x y", True)
+
+
+def test_gopher_rules_branches(spark):
+    """Hand-computed fixtures hit each Gopher rule independently."""
+    from rayjoin_spark.functions.textops import gopher_rules
+
+    rows = [
+        # passes everything (7 words, 21 chars, 2 stopwords)
+        (1, "the of aaa bbbb ccc ddd eee"),
+        # symbol flood + sub-80% alpha words
+        (2, "# # # aaa the of bbb"),
+        # 2 of 3 lines bullet-led (one literal bullet char)
+        (3, "- b\n• c\nthe of words here now"),
+        # 2 of 3 lines ellipsis-ended (one unicode ellipsis)
+        (4, "the of one two three...\nmore words…\nplain line"),
+        # null text: fails word count, everything else vacuous
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df, min_words=5).collect()}
+
+    assert got[1]["keep"] == 1 and all(
+        got[1][k] == 1 for k in got[1] if k.startswith("ok_")
+    )
+    assert got[1]["n_words"] == 7 and got[1]["n_chars"] == 21
+    assert got[1]["n_stopwords"] == 2
+
+    assert got[2]["ok_symbols"] == 0 and got[2]["ok_alpha"] == 0
+    assert got[2]["keep"] == 0
+
+    assert got[3]["ok_bullets"] == 0 and got[3]["ok_symbols"] == 1
+    assert got[4]["ok_ellipsis"] == 0 and got[4]["ok_bullets"] == 1
+
+    assert got[5]["n_words"] == 0 and got[5]["ok_words"] == 0
+    assert got[5]["ok_word_len"] == 1 and got[5]["keep"] == 0
