@@ -613,6 +613,33 @@ def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.detect_charset(pages)
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (functions/sketches.bloom_build /
+    bloom_probe): a broadcast-sized bit table of the 'existing corpus'
+    (doc_id%4 != 3) probed by every document's content md5. Emits both
+    the bloom verdict (maybe_dup) and the exact membership (is_dup) so
+    one-sidedness is visible in the gated output: maybe_dup >= is_dup
+    row-wise, equality except hash collisions. Oracle rebuilds the
+    identical md5-addressed filter in SQL."""
+    from rayjoin_spark.functions import sketches
+
+    d = _docs(spark, sf_dir)
+    keyed = d.select("doc_id", F.md5(F.encode(F.col("text"), "UTF-8")).alias("key"))
+    corpus = keyed.filter(F.pmod(F.col("doc_id"), 4) != 3).select("key")
+    bloom = sketches.bloom_build(corpus, "key")
+    probed = sketches.bloom_probe(keyed, bloom, "key")
+    exact = corpus.distinct().withColumn("_in", F.lit(1))
+    return (
+        keyed.join(probed, "key")
+        .join(exact, "key", "left")
+        .select(
+            "doc_id",
+            F.col("maybe_present").cast("int").alias("maybe_dup"),
+            F.coalesce(F.col("_in"), F.lit(0)).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveWeb quality rules (functions/textops.gopher_rules,
     Rae et al. 2021 app. A1.1): integer-exact per-rule flags + verdict.
@@ -1861,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "charset_detect": q_charset_detect,
         "gopher_rules": q_gopher_rules,
+        "bloom_dedup": q_bloom_dedup,
         "line_dedup": q_line_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
@@ -3317,6 +3345,33 @@ FROM documents
 """
 
 
+_BLOOM_DEDUP_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5(text) AS key FROM documents
+), corpus AS (
+  SELECT DISTINCT key FROM keyed WHERE doc_id % 4 <> 3
+), bits AS (
+  SELECT DISTINCT CAST(j AS BIGINT) AS j,
+    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 12))
+         AS BIGINT) % 4096 AS bit
+  FROM corpus, range(0, 4) r(j)
+), addr AS (
+  SELECT k.key, CAST(r.j AS BIGINT) AS j,
+    CAST(concat('0x', substr(md5(CAST(r.j AS VARCHAR) || ':' || k.key), 1, 12))
+         AS BIGINT) % 4096 AS bit
+  FROM (SELECT DISTINCT key FROM keyed) k, range(0, 4) r(j)
+), probe AS (
+  SELECT a.key, CAST(CASE WHEN COUNT(b.j) = 4 THEN 1 ELSE 0 END AS INT) AS maybe_dup
+  FROM addr a LEFT JOIN bits b ON b.j = a.j AND b.bit = a.bit
+  GROUP BY a.key
+)
+SELECT k.doc_id, p.maybe_dup,
+       CAST(CASE WHEN c.key IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+FROM keyed k JOIN probe p ON p.key = k.key
+LEFT JOIN corpus c ON c.key = k.key
+"""
+
+
 _GOPHER_RULES_SQL = """
 WITH src AS (
   SELECT doc_id,
@@ -4084,5 +4139,6 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "structured_data": _STRUCTURED_DATA_SQL,
         "charset_detect": _CHARSET_DETECT_SQL,
         "gopher_rules": _GOPHER_RULES_SQL,
+        "bloom_dedup": _BLOOM_DEDUP_SQL,
         "segment_clip": _segment_clip_sql(),
     }

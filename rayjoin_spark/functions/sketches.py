@@ -105,3 +105,53 @@ def heavy_hitters(
         .filter(F.col("est") >= F.expr(f"_n DIV {denom}"))
         .select("term", "est", "n_exact")
     )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Bloom filter of a key set (Bloom 1970): the set-bit table
+    ``(j, bit)`` with ``bit_j(key) = md5-bucket`` (module contract above —
+    bit-for-bit reproducible in any SQL engine). Built with one
+    depth-bounded explode + distinct; at most depth*width rows no matter
+    the corpus size, so the filter BROADCASTS. Two filters with the same
+    (depth, width) merge by union+distinct — the per-shard / per-day
+    incremental-dedup shape: yesterday's corpus filter is tiny state,
+    today's batch probes it without ever reshuffling the corpus."""
+    jt = keys.select(F.col(key_col).alias("_k")).withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    return (
+        jt.select("j", _bucket(F.col("j"), F.col("_k"), width).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Probe the filter: ``(key, maybe_present)`` per distinct batch key,
+    maybe_present = 1 iff ALL depth addressed bits are set. One-sided by
+    construction — a key that was in the built set always reports 1 (no
+    false negatives); a fresh key reports 1 only on a hash collision of
+    all depth bits. The bloom side joins BROADCAST; the batch side does
+    one combinable groupBy on the key — nothing corpus-sized shuffles."""
+    jt = batch.select(F.col(key_col)).distinct().withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    )
+    addressed = jt.withColumn("bit", _bucket(F.col("j"), F.col(key_col), width))
+    hits = addressed.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(1))), ["j", "bit"], "left"
+    )
+    return hits.groupBy(key_col).agg(
+        (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == depth)
+        .cast("int")
+        .alias("maybe_present")
+    )

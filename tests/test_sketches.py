@@ -72,3 +72,32 @@ def test_heavy_hitters_threshold_and_bound(spark):
     rows = {r["term"]: r for r in sketches.heavy_hitters(df, denom=3).collect()}
     assert set(rows) == {"the"}
     assert rows["the"]["n_exact"] == 8 and rows["the"]["est"] >= 8
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every built key probes present (one-sidedness is structural, not
+    probabilistic); filters over disjoint shards merge by union+distinct
+    into exactly the filter of the union."""
+    from rayjoin_spark.functions.sketches import bloom_build, bloom_probe
+
+    a = spark.createDataFrame([(f"ka{i}",) for i in range(200)], "key string")
+    b = spark.createDataFrame([(f"kb{i}",) for i in range(200)], "key string")
+    fresh = spark.createDataFrame([(f"new{i}",) for i in range(500)], "key string")
+
+    bloom_a = bloom_build(a, "key").localCheckpoint(eager=True)
+    got = {
+        r["key"]: r["maybe_present"]
+        for r in bloom_probe(a.unionByName(fresh), bloom_a, "key").collect()
+    }
+    assert all(got[f"ka{i}"] == 1 for i in range(200))  # no false negatives
+    # false positives exist in principle but must be rare at m=4096,n=200
+    fp = sum(got[f"new{i}"] for i in range(500))
+    assert fp <= 25, f"implausible false-positive count {fp}"
+
+    merged = (
+        bloom_a.unionByName(bloom_build(b, "key")).distinct().sort("j", "bit")
+    )
+    direct = bloom_build(a.unionByName(b), "key").sort("j", "bit")
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
