@@ -1598,6 +1598,21 @@ def q_cell_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree partitioning (functions/cellcodes.adaptive_cells):
+    every cell holding more than 64 of the derived query points splits,
+    down to level 6; each point reports its leaf cell, leaf level, and
+    leaf occupancy. The declarative replacement for the reference's GPU
+    adaptive-grouping. Oracle: identical prefix-rollup counts + leaf
+    criterion as chained CTEs."""
+    from rayjoin_spark.functions.cellcodes import adaptive_cells
+
+    pts = derived.query_points(spark, sf_dir)
+    return adaptive_cells(
+        pts, DERIVED_SCALING, DERIVED_GRID, cap=64, max_level=6
+    )
+
+
 def q_cells_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal multi-level cell covering (functions/cellcodes.compact_cells,
     the S2 CellUnion::Normalize analog): level-6 Morton cells of the
@@ -1923,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_points": q_overlay_points,
         "cell_morton": q_cell_morton,
         "cell_hilbert": q_cell_hilbert,
+        "adaptive_cells": q_adaptive_cells,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -3502,6 +3518,51 @@ FROM withp
 """
 
 
+def _adaptive_sql(level: int = 6, cap: int = 64) -> str:
+    """DuckDB twin of functions/cellcodes.adaptive_cells: full-depth
+    Morton ids, per-level prefix-rollup counts, the leaf criterion
+    (n <= cap with parent > cap; forced leaves at max level), and the
+    bounded prefix probe join."""
+    def il(cv: str, off: int) -> str:
+        return " + ".join(
+            f"((({cv} >> {i}) & 1) << {2 * i + off})" for i in range(level)
+        )
+
+    sql = f"""
+WITH pts AS ({points_sql(2, 4)}),
+ ids AS (
+  SELECT point_id,
+         CAST({il(_CELL('px'), 0)} + {il(_CELL('py'), 1)} AS BIGINT) AS m
+  FROM pts
+),
+ c{level} AS (SELECT m AS cell_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ids GROUP BY 1)"""
+    for lvl in range(level - 1, -1, -1):
+        sql += f""",
+ c{lvl} AS (SELECT cell_id >> 2 AS cell_id, CAST(SUM(n) AS BIGINT) AS n
+            FROM c{lvl + 1} GROUP BY 1)"""
+    leaf_parts = [f"SELECT cell_id, n, 0 AS level FROM c0 WHERE n <= {cap}"]
+    for lvl in range(1, level + 1):
+        extra = f"AND ch.n <= {cap}" if lvl < level else ""
+        leaf_parts.append(
+            f"SELECT ch.cell_id, ch.n, {lvl} AS level FROM c{lvl} ch "
+            f"JOIN c{lvl - 1} pa ON (ch.cell_id >> 2) = pa.cell_id "
+            f"WHERE pa.n > {cap} {extra}"
+        )
+    sql += f""",
+ leaves AS ({' UNION ALL '.join(leaf_parts)}),
+ probe AS (
+  SELECT point_id, CAST(l AS INT) AS level,
+         m >> (CAST(({level} - l) AS BIGINT) * 2) AS cell_id
+  FROM ids, range(0, {level + 1}) r(l)
+)
+SELECT p.point_id, p.cell_id, CAST(p.level AS INT) AS level,
+       lv.n AS n_in_cell
+FROM probe p JOIN leaves lv ON lv.level = p.level AND lv.cell_id = p.cell_id
+"""
+    return sql
+
+
 def _hilbert_sql(level: int = 6) -> str:
     """DuckDB twin of functions/cellcodes.hilbert_id: the same MSB-first
     swap/negate state machine, one chained CTE per level (lateral column
@@ -4132,6 +4193,7 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         # feature vector stays pytest-only (mapInPandas decode internals)
         "multimodal_features": _multimodal_sql(),
         "cell_hilbert": _hilbert_sql(),
+        "adaptive_cells": _adaptive_sql(),
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,

@@ -302,3 +302,82 @@ def hilbert_id_pandas(
         return pd.Series(d)
 
     return df.withColumn(out, _hilbert(F.col(x), F.col(y)))
+
+
+def adaptive_cells(
+    df: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    x: str = "x",
+    y: str = "y",
+    cap: int = 256,
+    max_level: int = DEFAULT_LEVEL,
+    id_col: str = "point_id",
+) -> DataFrame:
+    """Adaptive quadtree partitioning: assign each point the LEAF cell of
+    the quadtree obtained by splitting every cell holding more than
+    `cap` points (down to `max_level`) — the skew answer for spatial
+    data, and this engine's declarative replacement for the reference's
+    GPU adaptive-grouping machinery (grouped per-cell workloads,
+    src/grid/uniform_grid.h histogram path): hot regions get fine cells,
+    empty ones stay coarse, every emitted partition holds <= cap points
+    unless it is a forced max_level leaf.
+
+    No driver loop and no convergence iteration: the leaf containing a
+    point is the SHALLOWEST ancestor whose count is <= cap (counts only
+    shrink going down, so that node is exactly where splitting stops).
+    Plan shape: one full-depth Morton pass; per-level counts by prefix
+    rollup (O(max_level) map-side-combinable aggs over geometrically
+    shrinking frames, finest localCheckpointed once); the leaf table is
+    at most ~4x(n/cap) rows; assignment is one equi-join of the points'
+    bounded (max_level+1)-way prefix explode against the broadcast-sized
+    leaf table. Output: (id_col, cell_id, level, n_in_cell)."""
+    ids = morton_id(df, scaling, grid, x, y, level=max_level, out="_m").select(
+        id_col, "_m"
+    )
+    ids = ids.localCheckpoint(eager=True)
+    finest = (
+        ids.groupBy(F.col("_m").alias("cell_id"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    frames = {max_level: finest}
+    for lvl in range(max_level - 1, -1, -1):
+        frames[lvl] = (
+            frames[lvl + 1]
+            .groupBy(F.shiftright(F.col("cell_id"), 2).alias("cell_id"))
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+    leaves = []
+    for lvl in range(0, max_level + 1):
+        fr = frames[lvl]
+        if lvl == 0:
+            # the root is a leaf only if nothing needs splitting at all
+            leaf = fr.filter(F.col("n") <= cap)
+        else:
+            par = frames[lvl - 1].select(
+                F.col("cell_id").alias("_pc"), F.col("n").alias("_pn")
+            )
+            j = fr.withColumn("_par", F.shiftright(F.col("cell_id"), 2)).join(
+                par, F.col("_par") == F.col("_pc")
+            )
+            cond = F.col("_pn") > cap
+            if lvl < max_level:
+                cond = cond & (F.col("n") <= cap)  # max_level leaves are forced
+            leaf = j.filter(cond).select("cell_id", "n")
+        leaves.append(leaf.select("cell_id", "n", F.lit(lvl).cast("int").alias("level")))
+    from functools import reduce
+
+    leaf_tab = reduce(lambda a, b: a.unionByName(b), leaves)
+    probe = ids.withColumn(
+        "level", F.explode(F.sequence(F.lit(0), F.lit(max_level)))
+    ).withColumn(
+        "cell_id",
+        F.expr(f"shiftright(_m, ({max_level} - level) * 2)"),
+    )
+    return probe.join(F.broadcast(leaf_tab), ["level", "cell_id"]).select(
+        id_col,
+        "cell_id",
+        "level",
+        F.col("n").alias("n_in_cell"),
+    )

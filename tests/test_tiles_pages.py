@@ -321,3 +321,59 @@ def test_hilbert_cellcodes(spark):
     for r in p:
         x, y = divmod(r["point_id"], n)
         assert r["par"] == hilbert_xy2d(x >> 1, y >> 1, 3)
+
+
+def test_adaptive_cells_invariants(spark):
+    """Quadtree leaf assignment: exactly one leaf per point, every
+    non-forced leaf holds <= cap, leaves partition the input (occupancy
+    sums to n), and the result matches a brute-force python quadtree."""
+    from rayjoin_spark.functions.cellcodes import adaptive_cells, morton_id
+    from rayjoin_spark.plans.scaling import Scaling
+    from rayjoin_spark.sources.datagen import uniform_points
+
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    grid = GridSpec(64)
+    cap, max_level = 16, 6
+    # clustered + uniform mix so splitting actually varies by region
+    uni = uniform_points(spark, 400, 0.0, 100.0, 0.0, 100.0)
+    clus = uniform_points(spark, 400, 10.0, 12.0, 10.0, 12.0).withColumn(
+        "point_id", F.col("point_id") + 10_000
+    )
+    pts = uni.unionByName(clus)
+    got = adaptive_cells(
+        pts, scaling, grid, cap=cap, max_level=max_level
+    ).collect()
+    assert len(got) == 800  # one leaf per point
+    # leaf occupancy: non-forced leaves respect the cap
+    for r in got:
+        if r["level"] < max_level:
+            assert r["n_in_cell"] <= cap
+    # occupancy sums to the input size over distinct leaves
+    leaf_n = {(r["level"], r["cell_id"]): r["n_in_cell"] for r in got}
+    assert sum(leaf_n.values()) == 800
+    # clustered points sit in deeper leaves than the uniform background
+    import statistics
+
+    deep = statistics.mean(r["level"] for r in got if r["point_id"] >= 10_000)
+    shallow = statistics.mean(r["level"] for r in got if r["point_id"] < 10_000)
+    assert deep > shallow
+
+    # brute-force python quadtree over the same morton ids agrees exactly
+    ms = {
+        r["point_id"]: r["cell_id"]
+        for r in morton_id(pts, scaling, grid, level=max_level, out="m").select(
+            "point_id", F.col("m").alias("cell_id")
+        ).collect()
+    }
+
+    def leaf_of(m):
+        for lvl in range(0, max_level + 1):
+            pref = m >> ((max_level - lvl) * 2)
+            n = sum(1 for v in ms.values() if v >> ((max_level - lvl) * 2) == pref)
+            if n <= cap or lvl == max_level:
+                return (lvl, pref, n)
+        raise AssertionError
+
+    want = {pid: leaf_of(m) for pid, m in ms.items()}
+    got_map = {r["point_id"]: (r["level"], r["cell_id"], r["n_in_cell"]) for r in got}
+    assert got_map == want
