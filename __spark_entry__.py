@@ -613,6 +613,31 @@ def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.detect_charset(pages)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HyperLogLog (functions/sketches.hll_sketch /
+    hll_estimate): per-source distinct-token cardinality from 1024
+    md5-addressed registers — ONE combinable groupBy, duplicates
+    absorbed map-side, no distinct shuffle — with the exact
+    count_distinct riding along for comparison. Oracle rebuilds the
+    identical registers and the HUGEINT integral-division estimate."""
+    from rayjoin_spark.functions import sketches
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = toks.localCheckpoint(eager=True)  # reused by sketch + exact
+    sk = sketches.hll_sketch(toks, "term", ("source",))
+    est = sketches.hll_estimate(sk, ("source",))
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("term").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "source").select(
+        "source", "v_empty", F.col("est_raw").cast("bigint").alias("est_raw"), "n_exact"
+    )
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter incremental dedup (functions/sketches.bloom_build /
     bloom_probe): a broadcast-sized bit table of the 'existing corpus'
@@ -1598,6 +1623,26 @@ def q_cell_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding (functions/cellcodes.geohash_id — canonical
+    public bit order + base-32 alphabet, pinned against a textbook
+    bisection encoder in pytest) of the derived query points at
+    precision 4 over a 1024-cell grid, plus a 2-char-prefix rollup
+    (the prefix-join primitive geohash exists for). Oracle: identical
+    bit packing + alphabet in SQL."""
+    from rayjoin_spark.functions.cellcodes import geohash_id
+    from rayjoin_spark.plans.scaling import GridSpec
+
+    pts = derived.query_points(spark, sf_dir)
+    out = geohash_id(pts, DERIVED_SCALING, GridSpec(1024), precision=4).select(
+        "point_id", "geohash", F.substring("geohash", 1, 2).alias("gh2")
+    )
+    per = out.groupBy("gh2").agg(F.count("*").alias("n_in_prefix"))
+    return out.join(per, "gh2").select(
+        "point_id", "geohash", "gh2", "n_in_prefix"
+    )
+
+
 def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree partitioning (functions/cellcodes.adaptive_cells):
     every cell holding more than 64 of the derived query points splits,
@@ -1904,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": q_charset_detect,
         "gopher_rules": q_gopher_rules,
         "bloom_dedup": q_bloom_dedup,
+        "hll_distinct": q_hll_distinct,
         "line_dedup": q_line_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
@@ -1939,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_morton": q_cell_morton,
         "cell_hilbert": q_cell_hilbert,
         "adaptive_cells": q_adaptive_cells,
+        "geohash_encode": q_geohash_encode,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -3361,6 +3408,41 @@ FROM documents
 """
 
 
+_HLL_DISTINCT_SQL = f"""
+WITH tokf AS (
+  SELECT source, term FROM (
+    SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+  ) WHERE term <> ''
+), hashed AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(term), 1, 12)) AS BIGINT) AS h
+  FROM tokf
+), reg AS (
+  SELECT source, h >> 38 AS bucket,
+         MAX(CAST(39 - (CASE WHEN (h & 274877906943) = 0 THEN 0
+              ELSE length(bin(h & 274877906943)) END) AS INT)) AS max_rho
+  FROM hashed GROUP BY 1, 2
+), agg AS (
+  SELECT source, COUNT(*) AS used,
+         SUM(CAST(1 AS BIGINT) << (50 - max_rho)) AS s_used
+  FROM reg GROUP BY 1
+), est AS (
+  SELECT source, CAST(1024 - used AS BIGINT) AS v_empty,
+         CAST(CAST('{7213 * 1024**3 * 2**50}' AS HUGEINT) //
+              (CAST({10000 * 1024 + 10790} AS HUGEINT) *
+               (s_used + (1024 - used) * CAST({2**50} AS BIGINT))) AS BIGINT)
+           AS est_raw
+  FROM agg
+), exact AS (
+  SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_exact
+  FROM tokf GROUP BY 1
+)
+SELECT e.source, e.v_empty, e.est_raw, x.n_exact
+FROM est e JOIN exact x ON x.source = e.source
+"""
+
+
 _BLOOM_DEDUP_SQL = """
 WITH keyed AS (
   SELECT doc_id, md5(text) AS key FROM documents
@@ -3515,6 +3597,40 @@ WITH pts AS ({points_sql(2, 4)}),
 SELECT point_id, cell_id, CAST(parent_id AS BIGINT) AS parent_id,
        COUNT(*) OVER (PARTITION BY parent_id) AS n_in_parent
 FROM withp
+"""
+
+
+def _geohash_sql(precision: int = 4, level: int = 10) -> str:
+    """DuckDB twin of functions/cellcodes.geohash_id: same snap (1024-cell
+    grid over the derived frame), same MSB-first x-leading bit packing,
+    same base-32 alphabet."""
+    from rayjoin_spark.functions.cellcodes import GEOHASH32
+    from rayjoin_spark.plans.scaling import INTERNAL_MIN, GridSpec
+
+    cs = GridSpec(1 << level).cell_scale
+
+    def cell(e: str) -> str:
+        return f"CAST(trunc((({e}) - ({INTERNAL_MIN})) * {cs!r}) AS BIGINT)"
+
+    total = 5 * precision
+    terms = " + ".join(
+        f"((({'cx' if t % 2 == 0 else 'cy'} >> {level - 1 - t // 2}) & 1)"
+        f" << {total - 1 - t})"
+        for t in range(total)
+    )
+    digits = " || ".join(
+        f"substr('{GEOHASH32}', CAST(((n >> {5 * (precision - 1 - j)}) & 31)"
+        f" AS INT) + 1, 1)"
+        for j in range(precision)
+    )
+    return f"""
+WITH pts AS ({points_sql(2, 4)}),
+ cells AS (SELECT point_id, {cell('px')} AS cx, {cell('py')} AS cy FROM pts),
+ bits AS (SELECT point_id, CAST({terms} AS BIGINT) AS n FROM cells),
+ gh AS (SELECT point_id, {digits} AS geohash FROM bits)
+SELECT point_id, geohash, substr(geohash, 1, 2) AS gh2,
+       COUNT(*) OVER (PARTITION BY substr(geohash, 1, 2)) AS n_in_prefix
+FROM gh
 """
 
 
@@ -4194,6 +4310,7 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "multimodal_features": _multimodal_sql(),
         "cell_hilbert": _hilbert_sql(),
         "adaptive_cells": _adaptive_sql(),
+        "geohash_encode": _geohash_sql(),
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,
@@ -4202,5 +4319,6 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "charset_detect": _CHARSET_DETECT_SQL,
         "gopher_rules": _GOPHER_RULES_SQL,
         "bloom_dedup": _BLOOM_DEDUP_SQL,
+        "hll_distinct": _HLL_DISTINCT_SQL,
         "segment_clip": _segment_clip_sql(),
     }

@@ -381,3 +381,71 @@ def adaptive_cells(
         "level",
         F.col("n").alias("n_in_cell"),
     )
+
+
+# --------------------------------------------------------------- geohash
+
+#: the public geohash base-32 alphabet (no a/i/l/o)
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_bits(cx: Column, cy: Column, level: int, precision: int) -> Column:
+    """The geohash bit packing over integer grid cells: MSB-first
+    alternation starting with the X axis (geohash's longitude-first
+    order — note this is the TRANSPOSE of `interleave_bits`), truncated
+    to 5*precision bits. Uses the top bits of each axis, so finer cells
+    hash into the same prefix as their ancestors. Pure codegen."""
+    total = 5 * precision
+    need = (total + 1) // 2
+    if level < need:
+        raise ValueError(f"precision {precision} needs level >= {need}, got {level}")
+    cx, cy = cx.cast("bigint"), cy.cast("bigint")
+    out = F.lit(0).cast("bigint")
+    for t in range(total):
+        src = cx if t % 2 == 0 else cy
+        out = out + F.shiftleft(
+            F.shiftright(src, level - 1 - t // 2).bitwiseAND(1), total - 1 - t
+        )
+    return out
+
+
+def geohash_str(bits: Column, precision: int) -> Column:
+    """Base-32 rendering of `geohash_bits` (5 bits per character,
+    MSB-first) — the standard public alphabet, prefix-stable: the first
+    p-1 chars of a p-char hash ARE the (p-1)-precision hash."""
+    arr = F.array(*[F.lit(c) for c in GEOHASH32])
+    chars = [
+        F.element_at(
+            arr,
+            (
+                F.shiftright(bits, 5 * (precision - 1 - j)).bitwiseAND(31) + 1
+            ).cast("int"),
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_id(
+    df: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec,
+    x: str = "x",
+    y: str = "y",
+    precision: int = 4,
+    out: str = "geohash",
+) -> DataFrame:
+    """Geohash of each row's snapped grid cell — GRID-RELATIVE: the cells
+    come from the engine's snapped frame (Scaling + GridSpec, including
+    the reference's 0.999 edge clamp), so strings are comparable within
+    an engine run / layer pair, and become the true WGS84 geohash when
+    the scaling is built over (-180..180, -90..90) with a power-of-two
+    grid (the bit packing + alphabet are the canonical public ones,
+    pinned by test against a textbook bisection encoder)."""
+    level = grid.grid_size.bit_length() - 1
+    if (1 << level) != grid.grid_size:
+        raise ValueError(f"geohash needs a power-of-two grid, got {grid.grid_size}")
+    cx, cy = cell_xy(scaling, grid, F.col(x), F.col(y))
+    return df.withColumn(
+        out, geohash_str(geohash_bits(cx, cy, level, precision), precision)
+    )

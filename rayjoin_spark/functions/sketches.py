@@ -155,3 +155,79 @@ def bloom_probe(
         .cast("int")
         .alias("maybe_present")
     )
+
+
+#: HLL hash width: 12 md5 hex chars (the module's md5-derivation contract)
+_HLL_BITS = 48
+#: fixed-point scale exponent for the exact register sum (2^_HLL_K per
+#: empty register; every term 2^(_HLL_K - rho) stays a positive int64)
+_HLL_K = 50
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str = "key",
+    group_cols: tuple[str, ...] = (),
+    b: int = 10,
+) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) per group:
+    ``(group..., bucket, max_rho)`` with bucket = top `b` bits of the
+    48-bit md5-derived hash and rho = 1 + leading zeros of the remaining
+    bits (computed EXACTLY via the binary-string length, no float log).
+
+    The killer property for 100 TB: duplicates collapse inside the ONE
+    map-side-combinable groupBy (max absorbs them) — no distinct, no
+    second shuffle — and sketches merge by per-bucket max, so per-shard /
+    per-day register tables (<= 2^b rows each) compose into global
+    cardinalities without ever touching the raw keys again."""
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    wbits = _HLL_BITS - b
+    bucket = F.shiftright(h, wbits)
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(
+        F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    rho = (F.lit(wbits + 1) - bitlen).cast("int")
+    keyed = df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+    return keyed.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("max_rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    b: int = 10,
+) -> DataFrame:
+    """Integer-exact raw HLL estimate per group from the register table:
+
+    est_raw = floor( alpha_m * m^2 / sum_j 2^(-M_j) ), with the harmonic
+    sum carried as the EXACT integer S = sum 2^(K - M_j) (empty registers
+    contribute 2^K) and alpha_m = 0.7213/(1 + 1.079/m) rewritten as the
+    exact rational 7213*m / (10000*m + 10790) — so
+    est_raw = 7213 * m^3 * 2^K div ((10000*m + 10790) * S), one
+    decimal(38,0) integral division, reproducible bit-for-bit in any
+    engine. Emits v_empty (zero registers) alongside so consumers can
+    apply the paper's small-range linear-counting correction (which
+    needs a log and is deliberately left float-free out of the core)."""
+    m = 1 << b
+    n0 = 7213 * (m ** 3) * (1 << _HLL_K)
+    c = 10000 * m + 10790
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("_used"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - max_rho)"))
+        .cast("bigint")
+        .alias("_s_used"),
+    )
+    return agg.select(
+        *group_cols,
+        (F.lit(m).cast("bigint") - F.col("_used")).alias("v_empty"),
+        F.expr(
+            f"CAST('{n0}' AS DECIMAL(38,0)) div "
+            f"(CAST({c} AS DECIMAL(38,0)) * "
+            f"CAST(_s_used + ({m} - _used) * CAST({1 << _HLL_K} AS BIGINT)"
+            f" AS DECIMAL(38,0)))"
+        ).alias("est_raw"),
+    )

@@ -101,3 +101,34 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert [tuple(r) for r in merged.collect()] == [
         tuple(r) for r in direct.collect()
     ]
+
+
+def test_hll_accuracy_and_merge(spark):
+    """Raw HLL estimate lands within the paper's error envelope at
+    n >> 2.5m (m=1024, 1.04/sqrt(m) ~ 3.3%; assert 10%); duplicates do
+    not move the registers; per-shard sketches merged by bucket-max
+    equal the sketch of the union."""
+    from rayjoin_spark.functions.sketches import hll_estimate, hll_sketch
+
+    n = 30_000
+    keys = spark.range(n).select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+    sk = hll_sketch(keys, "key")
+    est = hll_estimate(sk).collect()[0]
+    assert abs(int(est["est_raw"]) - n) / n < 0.10, est["est_raw"]
+
+    # duplicates collapse map-side: tripled input -> identical registers
+    tripled = keys.unionByName(keys).unionByName(keys)
+    a = sorted(tuple(r) for r in sk.collect())
+    b = sorted(tuple(r) for r in hll_sketch(tripled, "key").collect())
+    assert a == b
+
+    # shard merge: max per bucket over two halves == sketch of the union
+    h1 = keys.filter(F.col("key") < "k2")
+    h2 = keys.filter(F.col("key") >= "k2")
+    merged = (
+        hll_sketch(h1, "key")
+        .unionByName(hll_sketch(h2, "key"))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == a

@@ -377,3 +377,87 @@ def test_adaptive_cells_invariants(spark):
     want = {pid: leaf_of(m) for pid, m in ms.items()}
     got_map = {r["point_id"]: (r["level"], r["cell_id"], r["n_in_cell"]) for r in got}
     assert got_map == want
+
+
+def test_geohash_canonical(spark):
+    """geohash_bits/geohash_str reproduce the public geohash: a textbook
+    range-bisection encoder (validated against the classic Wikipedia
+    example) agrees character-for-character when fed the same cells;
+    prefixes are lower-precision hashes; hand-packed bit case pins the
+    alphabet and bit order."""
+    from rayjoin_spark.functions.cellcodes import (
+        GEOHASH32,
+        geohash_bits,
+        geohash_str,
+    )
+
+    def classic(lat, lon, p):
+        lat_i, lon_i = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even = [], True
+        while len(bits) < 5 * p:
+            iv = lon_i if even else lat_i
+            mid = (iv[0] + iv[1]) / 2
+            v = lon if even else lat
+            if v > mid:
+                bits.append(1)
+                iv[0] = mid
+            else:
+                bits.append(0)
+                iv[1] = mid
+            even = not even
+        return "".join(
+            GEOHASH32[int("".join(map(str, bits[i:i + 5])), 2)]
+            for i in range(0, 5 * p, 5)
+        )
+
+    # the classic example pins the test's own encoder
+    assert classic(57.64911, 10.40744, 11) == "u4pruydqqvj"
+
+    level, p = 13, 5
+    cases = [
+        (57.64911, 10.40744),
+        (0.1, 0.1),
+        (-33.87, 151.21),
+        (40.71, -74.01),
+        (-0.02, -0.03),
+    ]
+    rows = [
+        (
+            i,
+            int((lon + 180.0) / 360.0 * (1 << level)),
+            int((lat + 90.0) / 180.0 * (1 << level)),
+        )
+        for i, (lat, lon) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i int, cx bigint, cy bigint")
+    got = {
+        r["i"]: r["gh"]
+        for r in df.select(
+            "i",
+            geohash_str(
+                geohash_bits(F.col("cx"), F.col("cy"), level, p), p
+            ).alias("gh"),
+        ).collect()
+    }
+    for i, (lat, lon) in enumerate(cases):
+        assert got[i] == classic(lat, lon, p), (i, got[i], classic(lat, lon, p))
+
+    # prefix property: precision-2 hash is the first 2 chars
+    got2 = {
+        r["i"]: r["gh"]
+        for r in df.select(
+            "i",
+            geohash_str(
+                geohash_bits(F.col("cx"), F.col("cy"), level, 2), 2
+            ).alias("gh"),
+        ).collect()
+    }
+    for i in got:
+        assert got[i][:2] == got2[i]
+
+    # hand-packed case: cx=0b10101, cy=0b01010 at level 5, p=2 -> "m6"
+    one = spark.createDataFrame([(0b10101, 0b01010)], "cx bigint, cy bigint")
+    r = one.select(
+        geohash_str(geohash_bits(F.col("cx"), F.col("cy"), 5, 2), 2).alias("gh")
+    ).collect()[0]
+    assert r["gh"] == "m6"
