@@ -138,6 +138,25 @@ def _queries(spark, sf_dir):
     def q_quality():
         return textops.quality_score(textops.token_count(docs))
 
+    def q_adaptive():
+        # loop-free quadtree leaf assignment (prefix rollup + bounded
+        # explode join) over the derived points
+        from rayjoin_spark.functions.cellcodes import adaptive_cells
+
+        return adaptive_cells(
+            d.query_points(spark, sf_dir), d.DERIVED_SCALING, d.DERIVED_GRID,
+            cap=64, max_level=6,
+        )
+
+    def q_hll():
+        # one combinable groupBy builds the registers; no distinct shuffle
+        from rayjoin_spark.functions.sketches import hll_estimate, hll_sketch
+
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+        ).filter(F.col("term") != "")
+        return hll_estimate(hll_sketch(toks, "term"))
+
     def _ann_queries():
         return emb.filter(F.pmod(F.col("vec_id"), 100) == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -315,6 +334,8 @@ def _queries(spark, sf_dir):
         "dedup_exact": q_dedup,
         "winnow": q_winnow,
         "quality_tokens": q_quality,
+        "adaptive_cells": q_adaptive,
+        "hll_distinct": q_hll,
         "ann_topk": q_ann,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
