@@ -638,6 +638,28 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (functions/textops.gopher_repetition,
+    Rae et al. 2021 table A1): duplicate line/paragraph (char) fractions
+    and top-2/3/4-gram char fractions, all exact integer pairs + flags.
+    Payloads branch by doc_id%4: plain, duplicated-line prefix,
+    duplicated-paragraph suffix, and an n-gram spam flood. Oracle
+    mirrors every unit split, tie-break, and cross-multiplied test."""
+    from rayjoin_spark.functions import textops
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), 4)
+    t = (
+        F.when(m == 0, F.col("text"))
+        .when(m == 1, F.concat(F.lit("dup dup dup\ndup dup dup\n"), F.col("text")))
+        .when(m == 2, F.concat(F.col("text"), F.lit("\n\npara x\n\npara x")))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" "), F.repeat(F.lit("spam ham "), 30))
+        )
+    )
+    return textops.gopher_repetition(d.select("doc_id", t.alias("text")))
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter incremental dedup (functions/sketches.bloom_build /
     bloom_probe): a broadcast-sized bit table of the 'existing corpus'
@@ -1948,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "charset_detect": q_charset_detect,
         "gopher_rules": q_gopher_rules,
+        "gopher_repetition": q_gopher_repetition,
         "bloom_dedup": q_bloom_dedup,
         "hll_distinct": q_hll_distinct,
         "line_dedup": q_line_dedup,
@@ -3443,6 +3466,122 @@ FROM est e JOIN exact x ON x.source = e.source
 """
 
 
+_GOPHER_REPETITION_SQL = """
+WITH src AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN text
+      WHEN 1 THEN 'dup dup dup' || chr(10) || 'dup dup dup' || chr(10) || text
+      WHEN 2 THEN text || chr(10) || chr(10) || 'para x' || chr(10) || chr(10) || 'para x'
+      ELSE text || ' ' || repeat('spam ham ', 30)
+    END AS t
+  FROM documents
+), wc AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> '') AS toks,
+    CAST(COALESCE(list_sum(list_transform(
+      list_filter(string_split_regex(trim(t), '\\s+'), x -> x <> ''),
+      x -> length(x))), 0) AS BIGINT) AS word_chars
+  FROM src
+), lines AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(t, '\\r?\\n'),
+                                    x -> trim(x) <> '')) AS u
+  FROM src
+), lg AS (
+  SELECT doc_id, u, COUNT(*) AS cnt FROM lines GROUP BY 1, 2
+), lstat AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(cnt - 1) AS BIGINT) AS dup_lines,
+         CAST(SUM(cnt * length(u)) AS BIGINT) AS line_chars,
+         CAST(SUM((cnt - 1) * length(u)) AS BIGINT) AS dup_line_chars
+  FROM lg GROUP BY 1
+), paras AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(t, '(\\r?\\n){2,}'),
+                                    x -> trim(x) <> '')) AS u
+  FROM src
+), pg AS (
+  SELECT doc_id, u, COUNT(*) AS cnt FROM paras GROUP BY 1, 2
+), pstat AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_paras,
+         CAST(SUM(cnt - 1) AS BIGINT) AS dup_paras,
+         CAST(SUM(cnt * length(u)) AS BIGINT) AS para_chars,
+         CAST(SUM((cnt - 1) * length(u)) AS BIGINT) AS dup_para_chars
+  FROM pg GROUP BY 1
+), g2 AS (
+  SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS g
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM wc)
+), t2 AS (
+  SELECT doc_id, CAST(cnt * length(replace(g, ' ', '')) AS BIGINT) AS top2_chars
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM g2 GROUP BY doc_id, g)
+  WHERE rn = 1
+), g3 AS (
+  SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+         || ' ' || toks[CAST(i AS INT) + 2] AS g
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i FROM wc)
+), t3 AS (
+  SELECT doc_id, CAST(cnt * length(replace(g, ' ', '')) AS BIGINT) AS top3_chars
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM g3 GROUP BY doc_id, g)
+  WHERE rn = 1
+), g4 AS (
+  SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+         || ' ' || toks[CAST(i AS INT) + 2] || ' ' || toks[CAST(i AS INT) + 3] AS g
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i FROM wc)
+), t4 AS (
+  SELECT doc_id, CAST(cnt * length(replace(g, ' ', '')) AS BIGINT) AS top4_chars
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g) AS rn
+        FROM g4 GROUP BY doc_id, g)
+  WHERE rn = 1
+)
+SELECT s.doc_id,
+  COALESCE(l.n_lines, 0) AS n_lines, COALESCE(l.dup_lines, 0) AS dup_lines,
+  COALESCE(l.line_chars, 0) AS line_chars,
+  COALESCE(l.dup_line_chars, 0) AS dup_line_chars,
+  COALESCE(p.n_paras, 0) AS n_paras, COALESCE(p.dup_paras, 0) AS dup_paras,
+  COALESCE(p.para_chars, 0) AS para_chars,
+  COALESCE(p.dup_para_chars, 0) AS dup_para_chars,
+  w.word_chars,
+  COALESCE(t2.top2_chars, 0) AS top2_chars,
+  COALESCE(t3.top3_chars, 0) AS top3_chars,
+  COALESCE(t4.top4_chars, 0) AS top4_chars,
+  CAST(10 * COALESCE(l.dup_lines, 0) <= 3 * COALESCE(l.n_lines, 0) AS INT)
+    AS ok_dup_lines,
+  CAST(10 * COALESCE(p.dup_paras, 0) <= 3 * COALESCE(p.n_paras, 0) AS INT)
+    AS ok_dup_paras,
+  CAST(5 * COALESCE(l.dup_line_chars, 0) <= COALESCE(l.line_chars, 0) AS INT)
+    AS ok_dup_line_chars,
+  CAST(5 * COALESCE(p.dup_para_chars, 0) <= COALESCE(p.para_chars, 0) AS INT)
+    AS ok_dup_para_chars,
+  CAST(5 * COALESCE(t2.top2_chars, 0) <= w.word_chars AS INT) AS ok_top2,
+  CAST(50 * COALESCE(t3.top3_chars, 0) <= 9 * w.word_chars AS INT) AS ok_top3,
+  CAST(25 * COALESCE(t4.top4_chars, 0) <= 4 * w.word_chars AS INT) AS ok_top4,
+  CAST(10 * COALESCE(l.dup_lines, 0) <= 3 * COALESCE(l.n_lines, 0)
+   AND 10 * COALESCE(p.dup_paras, 0) <= 3 * COALESCE(p.n_paras, 0)
+   AND 5 * COALESCE(l.dup_line_chars, 0) <= COALESCE(l.line_chars, 0)
+   AND 5 * COALESCE(p.dup_para_chars, 0) <= COALESCE(p.para_chars, 0)
+   AND 5 * COALESCE(t2.top2_chars, 0) <= w.word_chars
+   AND 50 * COALESCE(t3.top3_chars, 0) <= 9 * w.word_chars
+   AND 25 * COALESCE(t4.top4_chars, 0) <= 4 * w.word_chars AS INT) AS keep
+FROM src s
+JOIN wc w ON w.doc_id = s.doc_id
+LEFT JOIN lstat l ON l.doc_id = s.doc_id
+LEFT JOIN pstat p ON p.doc_id = s.doc_id
+LEFT JOIN t2 ON t2.doc_id = s.doc_id
+LEFT JOIN t3 ON t3.doc_id = s.doc_id
+LEFT JOIN t4 ON t4.doc_id = s.doc_id
+"""
+
+
 _BLOOM_DEDUP_SQL = """
 WITH keyed AS (
   SELECT doc_id, md5(text) AS key FROM documents
@@ -4318,6 +4457,7 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "structured_data": _STRUCTURED_DATA_SQL,
         "charset_detect": _CHARSET_DETECT_SQL,
         "gopher_rules": _GOPHER_RULES_SQL,
+        "gopher_repetition": _GOPHER_REPETITION_SQL,
         "bloom_dedup": _BLOOM_DEDUP_SQL,
         "hll_distinct": _HLL_DISTINCT_SQL,
         "segment_clip": _segment_clip_sql(),

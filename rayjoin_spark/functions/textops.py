@@ -1548,3 +1548,123 @@ def gopher_rules(
         *flags,
         keep.cast("int").alias("keep"),
     )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """The Gopher / MassiveWeb REPETITION filters (Rae et al. 2021,
+    app. A1.1 table A1 — the other half of `gopher_rules`): per-document
+
+    * duplicate line / paragraph fraction (occurrences beyond the first,
+      over non-empty trimmed units)          <= 0.30
+    * duplicate line / paragraph CHARACTER fraction  <= 0.20
+    * top word-2/3/4-gram character fraction (occurrences x non-space
+      chars of the single most frequent gram, ties to the
+      lexicographically smallest, over total token chars)
+      <= 0.20 / 0.18 / 0.16
+
+    Every ratio is emitted as its exact integer numerator/denominator
+    pair and the verdict flags use cross-multiplied integer comparisons;
+    empty denominators pass vacuously. (The duplicate-5..10-gram family
+    is covered generically by `repetition_ratio(n)`.)
+
+    Scale shape: five explode + map-side-combinable groupBy((doc, unit))
+    pipelines folded to per-doc rows and left-joined back — linear in
+    corpus size, keyed by doc so the joins co-partition; no UDF, no
+    window over the corpus."""
+    t = F.coalesce(F.col(text), F.lit(""))
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ).alias("word_chars"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_ntok"),
+        t.alias("_t"),
+    )
+
+    def dup_stats(pattern: str, prefix: str) -> DataFrame:
+        units = base.select(
+            id_col,
+            F.explode(
+                F.filter(F.split(F.col("_t"), pattern), lambda x: F.trim(x) != "")
+            ).alias("u"),
+        )
+        g = units.groupBy(id_col, "u").agg(F.count("*").alias("cnt"))
+        return g.groupBy(id_col).agg(
+            F.sum("cnt").cast("bigint").alias(f"n_{prefix}"),
+            F.sum(F.col("cnt") - 1).cast("bigint").alias(f"dup_{prefix}"),
+            F.sum(F.col("cnt") * F.length("u")).cast("bigint").alias(f"{prefix}_chars"),
+            F.sum((F.col("cnt") - 1) * F.length("u"))
+            .cast("bigint")
+            .alias(f"dup_{prefix}_chars"),
+        )
+
+    def top_gram(n: int) -> DataFrame:
+        grams = base.select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.col("_ntok") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_ntok") - F.lit(n - 1)),
+                        lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        cnts = grams.groupBy(id_col, "g").agg(F.count("*").cast("bigint").alias("cnt"))
+        top = cnts.groupBy(id_col).agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g"))).alias(
+                "_top"
+            )
+        )
+        return top.select(
+            id_col,
+            (
+                (-F.col("_top.nc"))
+                * F.length(F.replace(F.col("_top.g"), F.lit(" "), F.lit("")))
+            )
+            .cast("bigint")
+            .alias(f"top{n}_chars"),
+        )
+
+    lines = dup_stats(r"\r?\n", "lines")
+    paras = dup_stats(r"(\r?\n){2,}", "paras")
+    out = base.select(id_col, "word_chars")
+    for piece in (lines, paras, top_gram(2), top_gram(3), top_gram(4)):
+        out = out.join(piece, id_col, "left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")
+    rules = {
+        "ok_dup_lines": F.lit(10) * z("dup_lines") <= F.lit(3) * z("n_lines"),
+        "ok_dup_paras": F.lit(10) * z("dup_paras") <= F.lit(3) * z("n_paras"),
+        "ok_dup_line_chars": F.lit(5) * z("dup_lines_chars") <= z("lines_chars"),
+        "ok_dup_para_chars": F.lit(5) * z("dup_paras_chars") <= z("paras_chars"),
+        "ok_top2": F.lit(5) * z("top2_chars") <= z("word_chars"),
+        "ok_top3": F.lit(50) * z("top3_chars") <= F.lit(9) * z("word_chars"),
+        "ok_top4": F.lit(25) * z("top4_chars") <= F.lit(4) * z("word_chars"),
+    }
+    keep = None
+    for v in rules.values():
+        keep = v if keep is None else (keep & v)
+    return out.select(
+        F.col(id_col),
+        z("n_lines").alias("n_lines"),
+        z("dup_lines").alias("dup_lines"),
+        z("lines_chars").alias("line_chars"),
+        z("dup_lines_chars").alias("dup_line_chars"),
+        z("n_paras").alias("n_paras"),
+        z("dup_paras").alias("dup_paras"),
+        z("paras_chars").alias("para_chars"),
+        z("dup_paras_chars").alias("dup_para_chars"),
+        F.col("word_chars"),
+        z("top2_chars").alias("top2_chars"),
+        z("top3_chars").alias("top3_chars"),
+        z("top4_chars").alias("top4_chars"),
+        *[v.cast("int").alias(k) for k, v in rules.items()],
+        keep.cast("int").alias("keep"),
+    )

@@ -365,3 +365,43 @@ def test_gopher_rules_branches(spark):
 
     assert got[5]["n_words"] == 0 and got[5]["ok_words"] == 0
     assert got[5]["ok_word_len"] == 1 and got[5]["keep"] == 0
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Exact counters on hand-computed fixtures: duplicate lines,
+    paragraph split, top-n-gram char attribution with lexicographic
+    tie-break, and the vacuous-empty contract."""
+    from rayjoin_spark.functions.textops import gopher_repetition
+
+    long_clean = " ".join(f"w{i:02d}" for i in range(60))
+    rows = [
+        (1, "aaa bbb\naaa bbb\nccc ddd"),
+        (2, long_clean),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+
+    g1 = got[1]
+    assert (g1["n_lines"], g1["dup_lines"]) == (3, 1)
+    assert (g1["line_chars"], g1["dup_line_chars"]) == (21, 7)
+    assert (g1["n_paras"], g1["dup_paras"]) == (1, 0)
+    assert g1["word_chars"] == 18
+    # top 2-gram: "aaa bbb" x2, 6 non-space chars -> 12
+    assert g1["top2_chars"] == 12 and g1["ok_top2"] == 0
+    # top 3-gram: all cnt=1, lexicographically smallest "aaa bbb aaa" (9)
+    assert g1["top3_chars"] == 9
+    assert g1["ok_dup_lines"] == 0 and g1["ok_dup_line_chars"] == 0
+    assert g1["keep"] == 0
+
+    g2 = got[2]
+    assert g2["dup_lines"] == 0 and g2["dup_paras"] == 0
+    assert g2["word_chars"] == 180
+    assert g2["top2_chars"] == 6 and g2["top3_chars"] == 9
+    assert g2["keep"] == 1 and all(
+        g2[k] == 1 for k in g2 if k.startswith("ok_")
+    )
+
+    g3 = got[3]
+    assert g3["n_lines"] == 0 and g3["word_chars"] == 0
+    assert g3["keep"] == 1  # all denominators empty -> vacuous pass
