@@ -687,6 +687,41 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist admission (functions/crawlops.
+    blocklist_filter): suffix-hierarchy matching against a broadcast
+    blocklist — listed domains block themselves AND all subdomains;
+    urls carry userinfo + port to exercise host normalization. One in
+    five pages sits on a subdomain of a listed domain (suffix path);
+    the rest hit or miss exactly. Oracle mirrors the suffix explode and
+    longest-rule pick."""
+    from rayjoin_spark.functions import crawlops
+
+    d = _docs(spark, sf_dir)
+    host = F.when(
+        F.pmod(F.col("doc_id"), 5) == 0, F.lit("deep.site13.example")
+    ).otherwise(
+        F.concat(
+            F.lit("site"), F.pmod(F.col("doc_id"), 97).cast("string"),
+            F.lit(".example"),
+        )
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://u:p@"), host, F.lit(":8080/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("site13.example",), ("site29.example",), ("site31.example",)],
+        "domain string",
+    )
+    return crawlops.blocklist_filter(pages, bl).select(
+        "doc_id", "url", "host", "blocked", "matched_rule"
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveWeb quality rules (functions/textops.gopher_rules,
     Rae et al. 2021 app. A1.1): integer-exact per-rule flags + verdict.
@@ -1971,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": q_charset_detect,
         "gopher_rules": q_gopher_rules,
         "gopher_repetition": q_gopher_repetition,
+        "blocklist_filter": q_blocklist_filter,
         "bloom_dedup": q_bloom_dedup,
         "hll_distinct": q_hll_distinct,
         "line_dedup": q_line_dedup,
@@ -3466,6 +3502,38 @@ FROM est e JOIN exact x ON x.source = e.source
 """
 
 
+_BLOCKLIST_FILTER_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN 'deep.site13.example'
+         ELSE 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' END AS host
+  FROM documents
+), bl(domain) AS (
+  VALUES ('site13.example'), ('site29.example'), ('site31.example')
+), sufs AS (
+  SELECT doc_id,
+    array_to_string(
+      (string_split(host, '.'))[len(string_split(host, '.')) - CAST(i AS INT) + 1
+                                : len(string_split(host, '.'))], '.') AS suffix
+  FROM (SELECT doc_id, host,
+               unnest(range(1, least(len(string_split(host, '.')), 10) + 1)) AS i
+        FROM pages)
+), hits AS (
+  SELECT s.doc_id,
+         (MAX({'l': length(s.suffix), 's': s.suffix})).s AS matched_rule
+  FROM sufs s JOIN bl b ON b.domain = s.suffix
+  GROUP BY s.doc_id
+)
+SELECT p.doc_id,
+       'https://u:p@' || p.host || ':8080/d/' || CAST(p.doc_id AS VARCHAR) AS url,
+       p.host,
+       CAST(CASE WHEN h.matched_rule IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS blocked,
+       h.matched_rule
+FROM pages p LEFT JOIN hits h ON h.doc_id = p.doc_id
+"""
+
+
 _GOPHER_REPETITION_SQL = """
 WITH src AS (
   SELECT doc_id,
@@ -4458,6 +4526,7 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "charset_detect": _CHARSET_DETECT_SQL,
         "gopher_rules": _GOPHER_RULES_SQL,
         "gopher_repetition": _GOPHER_REPETITION_SQL,
+        "blocklist_filter": _BLOCKLIST_FILTER_SQL,
         "bloom_dedup": _BLOOM_DEDUP_SQL,
         "hll_distinct": _HLL_DISTINCT_SQL,
         "segment_clip": _segment_clip_sql(),

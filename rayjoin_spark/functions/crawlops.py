@@ -503,3 +503,53 @@ def crawl_diff(
         o.join(n, "_u", "full_outer")
         .select(F.col("_u").alias(url), status.alias("status"))
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_labels: int = 10,
+) -> DataFrame:
+    """UT1-style domain blocklist admission: a page is blocked iff its
+    host OR ANY parent-domain suffix appears in the blocklist (the
+    standard blocklist semantics: listing ``example.org`` blocks
+    ``a.b.example.org``). Emits every input row with its host, a
+    ``blocked`` int flag, and ``matched_rule`` — the LONGEST matching
+    suffix (ties to the lexicographically greatest), null when clean.
+
+    Scale shape: host by codegen regexp (userinfo/port stripped), a
+    bounded suffix explode (<= max_labels rows per page), an equi-join
+    against the BROADCAST blocklist (blocklists are list-shaped: small
+    vs the corpus), and one combinable per-id max — the corpus never
+    reshuffles on anything but its own id."""
+    from rayjoin_spark.functions.htmlops import _HOST_RE
+
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    host = F.regexp_replace(F.regexp_replace(host, r"^[^@]*@", ""), r":[0-9]+$", "")
+    withh = df.withColumn("host", host).withColumn("_labels", F.split(F.col("host"), r"\."))
+    sufs = withh.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least(size(_labels), {max_labels})),"
+                " i -> array_join(slice(_labels, -i, i), '.'))"
+            )
+        ).alias("suffix"),
+    )
+    hits = (
+        sufs.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("suffix"))), "suffix"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.length("suffix").alias("l"), F.col("suffix").alias("s"))
+            ).alias("_m")
+        )
+        .select(id_col, F.col("_m.s").alias("matched_rule"))
+    )
+    return withh.drop("_labels").join(hits, id_col, "left").withColumn(
+        "blocked", F.col("matched_rule").isNotNull().cast("int")
+    )

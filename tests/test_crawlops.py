@@ -244,3 +244,29 @@ def test_crawl_diff_statuses(spark):
     )
     got = {r.url: r.status for r in crawlops.crawl_diff(old, new).collect()}
     assert got == {"u1": "unchanged", "u2": "changed", "u3": "removed", "u4": "added"}
+
+
+def test_blocklist_suffix_semantics(spark):
+    """Listing a domain blocks it and all subdomains; sibling domains
+    pass; the longest matching rule wins; userinfo/port strip."""
+    from rayjoin_spark.functions.crawlops import blocklist_filter
+
+    rows = [
+        (1, "https://ads.example.org/x"),          # exact rule
+        (2, "https://a.b.ads.example.org/x"),      # deep subdomain
+        (3, "https://u:p@ads.example.org:8443/x"), # userinfo + port
+        (4, "https://example.org/x"),              # parent of a rule: clean
+        (5, "https://goodads.example.org/x"),      # label boundary: clean
+        (6, "https://t.bad.ads.example.org/x"),    # two rules match: longest
+    ]
+    bl = spark.createDataFrame(
+        [("ads.example.org",), ("bad.ads.example.org",)], "domain string"
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r["doc_id"]: r for r in blocklist_filter(df, bl).collect()}
+    assert got[1]["blocked"] == 1 and got[1]["matched_rule"] == "ads.example.org"
+    assert got[2]["blocked"] == 1 and got[2]["matched_rule"] == "ads.example.org"
+    assert got[3]["blocked"] == 1 and got[3]["host"] == "ads.example.org"
+    assert got[4]["blocked"] == 0 and got[4]["matched_rule"] is None
+    assert got[5]["blocked"] == 0
+    assert got[6]["matched_rule"] == "bad.ads.example.org"
