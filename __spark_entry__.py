@@ -1700,6 +1700,26 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bing quadkey strings (functions/cellcodes.quadkey_str — canonical
+    digit scheme pinned by the documented (3,5,level 3)->'213' example)
+    for the derived query points at level 6, plus the 3-char parent
+    prefix and its rollup count. Oracle: identical digit arithmetic."""
+    from rayjoin_spark.functions.cellcodes import interleave_bits, quadkey_str
+    from rayjoin_spark.functions.cellcodes import cell_xy
+
+    pts = derived.query_points(spark, sf_dir)
+    cx, cy = cell_xy(DERIVED_SCALING, DERIVED_GRID, F.col("x"), F.col("y"))
+    ids = pts.withColumn("_m", interleave_bits(cx, cy, 6))
+    out = ids.select(
+        "point_id",
+        quadkey_str(F.col("_m"), 6).alias("quadkey"),
+        quadkey_str(F.col("_m"), 6, 3).alias("qk3"),
+    )
+    per = out.groupBy("qk3").agg(F.count("*").alias("n_in_parent"))
+    return out.join(per, "qk3").select("point_id", "quadkey", "qk3", "n_in_parent")
+
+
 def q_adaptive_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive quadtree partitioning (functions/cellcodes.adaptive_cells):
     every cell holding more than 64 of the derived query points splits,
@@ -2045,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_hilbert": q_cell_hilbert,
         "adaptive_cells": q_adaptive_cells,
         "geohash_encode": q_geohash_encode,
+        "quadkey_encode": q_quadkey,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -3807,6 +3828,34 @@ FROM withp
 """
 
 
+def _quadkey_sql(level: int = 6) -> str:
+    """DuckDB twin of quadkey_str over the morton interleave."""
+    def il(cv: str, off: int) -> str:
+        return " + ".join(
+            f"((({cv} >> {i}) & 1) << {2 * i + off})" for i in range(level)
+        )
+
+    digits = " || ".join(
+        f"CAST((m >> {2 * (level - 1 - j)}) & 3 AS VARCHAR)" for j in range(level)
+    )
+    digits3 = " || ".join(
+        f"CAST((m >> {2 * (level - 1 - j)}) & 3 AS VARCHAR)" for j in range(3)
+    )
+    return f"""
+WITH pts AS ({points_sql(2, 4)}),
+ ids AS (
+  SELECT point_id,
+         CAST({il(_CELL('px'), 0)} + {il(_CELL('py'), 1)} AS BIGINT) AS m
+  FROM pts
+), qk AS (
+  SELECT point_id, {digits} AS quadkey, {digits3} AS qk3 FROM ids
+)
+SELECT point_id, quadkey, qk3,
+       COUNT(*) OVER (PARTITION BY qk3) AS n_in_parent
+FROM qk
+"""
+
+
 def _geohash_sql(precision: int = 4, level: int = 10) -> str:
     """DuckDB twin of functions/cellcodes.geohash_id: same snap (1024-cell
     grid over the derived frame), same MSB-first x-leading bit packing,
@@ -4518,6 +4567,7 @@ SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
         "cell_hilbert": _hilbert_sql(),
         "adaptive_cells": _adaptive_sql(),
         "geohash_encode": _geohash_sql(),
+        "quadkey_encode": _quadkey_sql(),
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,

@@ -449,3 +449,18 @@ def geohash_id(
     return df.withColumn(
         out, geohash_str(geohash_bits(cx, cy, level, precision), precision)
     )
+
+
+def quadkey_str(cell: Column, level: int, out_len: int | None = None) -> Column:
+    """Bing-maps quadkey of a Morton cell id: the base-4 digits of
+    `interleave_bits(cx, cy, level)` MSB-first (digit = 2*ybit + xbit —
+    exactly the Bing scheme), one character per level. Truncating the
+    string IS the parent quadkey (same prefix property, string form).
+    Pure codegen."""
+    n = out_len or level
+    cell = cell.cast("bigint")
+    digits = [
+        F.shiftright(cell, 2 * (level - 1 - j)).bitwiseAND(3).cast("string")
+        for j in range(n)
+    ]
+    return F.concat(*digits)

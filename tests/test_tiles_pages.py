@@ -461,3 +461,17 @@ def test_geohash_canonical(spark):
         geohash_str(geohash_bits(F.col("cx"), F.col("cy"), 5, 2), 2).alias("gh")
     ).collect()[0]
     assert r["gh"] == "m6"
+
+
+def test_quadkey_canonical(spark):
+    """The documented Bing example: tile (x=3, y=5) at level 3 has
+    quadkey '213'; prefixes are parent quadkeys."""
+    from rayjoin_spark.functions.cellcodes import interleave_bits, quadkey_str
+
+    df = spark.createDataFrame([(3, 5)], "cx int, cy int")
+    m = interleave_bits(F.col("cx"), F.col("cy"), 3)
+    r = df.select(
+        quadkey_str(m, 3).alias("qk"), quadkey_str(m, 3, 2).alias("qk2")
+    ).collect()[0]
+    assert r["qk"] == "213"
+    assert r["qk2"] == "21"  # truncation = parent tile
