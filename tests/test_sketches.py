@@ -132,3 +132,41 @@ def test_hll_accuracy_and_merge(spark):
         .agg(F.max("max_rho").alias("max_rho"))
     )
     assert sorted(tuple(r) for r in merged.collect()) == a
+
+
+def test_hll_streaming_twin(spark, tmp_path):
+    """hll_sketch runs UNCHANGED on a stream (stateless column math +
+    one streaming max agg): after two micro-batches the complete-mode
+    register table equals the batch sketch of the union — the streaming
+    distinct-count dashboard comes free."""
+    from rayjoin_spark.functions.sketches import hll_sketch
+
+    b1 = [(f"k{i}",) for i in range(300)]
+    b2 = [(f"k{i}",) for i in range(150, 450)]  # overlap + fresh keys
+    src = str(tmp_path / "hll_in")
+    spark.createDataFrame(b1, "key string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, "key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        hll_sketch(stream, "key")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_regs")
+        .option("checkpointLocation", str(tmp_path / "hll_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM hll_regs").collect()
+        )
+    finally:
+        q.stop()
+    union = spark.createDataFrame(sorted(set(b1 + b2)), "key string")
+    want = sorted(tuple(r) for r in hll_sketch(union, "key").collect())
+    assert got == want
