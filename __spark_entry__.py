@@ -1629,6 +1629,17 @@ def q_kmeans_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means clusters ->
+    intra-cluster exact integer cosine pairs (>= 0.9) -> connected
+    components -> keep the member farthest from its centroid. Oracle =
+    the unrolled Lloyd SQL + HUGEINT cosine test + recursive-CTE CC."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.semdedup(emb, k=8, iters=2, min_cosine=0.9).select(
+        "vec_id", "cluster", "sq_dist", "dup_group", "group_size", "keep"
+    )
+
+
 def q_overlay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The overlay writer's walk-order point stream — same DuckDB
     full-pipeline oracle as overlay_chains, points SELECT."""
@@ -2077,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "kmeans_labels": q_kmeans,
         "kmeans_reps": q_kmeans_reps,
+        "semdedup": q_semdedup,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
@@ -4559,6 +4571,49 @@ WITH km AS ({_kmeans_sql(k=8, iters=2)}),
   FROM km
 )
 SELECT cluster, vec_id AS rep_id, sq_dist FROM r WHERE rn = 1
+""",
+        "semdedup": f"""
+WITH RECURSIVE km AS ({_kmeans_sql(k=8, iters=2)}),
+ivq AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+  FROM embeddings
+), m AS (
+  SELECT km.vec_id, km.cluster, km.sq_dist, ivq.v FROM km JOIN ivq USING (vec_id)
+), d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) AS BIGINT) AS dot,
+         CAST(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[])) AS BIGINT) AS n_a,
+         CAST(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) AS BIGINT) AS n_b
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), pairs AS (
+  SELECT id_a, id_b FROM d
+  WHERE dot >= 0
+    AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(8100 AS HUGEINT) * n_a * n_b
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+), lab AS (
+  SELECT id AS vec_id, MIN(r) AS dup_group FROM reach GROUP BY id
+), sz AS (
+  SELECT dup_group, COUNT(*) AS group_size FROM lab GROUP BY dup_group
+), keeper AS (
+  SELECT dup_group, vec_id AS keep_id FROM (
+    SELECT lab.dup_group, m.vec_id,
+           row_number() OVER (PARTITION BY lab.dup_group
+                              ORDER BY m.sq_dist DESC, m.vec_id DESC) AS rn
+    FROM lab JOIN m USING (vec_id)
+  ) WHERE rn = 1
+)
+SELECT m.vec_id, m.cluster, m.sq_dist, lab.dup_group,
+       CAST(sz.group_size AS BIGINT) AS group_size,
+       CAST(m.vec_id = keeper.keep_id AS INT) AS keep
+FROM m JOIN lab USING (vec_id) JOIN sz USING (dup_group) JOIN keeper USING (dup_group)
 """,
         # multimodal: the checked columns (dims/bytes/hashes/decoder) are
         # literal-derivable from the deterministic fixture; the float

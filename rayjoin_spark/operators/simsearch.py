@@ -458,3 +458,87 @@ def kmeans_representatives(labeled: DataFrame) -> DataFrame:
         F.col("m.vec_id").alias("rep_id"),
         F.col("m.sq_dist").alias("sq_dist"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    min_cosine: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of
+    an embedding corpus. K-means partitions the space, pairwise cosine is
+    computed WITHIN each cluster only, above-threshold pairs form
+    duplicate groups (connected components), and each group keeps exactly
+    one member — the one FARTHEST from its cluster centroid (the paper's
+    low-centroid-similarity keep rule, here its exact integer sq_dist
+    analog; ties break to the greatest id).
+
+    Integer-exact end-to-end — `kmeans_labels`' quantized Lloyd, the
+    cross-multiplied cosine threshold of `neardup_cosine`, and
+    `textops.neardup_components`' min-label CC — so the verdict is
+    bit-reproducible on any engine/partitioning and DuckDB-oracle-checked
+    by the driver (`semdedup` query).
+
+    Scale shape: the defining cost is the intra-cluster pairwise join —
+    quadratic in CLUSTER size, never corpus size; k is the knob (SemDeDup
+    runs k ~ O(sqrt n) so clusters stay bounded). Everything around it is
+    linear: broadcast centroids, equi-join on the cluster key, map-side
+    combinable aggs, O(log n) CC rounds.
+
+    Returns (id, cluster, sq_dist, dup_group, group_size, keep): keep=1
+    rows are the curated corpus; group_size=1 rows are non-duplicates.
+    """
+    from rayjoin_spark.functions.textops import neardup_components
+
+    labeled = kmeans_labels(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    iv = corpus.select(F.col(id_col).alias("_ivid"), _int_vec(F.col(vec_col)).alias("v"))
+    m = labeled.join(iv, F.col(id_col) == F.col("_ivid")).select(
+        F.col(id_col), "cluster", "sq_dist", "v"
+    )
+    a = m.select("cluster", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = m.select("cluster", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    j = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _dot(F.col("va"), F.col("vb")).alias("dot"),
+            _dot(F.col("va"), F.col("va")).alias("n_a"),
+            _dot(F.col("vb"), F.col("vb")).alias("n_b"),
+        )
+    )
+    t2 = int(round(min_cosine * min_cosine * 10_000))
+    dec = "decimal(38,0)"
+    pairs = j.filter(
+        (F.col("dot") >= 0)
+        & (
+            F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(10_000).cast(dec)
+            >= F.lit(t2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+        )
+    ).select("id_a", "id_b")
+    comp = neardup_components(m.select(id_col), pairs, id_col=id_col)
+    out = m.drop("v").join(
+        comp.select(
+            F.col(id_col),
+            F.col("cluster_id").alias("dup_group"),
+            F.col("cluster_size").alias("group_size"),
+        ),
+        id_col,
+    )
+    keeper = (
+        out.groupBy("dup_group")
+        .agg(F.max(F.struct(F.col("sq_dist"), F.col(id_col).alias("_kid"))).alias("_k"))
+        .select("dup_group", F.col("_k._kid").alias("_keep_id"))
+    )
+    return out.join(keeper, "dup_group").select(
+        F.col(id_col),
+        "cluster",
+        "sq_dist",
+        "dup_group",
+        "group_size",
+        (F.col(id_col) == F.col("_keep_id")).cast("int").alias("keep"),
+    )

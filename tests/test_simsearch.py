@@ -217,3 +217,41 @@ def test_kmeans_representatives(spark):
     # nearest; blob 1 centroid is exactly (1000, 1000) = vec 1
     assert reps[0]["rep_id"] == 0 and reps[0]["sq_dist"] == 9
     assert reps[1]["rep_id"] == 1 and reps[1]["sq_dist"] == 0
+
+
+def test_semdedup_groups_and_keep_rule(spark):
+    # two far-apart blobs (clusters); inside blob A three mutual near-dups
+    # plus one distinct vector; inside blob B two near-dups. keep = the
+    # group member FARTHEST from its centroid (max sq_dist, ties -> max id).
+    rows = [
+        (0, [1.00, 0.0]), (1, [1.01, 0.0]), (2, [0.99, 0.0]),  # A dups
+        (3, [0.0, 1.0]),                                        # in A, orthogonal: singleton
+        (10, [100.0, 100.0]), (11, [100.5, 100.2]),             # B dups
+        (12, [100.0, -100.0]),                                  # in B, orthogonal: singleton
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in simsearch.semdedup(emb, k=2, iters=2, min_cosine=0.999).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 10, 11, 12}
+    # 0,1,2 are one duplicate group (pairwise cosine ~1); exactly one kept
+    g = {out[i]["dup_group"] for i in (0, 1, 2)}
+    assert len(g) == 1 and out[0]["group_size"] == 3
+    kept = [i for i in (0, 1, 2) if out[i]["keep"] == 1]
+    assert len(kept) == 1
+    # the kept one is the argmax of (sq_dist, vec_id) within the group
+    expect = max((0, 1, 2), key=lambda i: (out[i]["sq_dist"], i))
+    assert kept == [expect]
+    # 10,11 near-dups (cosine ~1 → same group), one kept
+    assert out[10]["dup_group"] == out[11]["dup_group"]
+    assert out[10]["group_size"] == 2
+    assert out[10]["keep"] + out[11]["keep"] == 1
+    # singletons keep themselves
+    for i in (3, 12):
+        assert out[i]["group_size"] == 1 and out[i]["keep"] == 1
+    # total kept = number of groups
+    assert sum(r["keep"] for r in out.values()) == len({r["dup_group"] for r in out.values()})
