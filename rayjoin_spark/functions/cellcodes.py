@@ -456,8 +456,12 @@ def quadkey_str(cell: Column, level: int, out_len: int | None = None) -> Column:
     `interleave_bits(cx, cy, level)` MSB-first (digit = 2*ybit + xbit —
     exactly the Bing scheme), one character per level. Truncating the
     string IS the parent quadkey (same prefix property, string form).
-    Pure codegen."""
-    n = out_len or level
+    Pure codegen. ``out_len`` (if given) must be in 1..level — a longer
+    string has no digits to draw from (the JVM shift would wrap mod 64
+    and render garbage), and 0 would silently alias to full length."""
+    n = level if out_len is None else out_len
+    if not 1 <= n <= level:
+        raise ValueError(f"out_len must be in 1..{level}, got {out_len}")
     cell = cell.cast("bigint")
     digits = [
         F.shiftright(cell, 2 * (level - 1 - j)).bitwiseAND(3).cast("string")

@@ -490,13 +490,23 @@ def crawl_diff(
     index updates (added+changed = the reprocess set).
 
     Scale shape: ONE full-outer equi-join on url — both sides shuffle
-    on the natural key once; everything else is a codegen CASE."""
-    o = old.select(F.col(url).alias("_u"), F.col(fingerprint).alias("_fo"))
-    n = new.select(F.col(url).alias("_u"), F.col(fingerprint).alias("_fn"))
+    on the natural key once; everything else is a codegen CASE.
+
+    Side presence is tracked by explicit marker columns, NOT fingerprint
+    nullness — a row whose fingerprint is NULL (hash failure upstream)
+    still counts as present on its side. Both-sides fingerprints compare
+    null-safely: NULL vs value reports ``changed`` (an unknown hash must
+    trigger a refetch), NULL vs NULL reports ``unchanged``."""
+    o = old.select(
+        F.col(url).alias("_u"), F.col(fingerprint).alias("_fo"), F.lit(1).alias("_po")
+    )
+    n = new.select(
+        F.col(url).alias("_u"), F.col(fingerprint).alias("_fn"), F.lit(1).alias("_pn")
+    )
     status = (
-        F.when(F.col("_fo").isNull(), "added")
-        .when(F.col("_fn").isNull(), "removed")
-        .when(F.col("_fo") != F.col("_fn"), "changed")
+        F.when(F.col("_po").isNull(), "added")
+        .when(F.col("_pn").isNull(), "removed")
+        .when(~F.col("_fo").eqNullSafe(F.col("_fn")), "changed")
         .otherwise("unchanged")
     )
     return (

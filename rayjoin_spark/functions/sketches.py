@@ -57,16 +57,21 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each row of `terms`: the estimate is
     the MIN over the depth rows of the addressed cells — always >= the
-    true count. The sketch side is depth*width rows and is explicitly
-    broadcast; the term side streams (no shuffle of the corpus)."""
+    true count. An addressed cell with NO sketch row is an implicit zero
+    (the sketch only materializes touched cells), so the join is a LEFT
+    join with coalesce-to-0: a term absent from the build stream whose
+    cells are all untouched estimates 0, and one empty cell zeroes the
+    min even when the others collide. The sketch side is depth*width rows
+    and is explicitly broadcast; the term side streams (no shuffle of the
+    corpus)."""
     jt = terms.select(F.col(term_col).alias(term_col)).withColumn(
         "j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
     )
     addressed = jt.withColumn("bucket", _bucket(F.col("j"), F.col(term_col), width))
     return (
-        addressed.join(F.broadcast(sketch), ["j", "bucket"])
+        addressed.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(term_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("bigint"))).alias("est"))
     )
 
 
@@ -179,7 +184,12 @@ def hll_sketch(
     map-side-combinable groupBy (max absorbs them) — no distinct, no
     second shuffle — and sketches merge by per-bucket max, so per-shard /
     per-day register tables (<= 2^b rows each) compose into global
-    cardinalities without ever touching the raw keys again."""
+    cardinalities without ever touching the raw keys again.
+
+    NULL keys denote no element and are dropped (md5(NULL) is NULL and
+    would otherwise emit a phantom NULL-bucket register that inflates the
+    estimator's used-register count)."""
+    df = df.filter(F.col(key_col).isNotNull())
     h = F.conv(
         F.substring(F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")), 1, 12),
         16,
@@ -215,11 +225,17 @@ def hll_estimate(
     m = 1 << b
     n0 = 7213 * (m ** 3) * (1 << _HLL_K)
     c = 10000 * m + 10790
+    # the harmonic sum is carried in DECIMAL(38,0): each term fits int64,
+    # but the SUM (and the empty-register term (m-_used)*2^K) reach
+    # 2^(b+K), past int64 for b >= 14 — the standard HLL precision
     agg = sketch.groupBy(*group_cols).agg(
         F.count("*").cast("bigint").alias("_used"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_K} - max_rho)"))
-        .cast("bigint")
-        .alias("_s_used"),
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {_HLL_K} - max_rho)"
+                f" AS DECIMAL(38,0))"
+            )
+        ).alias("_s_used"),
     )
     return agg.select(
         *group_cols,
@@ -227,7 +243,7 @@ def hll_estimate(
         F.expr(
             f"CAST('{n0}' AS DECIMAL(38,0)) div "
             f"(CAST({c} AS DECIMAL(38,0)) * "
-            f"CAST(_s_used + ({m} - _used) * CAST({1 << _HLL_K} AS BIGINT)"
-            f" AS DECIMAL(38,0)))"
+            f"CAST(_s_used + CAST({m} - _used AS DECIMAL(38,0))"
+            f" * CAST({1 << _HLL_K} AS DECIMAL(38,0)) AS DECIMAL(38,0)))"
         ).alias("est_raw"),
     )

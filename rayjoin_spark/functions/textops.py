@@ -1079,6 +1079,11 @@ def lm_score(
 
     `train` is an optional boolean Column marking the in-distribution
     seed (e.g. ``F.col("source") == "wiki"``); default trains on all rows.
+    If the predicate matches ZERO rows the model has no mass (V = 0) and
+    every document scores ``lm_score = NULL`` with its ``n_bigrams``
+    intact — the explicit "untrained model" verdict (integer DIV by the
+    empty-vocabulary 0 yields NULL, never a fabricated score); gate on
+    ``lm_score IS NOT NULL`` or validate the seed predicate upstream.
     """
     toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
     n = F.size(toks)
@@ -1577,6 +1582,9 @@ def gopher_repetition(
     window over the corpus."""
     t = F.coalesce(F.col(text), F.lit(""))
     toks = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != F.lit(""))
+    # base feeds SIX subtrees (projection + 2 dup_stats + 3 top_gram);
+    # checkpoint the tokenized frame once so the source is scanned and
+    # split/tokenized once, not per-branch (house pattern: heavy_hitters)
     base = df.select(
         F.col(id_col),
         F.aggregate(
@@ -1585,7 +1593,7 @@ def gopher_repetition(
         toks.alias("_toks"),
         F.size(toks).alias("_ntok"),
         t.alias("_t"),
-    )
+    ).localCheckpoint(eager=True)
 
     def dup_stats(pattern: str, prefix: str) -> DataFrame:
         units = base.select(

@@ -29,8 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rayjoin_spark.operators.rangequery import _rect_cells
-from rayjoin_spark.plans.cells import with_cell_bbox
+from rayjoin_spark.operators.rangequery import owned_candidates
 from rayjoin_spark.plans.scaling import GridSpec
 
 
@@ -70,15 +69,7 @@ def clip_segments(
     counts (t-window compared with ≤).
     """
     grid = grid or GridSpec()
-    ec = with_cell_bbox(edges, grid)
-    ec = ec.withColumn("cx", F.explode(F.sequence("ix1", "ix2"))).withColumn(
-        "cy", F.explode(F.sequence("iy1", "iy2"))
-    )
-    rc = _rect_cells(rects, grid)
-    j = ec.join(rc, ["cx", "cy"], "inner").filter(
-        (F.col("cx") == F.greatest("ix1", "rix1"))
-        & (F.col("cy") == F.greatest("iy1", "riy1"))
-    )
+    j = owned_candidates(edges, rects, grid)
 
     x1, y1 = F.col("x1"), F.col("y1")
     dx, dy = F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1")

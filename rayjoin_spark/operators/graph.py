@@ -146,7 +146,8 @@ def hits(
         .localCheckpoint(eager=True)
     )
     hub = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
-    auth = None
+    # iters=0 is the identity table (hub=scale, auth=0) rather than a crash
+    auth = nodes.select("node", F.lit(0).cast("bigint").alias("auth"))
     for _ in range(iters):
         raw_auth = (
             e.join(hub.withColumnRenamed("node", "src"), "src")

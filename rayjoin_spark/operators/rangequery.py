@@ -105,14 +105,22 @@ def range_report(
     both cover, so no distinct/shuffle is needed).
     """
     grid = grid or GridSpec()
+    owned = owned_candidates(edges, rects, grid)
+    return owned.filter(segment_in_rect_predicate()).select("rect_id", "eid")
+
+
+def owned_candidates(edges: DataFrame, rects: DataFrame, grid: GridSpec) -> DataFrame:
+    """The shared candidate generator of `range_report` and
+    operators/clip.clip_segments: edges and rects each explode to their
+    covered cells, equi-join on the cell, and each (edge, rect) pair
+    survives only in the lexicographically smallest cell both cover
+    (min-shared-cell ownership — zero-shuffle dedup, no distinct)."""
     ec = with_cell_bbox(edges, grid)
     ec = ec.withColumn("cx", F.explode(F.sequence("ix1", "ix2"))).withColumn(
         "cy", F.explode(F.sequence("iy1", "iy2"))
     )
     rc = _rect_cells(rects, grid)
-    j = ec.join(rc, ["cx", "cy"], "inner")
-    owned = j.filter(
+    return ec.join(rc, ["cx", "cy"], "inner").filter(
         (F.col("cx") == F.greatest("ix1", "rix1"))
         & (F.col("cy") == F.greatest("iy1", "riy1"))
     )
-    return owned.filter(segment_in_rect_predicate()).select("rect_id", "eid")

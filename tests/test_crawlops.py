@@ -270,3 +270,26 @@ def test_blocklist_suffix_semantics(spark):
     assert got[4]["blocked"] == 0 and got[4]["matched_rule"] is None
     assert got[5]["blocked"] == 0
     assert got[6]["matched_rule"] == "bad.ads.example.org"
+
+
+def test_crawl_diff_null_fingerprints(spark):
+    # review fix: presence comes from side markers, not fingerprint
+    # nullness; NULL-vs-value -> changed, NULL-vs-NULL -> unchanged
+    from rayjoin_spark.functions.crawlops import crawl_diff
+
+    old = spark.createDataFrame(
+        [("u1", "abc"), ("u2", None), ("u3", None), ("u4", "x")],
+        "url string, fingerprint string",
+    )
+    new = spark.createDataFrame(
+        [("u1", None), ("u2", "def"), ("u3", None), ("u5", None)],
+        "url string, fingerprint string",
+    )
+    got = {r["url"]: r["status"] for r in crawl_diff(old, new).collect()}
+    assert got == {
+        "u1": "changed",   # value -> NULL hash: refetch, NOT 'removed'
+        "u2": "changed",   # NULL -> value: refetch, NOT 'added'
+        "u3": "unchanged", # both unknown
+        "u4": "removed",
+        "u5": "added",
+    }

@@ -69,3 +69,12 @@ def test_inverted_index_per_doc_dedup(spark):
     assert rows["x"]["doc_freq"] == 1  # repeated within doc counts once
     assert rows["y"]["doc_freq"] == 2
     assert rows["y"]["postings"] == "1,2"
+
+
+def test_hits_zero_iters_identity(spark):
+    from rayjoin_spark.operators.graph import hits
+
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    out = {r["node"]: (r["hub"], r["auth"]) for r in hits(e, iters=0).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert all(h > 0 and a == 0 for h, a in out.values())

@@ -170,3 +170,53 @@ def test_hll_streaming_twin(spark, tmp_path):
     union = spark.createDataFrame(sorted(set(b1 + b2)), "key string")
     want = sorted(tuple(r) for r in hll_sketch(union, "key").collect())
     assert got == want
+
+
+def test_cms_estimate_missing_terms_and_implicit_zero_cells(spark):
+    # review fix: a term absent from the build stream must still get a
+    # row; any untouched addressed cell is an implicit zero that zeroes
+    # the min even when other cells collide
+    from rayjoin_spark.functions.sketches import cms_build, cms_estimate
+
+    stream = spark.createDataFrame([("apple",)] * 7, "term string")
+    sk = cms_build(stream)
+    est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(
+            sk, spark.createDataFrame([("apple",), ("zzz-not-built",)], "term string")
+        ).collect()
+    }
+    assert est["apple"] == 7
+    assert est["zzz-not-built"] == 0  # was: row silently dropped
+
+
+def test_hll_high_precision_b14_no_overflow(spark):
+    # review fix: at b=14 (m=16384) the harmonic sum exceeds int64; the
+    # decimal carry must keep est_raw positive and within HLL error
+    from rayjoin_spark.functions.sketches import hll_estimate, hll_sketch
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("key"))
+    est = hll_estimate(hll_sketch(df, b=14), b=14).collect()[0]
+    raw = int(est["est_raw"])
+    assert raw > 0, "negative/garbage estimate -> int64 wrap regression"
+    # v_empty large here -> raw underestimates without the linear-counting
+    # correction; apply it like a consumer would (m*ln(m/v_empty))
+    import math
+
+    m = 1 << 14
+    v = int(est["v_empty"])
+    corrected = m * math.log(m / v) if v > 0 else raw
+    assert abs(corrected - n) / n < 0.1
+
+
+def test_hll_null_keys_ignored(spark):
+    from rayjoin_spark.functions.sketches import hll_estimate, hll_sketch
+
+    a = spark.createDataFrame([("k1",), ("k2",), ("k3",)], "key string")
+    b = spark.createDataFrame(
+        [("k1",), ("k2",), ("k3",), (None,), (None,)], "key string"
+    )
+    ra = hll_estimate(hll_sketch(a)).collect()[0]
+    rb = hll_estimate(hll_sketch(b)).collect()[0]
+    assert ra["est_raw"] == rb["est_raw"] and ra["v_empty"] == rb["v_empty"]

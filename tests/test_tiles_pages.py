@@ -475,3 +475,14 @@ def test_quadkey_canonical(spark):
     ).collect()[0]
     assert r["qk"] == "213"
     assert r["qk2"] == "21"  # truncation = parent tile
+
+
+def test_quadkey_out_len_validation(spark):
+    import pytest as _pytest
+
+    from rayjoin_spark.functions.cellcodes import quadkey_str
+
+    with _pytest.raises(ValueError):
+        quadkey_str(F.lit(0), level=3, out_len=5)
+    with _pytest.raises(ValueError):
+        quadkey_str(F.lit(0), level=3, out_len=0)
