@@ -175,6 +175,10 @@ def _queries(spark, sf_dir):
         # the 100 TB path: banded sign-bucket candidates, no crossJoin
         return simsearch.neardup_cosine(emb, min_cosine=0.35, exhaustive=False)
 
+    def q_semdedup():
+        # kmeans + intra-cluster cosine pairs + CC + keeper pick
+        return simsearch.semdedup(emb, k=8, iters=2, min_cosine=0.9)
+
     overlay_phases: dict = {}
 
     # big-grid pair at the reference's own operating point gsize=15000
@@ -340,6 +344,7 @@ def _queries(spark, sf_dir):
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "neardup_emb_lsh": q_neardup_emb_lsh,
+        "semdedup": q_semdedup,
         "warc_ingest": q_warc_ingest,
         "main_content": q_main_content,
         "lsi_biggrid": q_lsi_biggrid,
