@@ -1807,6 +1807,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.lm_score(d, train=F.col("source").isin("src0", "src1", "src2"))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language by LM quality
+    (functions/textops.ccnet_buckets): bigram model trained on the src0
+    seed, per-lang exact tercile cuts, integer bucket comparisons.
+    Oracle: the lm CTEs + lower-nearest-rank tercile SQL + CASE."""
+    d = _docs(spark, sf_dir)
+    return textops.ccnet_buckets(d, train=F.col("source") == "src0").select(
+        "doc_id", "lang", "lm_score", "n_bigrams", "p33", "p66", "bucket"
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature pipeline: image rows decode REAL PNG payloads
     with the stdlib+NumPy codec (width/height actually parsed); audio rows
@@ -2114,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_compact": q_cells_compact,
         "range_report": q_range_report,
         "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
         "tile_payloads": q_tile_payloads,
         "structured_data": q_structured_data,
         "segment_clip": q_segment_clip,
@@ -4626,6 +4638,55 @@ FROM m JOIN lab USING (vec_id) JOIN sz USING (dup_group) JOIN keeper USING (dup_
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,
+        "ccnet_buckets": """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), big AS (
+  SELECT doc_id, source, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT doc_id, source, toks,
+               unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i FROM t)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big WHERE source = 'src0' GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM c12
+), w AS (
+  SELECT big.doc_id,
+         (1000000 * (COALESCE(c12.c12, 0) + 1)) // (COALESCE(c1.c1, 0) + v.v) AS w
+  FROM big
+  LEFT JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+  LEFT JOIN c1 ON big.w1 = c1.w1
+  CROSS JOIN v
+), score AS (
+  SELECT doc_id, CAST(SUM(w) // COUNT(*) AS BIGINT) AS lm_score,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams
+  FROM w GROUP BY doc_id
+), sl AS (
+  SELECT s.doc_id, d.lang, s.lm_score, s.n_bigrams
+  FROM score s JOIN documents d USING (doc_id)
+), hist AS (
+  SELECT lang, lm_score, COUNT(*) AS c FROM sl
+  WHERE lm_score IS NOT NULL GROUP BY 1, 2
+), cum AS (
+  SELECT lang, lm_score, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY lm_score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+  FROM hist
+), tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_rows FROM hist GROUP BY lang),
+cuts AS (
+  SELECT c.lang,
+         min(CASE WHEN c.cm >= ((t.n_rows - 1) * 33) // 100 + 1 THEN c.lm_score END) AS p33,
+         min(CASE WHEN c.cm >= ((t.n_rows - 1) * 66) // 100 + 1 THEN c.lm_score END) AS p66
+  FROM cum c JOIN tot t ON t.lang = c.lang GROUP BY c.lang
+)
+SELECT sl.doc_id, sl.lang, sl.lm_score, sl.n_bigrams, cuts.p33, cuts.p66,
+       CASE WHEN sl.lm_score > cuts.p66 THEN 'head'
+            WHEN sl.lm_score > cuts.p33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl LEFT JOIN cuts ON cuts.lang = sl.lang
+""",
         "tile_payloads": _tile_payloads_sql(),
         "structured_data": _STRUCTURED_DATA_SQL,
         "charset_detect": _CHARSET_DETECT_SQL,

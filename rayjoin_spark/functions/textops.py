@@ -1081,8 +1081,9 @@ def lm_score(
     seed (e.g. ``F.col("source") == "wiki"``); default trains on all rows.
     If the predicate matches ZERO rows the model has no mass (V = 0) and
     every document scores ``lm_score = NULL`` with its ``n_bigrams``
-    intact — the explicit "untrained model" verdict (integer DIV by the
-    empty-vocabulary 0 yields NULL, never a fabricated score); gate on
+    intact — the explicit "untrained model" verdict, stated as a CASE
+    guard so it holds under ANSI mode too (a bare DIV would raise
+    DIVIDE_BY_ZERO mid-job there), never a fabricated score; gate on
     ``lm_score IS NOT NULL`` or validate the seed predicate upstream.
     """
     toks = F.split(F.trim(F.lower(F.col(text))), r"\s+")
@@ -1113,8 +1114,13 @@ def lm_score(
         .crossJoin(v)
         .select(
             "_doc",
+            # vocabulary 0 (train predicate matched nothing) -> NULL
+            # weight, stated as a CASE so ANSI mode can't turn the
+            # untrained-model verdict into a mid-job DIVIDE_BY_ZERO
             F.expr(
-                f"({scale} * (coalesce(_c12, 0) + 1)) DIV (coalesce(_c1, 0) + _v)"
+                f"CASE WHEN coalesce(_c1, 0) + _v = 0 THEN NULL "
+                f"ELSE ({scale} * (coalesce(_c12, 0) + 1)) "
+                f"DIV (coalesce(_c1, 0) + _v) END"
             ).alias("_w"),
         )
         .groupBy("_doc")
@@ -1124,6 +1130,61 @@ def lm_score(
         )
     )
     return scored.select(F.col("_doc").alias(id_col), "lm_score", "n_bigrams")
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text: str = "text",
+    train=None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet's defining output (Wenzek et al. 2020): split each
+    language's documents into head / middle / tail thirds by LM quality.
+    CCNet sorts by Wikipedia-LM perplexity (lower = better) and cuts at
+    the 1/3 and 2/3 points; `lm_score` is the higher-is-better integer
+    analog, so head = the top tercile.
+
+    Cut points are per-language EXACT terciles of the non-null scores
+    (`exact_quantiles`' lower-nearest-rank convention, qs=(33, 66));
+    bucket = head if lm_score > p66, middle if > p33, else tail —
+    integer comparisons only, bit-reproducible on any engine.
+
+    Docs with < 2 tokens have no bigram evidence, no lm_score row, and
+    are absent from the output (CCNet likewise drops them before the
+    split). An empty `train` predicate yields NULL lm_scores (lm_score's
+    untrained-model verdict): the cuts table is then empty and every
+    remaining doc lands in 'tail' via the left join.
+
+    Scale shape: lm_score's plan + one DISTINCT-VALUE-sized histogram
+    window for the cuts + a one-row-per-language broadcast cuts join —
+    nothing new shuffles the corpus."""
+    scored = lm_score(df, id_col=id_col, text=text, train=train, scale=scale)
+    withlang = scored.join(df.select(F.col(id_col), F.col(lang_col)), id_col)
+    cuts = exact_quantiles(
+        withlang.filter(F.col("lm_score").isNotNull()),
+        lang_col,
+        "lm_score",
+        qs=(33, 66),
+    )
+    out = withlang.join(
+        F.broadcast(cuts.select(lang_col, "p33", "p66")), lang_col, "left"
+    )
+    bucket = (
+        F.when(F.col("lm_score") > F.col("p66"), "head")
+        .when(F.col("lm_score") > F.col("p33"), "middle")
+        .otherwise("tail")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "lm_score",
+        "n_bigrams",
+        "p33",
+        "p66",
+        bucket.alias("bucket"),
+    )
 
 
 def ngram_novelty(

@@ -405,3 +405,42 @@ def test_gopher_repetition_hand_computed(spark):
     g3 = got[3]
     assert g3["n_lines"] == 0 and g3["word_chars"] == 0
     assert g3["keep"] == 1  # all denominators empty -> vacuous pass
+
+
+def test_ccnet_buckets_tercile_semantics(spark):
+    # 9 docs in one lang: 3 seed docs establish the bigram model; the
+    # other 6 repeat the seed phrase with increasing amounts of unseen
+    # junk, so lm_score strictly decreases with junk count and the
+    # tercile split is predictable: higher score -> head.
+    seed = "the cat sat on the mat"
+    rows = []
+    for i in range(3):
+        rows.append((i, seed, "en", "seed"))
+    for i, junk in enumerate(["q1", "q1 q2", "q1 q2 q3", "q1 q2 q3 q4",
+                              "q1 q2 q3 q4 q5", "q1 q2 q3 q4 q5 q6"]):
+        rows.append((10 + i, f"{seed} {junk}", "en", "web"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in textops.ccnet_buckets(df, train=F.col("source") == "seed").collect()
+    }
+    assert len(out) == 9
+    # pure-seed docs score highest -> head; most-junk docs -> tail
+    assert all(out[i]["bucket"] == "head" for i in range(3))
+    assert out[15]["bucket"] == "tail"
+    # bucket is monotone non-increasing in junk count
+    order = {"head": 2, "middle": 1, "tail": 0}
+    buckets = [order[out[10 + i]["bucket"]] for i in range(6)]
+    assert buckets == sorted(buckets, reverse=True)
+    # every doc gets p33 <= p66 and a non-null score
+    assert all(r["p33"] <= r["p66"] and r["lm_score"] is not None for r in out.values())
+
+
+def test_ccnet_buckets_empty_train_all_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "web"), (2, "d e f", "en", "web")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = textops.ccnet_buckets(df, train=F.lit(False)).collect()
+    assert len(out) == 2
+    assert all(r["bucket"] == "tail" and r["lm_score"] is None for r in out)
