@@ -3411,7 +3411,12 @@ def _compact_sql(level: int = 6) -> str:
 def _range_report_sql() -> str:
     """DuckDB twin of operators/rangequery.range_report: bbox overlap +
     exact integer separating-axis corner test (no grid — the oracle is the
-    brute-force rect x edge join)."""
+    brute-force rect x edge join).
+
+    The bbox min/max are hoisted into plain CTE columns: computed
+    least/greatest keys inside a range-join condition trip a DuckDB
+    IEJoin internal assertion ("requires a flat vector") at sf0.01+ and
+    FATALLY poison the connection for every later query."""
     from rayjoin_spark.sources.derived import rects_sql
 
     corners = ", ".join(
@@ -3420,12 +3425,13 @@ def _range_report_sql() -> str:
         for cy in ("ry1", "ry2")
     )
     return f"""
-WITH ea AS ({EDGES_A_SQL}),
+WITH ea0 AS ({EDGES_A_SQL}),
+ ea AS (SELECT *, least(x1, x2) AS _exlo, greatest(x1, x2) AS _exhi,
+               least(y1, y2) AS _eylo, greatest(y1, y2) AS _eyhi FROM ea0),
  r AS ({rects_sql()})
 SELECT r.rect_id, ea.eid
 FROM r JOIN ea
-  ON greatest(x1, x2) >= rx1 AND least(x1, x2) <= rx2
- AND greatest(y1, y2) >= ry1 AND least(y1, y2) <= ry2
+  ON _exhi >= rx1 AND _exlo <= rx2 AND _eyhi >= ry1 AND _eylo <= ry2
 WHERE least({corners}) <= 0 AND greatest({corners}) >= 0
 """
 
@@ -3433,18 +3439,20 @@ WHERE least({corners}) <= 0 AND greatest({corners}) >= 0
 def _segment_clip_sql() -> str:
     """DuckDB twin of operators/clip.clip_segments: the same integer
     Liang-Barsky folds (strict-< selection order preserved so the emitted
-    (num, den) pairs — not just their values — match bit-for-bit)."""
+    (num, den) pairs — not just their values — match bit-for-bit).
+    Range-join keys hoisted to plain columns (see _range_report_sql)."""
     from rayjoin_spark.sources.derived import rects_sql
 
     return f"""
-WITH ea AS ({EDGES_A_SQL}),
+WITH ea0 AS ({EDGES_A_SQL}),
+ ea AS (SELECT *, least(x1, x2) AS _exlo, greatest(x1, x2) AS _exhi,
+               least(y1, y2) AS _eylo, greatest(y1, y2) AS _eyhi FROM ea0),
  r AS ({rects_sql()}),
  cand AS (
   SELECT r.rect_id, ea.eid, x1, y1, rx1, ry1, rx2, ry2,
          (x2 - x1) AS dx, (y2 - y1) AS dy
   FROM r JOIN ea
-    ON greatest(x1, x2) >= rx1 AND least(x1, x2) <= rx2
-   AND greatest(y1, y2) >= ry1 AND least(y1, y2) <= ry2
+    ON _exhi >= rx1 AND _exlo <= rx2 AND _eyhi >= ry1 AND _eylo <= ry2
 ), w AS (
   SELECT *, abs(dx) AS px, abs(dy) AS py,
          CASE WHEN dx > 0 THEN rx1 - x1 ELSE x1 - rx2 END AS qx_in,
