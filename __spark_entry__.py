@@ -758,6 +758,26 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return htmlops.dedup_lines(ml, "doc_id", "text", min_count=2)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style corpus-wide paragraph dedup: documents re-paragraphed
+    into 8-token blocks separated by blank lines, paragraphs appearing
+    >= 2 times anywhere in the corpus dropped, rejoined with a blank
+    line (htmlops.dedup_paragraphs)."""
+    from rayjoin_spark.functions import htmlops
+
+    d = _docs(spark, sf_dir)
+    mp = d.select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+\s+){7}\S+)\s+", "$1\n\n").alias("text"),
+    )
+    return htmlops.dedup_paragraphs(mp, "doc_id", "text", min_count=2).select(
+        "doc_id",
+        "clean_text",
+        F.col("lines_kept").alias("paras_kept"),
+        F.col("lines_dropped").alias("paras_dropped"),
+    )
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl statistics over the derived pages table: JVM-regex
     URL decomposition + one algebraic groupBy (functions/htmlops.py)."""
@@ -2052,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "hll_distinct": q_hll_distinct,
         "line_dedup": q_line_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -4516,6 +4537,33 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "html_extract": _HTML_EXTRACT_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "paragraph_dedup": r"""
+WITH mp AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+\s+){7}\S+)\s+',
+                        '\1' || chr(10) || chr(10), 'g') AS t
+  FROM documents
+), paras AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(t, '(\r?\n){2,}'), 1) AS line_no,
+         unnest(string_split_regex(t, '(\r?\n){2,}')) AS line
+  FROM mp
+), dup AS (
+  SELECT line FROM paras GROUP BY line HAVING count(*) >= 2
+), agg AS (
+  SELECT p.doc_id,
+         string_agg(CASE WHEN d.line IS NULL THEN p.line END,
+                    chr(10) || chr(10) ORDER BY p.line_no) AS clean_text,
+         count(*) FILTER (WHERE d.line IS NULL) AS paras_kept,
+         count(*) FILTER (WHERE d.line IS NOT NULL) AS paras_dropped
+  FROM paras p LEFT JOIN dup d USING (line)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, coalesce(clean_text, '') AS clean_text,
+       CAST(coalesce(paras_kept, 0) AS BIGINT) AS paras_kept,
+       CAST(coalesce(paras_dropped, 0) AS BIGINT) AS paras_dropped
+FROM agg
+""",
         "host_stats": _HOST_STATS_SQL,
         "pagerank_hosts": _pagerank_sql(),
         "graph_degrees": _GRAPH_DEGREES_SQL,

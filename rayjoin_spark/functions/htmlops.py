@@ -263,6 +263,8 @@ def dedup_lines(
     id_col: str = "doc_id",
     text: str = "text",
     min_count: int = 2,
+    split_pattern: str = "\n",
+    joiner: str = "\n",
 ) -> DataFrame:
     """Remove every line whose corpus-wide frequency >= min_count.
 
@@ -270,6 +272,12 @@ def dedup_lines(
     al. 2020 §2.2, "three-sentence span" variant simplified to lines, as
     in CCNet). Returns one row per input document:
     (id, clean_text, lines_kept, lines_dropped).
+
+    ``split_pattern``/``joiner`` generalize the unit: the defaults give
+    C4/CCNet line dedup; `dedup_paragraphs` passes the blank-line split
+    for Dolma-style paragraph dedup (Soldaini et al. 2024 §4: duplicate
+    paragraphs are removed corpus-wide before mixing). NOTE the split is
+    a REGEX (java.util.regex in Spark, mirrored by the oracle's RE2).
 
     Scale shape: lines explode once (linear); the frequency count
     shuffles on a 64-bit `xxhash64(line)` — compact uniform keys, map-side
@@ -282,7 +290,7 @@ def dedup_lines(
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text), "\n")).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text), split_pattern)).alias("line_no", "line"),
     ).withColumn("lh", F.xxhash64("line"))
     dup = (
         lines.groupBy("lh")
@@ -304,7 +312,7 @@ def dedup_lines(
                 ),
                 lambda s: s["line"],
             ),
-            "\n",
+            joiner,
         ).alias("clean_text"),
         F.count(F.col("_dup")).alias("lines_dropped"),
         (F.count("*") - F.count(F.col("_dup"))).alias("lines_kept"),
@@ -318,6 +326,28 @@ def dedup_lines(
             F.coalesce("lines_kept", F.lit(0)).cast("bigint").alias("lines_kept"),
             F.coalesce("lines_dropped", F.lit(0)).cast("bigint").alias("lines_dropped"),
         )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Dolma-style corpus-wide paragraph dedup (Soldaini et al. 2024):
+    `dedup_lines` over blank-line-separated paragraphs — a paragraph
+    whose corpus frequency >= min_count is removed from every document;
+    survivors are rejoined with a canonical blank line. Same scale shape
+    as line dedup (one explode, xxhash64-keyed combinable count, hash
+    join back, per-doc bounded reassembly)."""
+    return dedup_lines(
+        df,
+        id_col=id_col,
+        text=text,
+        min_count=min_count,
+        split_pattern="(\r?\n){2,}",
+        joiner="\n\n",
     )
 
 

@@ -314,3 +314,31 @@ def test_charset_sniff_contract():
     assert s(None) == ("none", "empty")
     assert s(b"") == ("none", "empty")
     assert s("already text") == ("utf-8", "str")
+
+
+def test_dedup_paragraphs_unit(spark):
+    # the boilerplate paragraph appears in both docs -> removed from both;
+    # unique paragraphs survive; docs rejoin with a canonical blank line
+    from rayjoin_spark.functions.htmlops import dedup_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta\n\n{boiler}\n\ngamma delta"),
+            (2, f"{boiler}\n\nepsilon zeta"),
+            (3, "eta theta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["clean_text"] == "alpha beta\n\ngamma delta"
+    assert out[1]["lines_dropped"] == 1 and out[1]["lines_kept"] == 2
+    assert out[2]["clean_text"] == "epsilon zeta"
+    assert out[3]["clean_text"] == "eta theta" and out[3]["lines_dropped"] == 0
+    # windows-style separators split the same way
+    dfw = spark.createDataFrame(
+        [(1, f"a b\r\n\r\n{boiler}"), (2, f"{boiler}\r\n\r\nc d")],
+        "doc_id bigint, text string",
+    )
+    outw = {r["doc_id"]: r for r in dedup_paragraphs(dfw).collect()}
+    assert outw[1]["clean_text"] == "a b" and outw[2]["clean_text"] == "c d"
