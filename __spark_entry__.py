@@ -283,6 +283,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku et al. (WWW 2007) simhash near-dup pairs: banded pigeonhole
+    candidates (2 bands of 8 bits, lossless for hamming <= 1) + popcount
+    verify — the classic web-scale near-dup join, exact by construction."""
+    return textops.simhash_neardup(
+        _docs(spark, sf_dir), max_hamming=1, n_bands=2
+    ).select("id_a", "id_b", "hamming")
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 terms per document by integer-monotone tf-idf (keyword
     extraction; the score never compares floats, so the ranking is
@@ -2061,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "doc_chunks": q_doc_chunks,
         "simhash16": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ann_topk_dot": q_ann,
         "pages_geocode": q_pages_geocode,
         "warc_roundtrip": q_warc_roundtrip,
@@ -4532,6 +4542,24 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": _sample_stratified_sql(),
         "doc_chunks": _DOC_CHUNKS_SQL,
         "simhash16": _SIMHASH_SQL,
+        "simhash_neardup": f"""
+WITH sh AS ({_SIMHASH_SQL}),
+bands AS (
+  SELECT doc_id, simhash, CAST(b AS INT) AS band,
+         (simhash // CAST(power(2, b * 8) AS BIGINT)) % 256 AS bkey
+  FROM sh, (SELECT unnest(range(0, 2)) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM bands a JOIN bands c ON a.band = c.band AND a.bkey = c.bkey
+  WHERE a.doc_id < c.doc_id
+)
+SELECT cand.id_a, cand.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM cand
+JOIN sh sa ON sa.doc_id = cand.id_a
+JOIN sh sb ON sb.doc_id = cand.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 1
+""",
         "ann_topk_dot": _ANN_SQL,
         "pages_geocode": _PAGES_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,

@@ -419,6 +419,67 @@ def simhash(
     )
 
 
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 1,
+    n_bits: int = 16,
+    n_bands: int = 2,
+    k: int = 9,
+    prefix_chars: int = 128,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS (Manku, Jain & Sarma, WWW 2007): two
+    documents are near-dups when their simhashes differ in at most
+    ``max_hamming`` bits. The signature is cut into ``n_bands`` equal
+    bit-bands; a pair within hamming distance < n_bands must agree
+    EXACTLY on some band (pigeonhole), so candidates come from an
+    equi-join on (band, band_bits) and the verify is one codegen
+    ``bit_count(xor)`` — the candidate set is provably LOSSLESS for
+    ``max_hamming < n_bands`` (enforced), unlike probabilistic LSH.
+
+    Scale shape: the corpus shuffles once on compact (band, bits) keys —
+    bucketed, never all-pairs; bucket fan-out is governed by the band
+    width (n_bits/n_bands bits). Returns (id_a, id_b, hamming) with
+    id_a < id_b, verified.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < n_bands ({n_bands}) "
+            "for the pigeonhole candidate generation to be lossless"
+        )
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands ({n_bands}) must divide n_bits ({n_bits})")
+    w = n_bits // n_bands
+    sh = simhash(
+        df, id_col=id_col, text=text, k=k, prefix_chars=prefix_chars, n_bits=n_bits
+    ).select(F.col(id_col).alias("_id"), "simhash")
+    bands = sh.select(
+        "_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).select(
+        "_id",
+        "band",
+        F.expr(f"shiftright(simhash, band * {w}) & {(1 << w) - 1}").alias("bkey"),
+    )
+    cand = (
+        bands.select(F.col("_id").alias("id_a"), "band", "bkey")
+        .join(bands.select(F.col("_id").alias("id_b"), "band", "bkey"), ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    j = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("simhash").alias("_sa")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("simhash").alias("_sb")), "id_b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+    )
+    return j.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -444,3 +444,22 @@ def test_ccnet_buckets_empty_train_all_tail(spark):
     out = textops.ccnet_buckets(df, train=F.lit(False)).collect()
     assert len(out) == 2
     assert all(r["bucket"] == "tail" and r["lm_score"] is None for r in out)
+
+
+def test_simhash_neardup_identical_and_validation(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different content about integer arithmetic in spark"),
+        ],
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in textops.simhash_neardup(df).collect()}
+    assert pairs.get((1, 2)) == 0  # identical docs -> identical simhash
+    # pigeonhole precondition enforced
+    with pytest.raises(ValueError):
+        textops.simhash_neardup(df, max_hamming=2, n_bands=2)
+    with pytest.raises(ValueError):
+        textops.simhash_neardup(df, n_bits=16, n_bands=3)
