@@ -46,10 +46,10 @@ def _rat_min(n1: Column, d1: Column, n2: Column, d2: Column) -> tuple[Column, Co
 
 def _axis_window(
     x1: Column, dx: Column, lo: Column, hi: Column
-) -> tuple[Column, Column, Column, Column, Column]:
-    """Per-axis parameter window [qin/p, qout/p] (p = |dx| > 0 assumed
-    handled by caller when dx = 0). Returns (p, q_in, q_out, axis_ok) with
-    q_in/p ≤ q_out/p and p > 0."""
+) -> tuple[Column, Column, Column]:
+    """Per-axis parameter window [qin/p, qout/p]. Returns (p, q_in, q_out)
+    with q_in/p ≤ q_out/p and p > 0 when dx != 0; the dx = 0 static-axis
+    containment check is the CALLER's job (clip_segments' x/y_static_ok)."""
     p = F.abs(dx)
     q_in = F.when(dx > 0, lo - x1).otherwise(x1 - hi)
     q_out = F.when(dx > 0, hi - x1).otherwise(x1 - lo)

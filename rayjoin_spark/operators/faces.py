@@ -42,9 +42,11 @@ def face_stats(edges: DataFrame, map_id=None) -> DataFrame:
       portable perimeter proxy — summing double sqrt() lengths would be
       order-dependent across engines).
 
-    ``map_id`` optionally rides through as an extra grouping column for
-    multi-layer inputs.
+    ``map_id`` (a column NAME) optionally rides through as an extra
+    grouping column for multi-layer inputs: faces of different maps stay
+    separate rows instead of silently merging.
     """
+    extra = [map_id] if map_id else []
     cross = (
         F.col("x1") * F.col("y2") - F.col("x2") * F.col("y1")
     ).cast("decimal(38,0)")
@@ -53,18 +55,20 @@ def face_stats(edges: DataFrame, map_id=None) -> DataFrame:
         + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
     ).cast("decimal(38,0)")
     sides = edges.select(
+        *extra,
         F.col("left_polygon_id").alias("face_id"),
         cross.alias("signed_cross"),
         len2.alias("len2"),
     ).unionAll(
         edges.select(
+            *extra,
             F.col("right_polygon_id").alias("face_id"),
             (-cross).alias("signed_cross"),
             len2.alias("len2"),
         )
     )
     return (
-        sides.groupBy("face_id")
+        sides.groupBy(*extra, "face_id")
         .agg(
             F.sum("signed_cross").cast("bigint").alias("area2"),
             F.count("*").cast("bigint").alias("n_edges"),

@@ -200,8 +200,11 @@ def dist_join(
         .withColumn("ccx", grid.cell_of(F.col("cx_i")))
         .withColumn("ccy", grid.cell_of(F.col("cy_i")))
     )
+    # persist BEFORE the size probe so the count populates the cache the
+    # join (broadcast or shuffled) then reads — one corpus scan, not two
+    cp = cp.persist()
     if broadcast_max and cp.count() <= broadcast_max:
-        cp = F.broadcast(cp.persist())
+        cp = F.broadcast(cp)
     probes = (
         queries.select(
             F.col(query_id).alias("qid"),

@@ -70,10 +70,33 @@ def _sos_sign(px: Column, py: Column, ea: Column, eb: Column, ec: Column, flip: 
     return F.when(s != 0, s).when(ea != 0, alt_a).otherwise(alt_b)
 
 
-def lsi_candidates(edges_a: DataFrame, edges_b: DataFrame, grid: GridSpec) -> DataFrame:
-    """Deduped candidate pairs sharing >=1 grid cell (before the exact test)."""
-    ca = _side(explode_edges_to_cells(edges_a, grid), "a")
-    cb = _side(explode_edges_to_cells(edges_b, grid), "b")
+def lsi_candidates(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    grid: GridSpec,
+    split_long_edges: int | str | None = "auto",
+) -> DataFrame:
+    """Candidate pairs sharing >=1 grid cell (before the exact test),
+    deduped by min-shared-cell ownership.
+
+    ``split_long_edges`` mirrors lsi_join's long-edge pre-split decision
+    ('auto' runs the same cheap span agg) so this generator — and the
+    lsi_stats diagnostic built on it — stays LINEAR in an edge's cell
+    span; without it the diagnostic would hit the quadratic bbox explode
+    on exactly the fine-grid inputs it exists to diagnose. When splitting
+    is active a pair may survive ownership in several fragment cells;
+    consumers needing unique pairs dedup by (eid_a, eid_b) (lsi_stats
+    counts distinct pairs explicitly)."""
+    k = None
+    if split_long_edges == "auto":
+        (_, span_a, _, _) = edge_cell_stats(edges_a, grid)
+        (_, span_b, _, _) = edge_cell_stats(edges_b, grid)
+        if max(span_a, span_b) > SPLIT_CELLS_DEFAULT:
+            k = SPLIT_CELLS_DEFAULT
+    elif split_long_edges:
+        k = int(split_long_edges)
+    ca = _side(explode_edges_to_cells(edges_a, grid, k), "a")
+    cb = _side(explode_edges_to_cells(edges_b, grid, k), "b")
     j = ca.join(cb, ["cx", "cy"], "inner")
     return j.filter(
         (F.col("cx") == F.greatest("ix1_a", "ix1_b"))
@@ -156,10 +179,15 @@ def lsi_stats(edges_a: DataFrame, edges_b: DataFrame, grid: GridSpec | None = No
     grid = grid or GridSpec()
     cand = lsi_candidates(edges_a, edges_b, grid)
     pairs = lsi_intersect_filter(cand)
+    # distinct-pair counts: identical to count(*) when unsplit (ownership
+    # picks one cell per pair) and correct at fragment seams when the
+    # long-edge split armed itself inside lsi_candidates
     return cand.agg(
-        F.count("*").alias("n_candidates"),
+        F.count_distinct("eid_a", "eid_b").alias("n_candidates"),
         F.count_distinct("cx", "cy").alias("n_joint_cells"),
-    ).crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+    ).crossJoin(
+        pairs.agg(F.count_distinct("eid_a", "eid_b").alias("n_pairs"))
+    )
 
 
 def lsi_join(

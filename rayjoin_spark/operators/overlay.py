@@ -144,6 +144,7 @@ def overlay(
     prebuilt_edges: tuple[DataFrame, DataFrame] | None = None,
     prebuilt_xs: DataFrame | None = None,
     timings: dict | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Full overlay; returns (out_chains, out_points):
 
@@ -158,6 +159,11 @@ def overlay(
     pip0 / pip1), mirroring the reference's phase logs
     (expr/draw/overlay/*_grid.log) — each phase frame is persisted and
     forced so downstream reuse doesn't double-count.
+
+    ``broadcast_max_rows`` caps the writer's two small-side joins (chain
+    topology, face dict): under the cap they broadcast, above it they
+    degrade to co-keyed shuffle joins — no uncapped input-sized broadcast
+    anywhere (PipIndex applies the same convention to its skip map).
     """
     grid = grid or GridSpec()
 
@@ -393,7 +399,13 @@ def overlay(
         .unionByName(chains_b.withColumn("map_id", F.lit(1)))
         .select("map_id", "chain_id", "left_polygon_id", "right_polygon_id")
     )
-    events = events.join(F.broadcast(ch), ["map_id", "chain_id"])
+    # chain topology is input-chain-sized: broadcast only under the cap
+    # (same convention as PipIndex.broadcast_max_rows) — above it this is
+    # a plain shuffle join co-keyed with the events stream, never an
+    # uncapped >8 GiB broadcast at billion-chain scale
+    if ch.count() <= broadcast_max_rows:
+        ch = F.broadcast(ch)
+    events = events.join(ch, ["map_id", "chain_id"])
 
     # emit filter (reference output_chain.h:60-63): keep fragment iff
     # other != 0 and (left != 0 or right != 0)
@@ -500,10 +512,13 @@ def overlay(
     fd2 = face_dict.select(
         F.col("k1").alias("rk"), F.col("k2").alias("rv"), F.col("face_id").alias("right_face")
     )
+    # face dict is output-face-sized (persisted above, count is cached)
+    if face_dict.count() <= broadcast_max_rows:
+        fd1, fd2 = F.broadcast(fd1), F.broadcast(fd2)
     out_chains = (
         frag_ids
-        .join(F.broadcast(fd1), ["lk", "lv"], "left")
-        .join(F.broadcast(fd2), ["rk", "rv"], "left")
+        .join(fd1, ["lk", "lv"], "left")
+        .join(fd2, ["rk", "rv"], "left")
         .na.fill({"left_face": 0, "right_face": 0})
     )
 

@@ -319,18 +319,29 @@ def pip_locate(
     mode: str = "auto",
     band0: int = 8,
     index: PipIndex | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Locate each query point in the base layer.
 
     Returns (point_id, closest_eid, face_id): closest_eid is NULL and
     face_id = 0 (exterior) for misses. See module docstring for the three
     physical strategies (mode = 'auto' | 'single' | 'walk').
+
+    ``caches``: optional list — every frame this call persists (auto
+    mode's stepped/accepted) and any implicitly-built PipIndex are
+    appended, so long-running sessions can ``.unpersist()`` them after
+    materializing the result; repeated un-released locates otherwise
+    accumulate storage memory until eviction churn degrades the caches
+    that are still live (a reusable `index=` skips the implicit build
+    entirely — the preferred repeated-locate pattern).
     """
     grid = grid or (index.grid if index is not None else GridSpec())
     if not skip_empty_cells:
         mode = "walk"
     if index is None:
         index = PipIndex(base_edges, grid)
+        if caches is not None:
+            caches.append(index)
 
     pts = prepare_query_points(points, scaling, grid, x="x", y="y").select(
         F.col(point_id).alias("point_id"), "px", "py", "pcx", "pcy"
@@ -353,6 +364,8 @@ def pip_locate(
             # persist (not checkpoint): deterministic, partition-parallel,
             # and plan-canonicalized so repeat locates reuse it.
             stepped = stepped.persist()
+            if caches is not None:
+                caches.append(stepped)
         if mode == "single":
             src = stepped.filter(F.size("cands") > 0)
             hits = _argmin_in_cells(src, index, query_map_id, "cands", False)
@@ -388,6 +401,8 @@ def pip_locate(
                         _face_column().alias("face_id"))
                 .persist()
             )
+            if caches is not None:
+                caches.append(accepted)
             # completion: unresolved points join their whole remaining
             # column — the global argmin there needs no guard (a rejected
             # band argmin re-registers at its crossing cell above the band)
@@ -418,7 +433,6 @@ def _pip_walk(
     the escape hatch for layers whose grid columns are too dense for the
     whole-column completion pass. Returns hit rows (point_id, closest_eid,
     face_id)."""
-    edge_cells = index.joinable_cells()
     col_cells = index.skipmap_joinable() if skip_empty_cells else None
 
     active = pts.withColumn("cur_cy", F.col("pcy")).localCheckpoint(eager=True)
@@ -458,24 +472,9 @@ def _pip_walk(
         if nxt.isEmpty():
             break
 
-        cand = nxt.withColumn("band_cy", F.explode("band")).join(
-            edge_cells,
-            (F.col("pcx") == F.col("cx")) & (F.col("band_cy") == F.col("cy")),
-            "inner",
-        )
-        cand = _candidate_filter(cand, query_map_id).withColumn(
-            "n_", -F.col("a") * F.col("px") - F.col("c")
-        )
-        best = cand.groupBy("point_id").agg(
-            F.min_by(
-                F.struct(
-                    "eid", "x1", "y1", "x2", "y2", "a", "b", "c",
-                    "left_polygon_id", "right_polygon_id", "band_top", "px",
-                ),
-                _argmin_key(query_map_id),
-            ).alias("e")
-        )
-        best = best.select("point_id", "e.*")
+        # same explode/join/filter/argmin as the auto path — one shared
+        # implementation so an SoS or payload fix can never diverge
+        best = _argmin_in_cells(nxt, index, query_map_id, "band", True)
         y_max = F.greatest("y1", "y2")
         cell_of_ymax = ((y_max - F.lit(INTERNAL_MIN)) * F.lit(cell_scale)).cast("int")
         xsect_yd = (-F.col("a") * F.col("px") - F.col("c")).cast("double") / F.col("b")

@@ -107,6 +107,20 @@ def cosine_topk(
     )
 
 
+def _cosine_keep(min_cosine: float):
+    """Exact integer cosine threshold over pair columns (dot, n_a, n_b):
+    cos(a,b) >= t  <=>  dot >= 0 AND dot^2 * 10^4 >= round(t^2*10^4) *
+    |a|^2 |b|^2 — cross-multiplied in decimal(38,0), no float compares.
+    Shared by neardup_cosine and semdedup so the threshold contract
+    cannot diverge between the two verdicts."""
+    t2 = int(round(min_cosine * min_cosine * 10_000))
+    dec = "decimal(38,0)"
+    return (F.col("dot") >= 0) & (
+        F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(10_000).cast(dec)
+        >= F.lit(t2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    )
+
+
 def _rh_signature(vec, n_planes: int, dim: int):
     """Random-hyperplane sign bits over the INT-SCALED vector, with integer
     lattice plane weights: plane p component i =
@@ -175,7 +189,11 @@ def neardup_cosine(
     p = 1 - theta/pi (measured in tests/test_entry_oracle.py). At 100 TB
     the LSH path is the only viable one — but that's the caller's call.
     """
-    c = corpus.select(F.col(id_col).alias("_id"), _int_vec(F.col(vec_col)).alias("v"))
+    # per-vector squared norm computed ONCE here and carried through the
+    # join — not re-folded on every candidate pair (the quadratic stage)
+    c = corpus.select(
+        F.col(id_col).alias("_id"), _int_vec(F.col(vec_col)).alias("v")
+    ).withColumn("n", _dot(F.col("v"), F.col("v")))
     if not exhaustive:
         n_planes = n_tables * band_bits
         sig = c.withColumn("sig", _rh_signature("v", n_planes, dim))
@@ -188,24 +206,36 @@ def neardup_cosine(
             .distinct()
         )
         j = (
-            pairs.join(c.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a")
-            .join(c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+            pairs.join(
+                c.select(
+                    F.col("_id").alias("id_a"),
+                    F.col("v").alias("va"),
+                    F.col("n").alias("n_a"),
+                ),
+                "id_a",
+            ).join(
+                c.select(
+                    F.col("_id").alias("id_b"),
+                    F.col("v").alias("vb"),
+                    F.col("n").alias("n_b"),
+                ),
+                "id_b",
+            )
         )
     else:
-        a = c.select(F.col("_id").alias("id_a"), F.col("v").alias("va"))
-        b = c.select(F.col("_id").alias("id_b"), F.col("v").alias("vb"))
+        a = c.select(
+            F.col("_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("n_a")
+        )
+        b = c.select(
+            F.col("_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("n_b")
+        )
         j = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    dot = _dot(F.col("va"), F.col("vb"))
-    na = _dot(F.col("va"), F.col("va"))
-    nb = _dot(F.col("vb"), F.col("vb"))
-    j = j.select("id_a", "id_b", dot.alias("dot"), na.alias("n_a"), nb.alias("n_b"))
-    t2 = int(round(min_cosine * min_cosine * 10_000))
-    dec = "decimal(38,0)"
-    keep = (F.col("dot") >= 0) & (
-        F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(10_000).cast(dec)
-        >= F.lit(t2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    j = j.select(
+        "id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("dot"), "n_a", "n_b"
     )
-    return j.filter(keep).select("id_a", "id_b", "dot", "n_a", "n_b")
+    return j.filter(_cosine_keep(min_cosine)).select(
+        "id_a", "id_b", "dot", "n_a", "n_b"
+    )
 
 
 def ann_lsh_topk(
@@ -494,34 +524,28 @@ def semdedup(
     from rayjoin_spark.functions.textops import neardup_components
 
     labeled = kmeans_labels(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    iv = corpus.select(F.col(id_col).alias("_ivid"), _int_vec(F.col(vec_col)).alias("v"))
+    iv = corpus.select(
+        F.col(id_col).alias("_ivid"), _int_vec(F.col(vec_col)).alias("v")
+    ).withColumn("n", _dot(F.col("v"), F.col("v")))  # norm once per vector
     m = labeled.join(iv, F.col(id_col) == F.col("_ivid")).select(
-        F.col(id_col), "cluster", "sq_dist", "v"
+        F.col(id_col), "cluster", "sq_dist", "v", "n"
     )
-    a = m.select("cluster", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = m.select("cluster", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    a = m.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("n_a")
+    )
+    b = m.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("n_b")
+    )
     j = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a",
-            "id_b",
-            _dot(F.col("va"), F.col("vb")).alias("dot"),
-            _dot(F.col("va"), F.col("va")).alias("n_a"),
-            _dot(F.col("vb"), F.col("vb")).alias("n_b"),
+            "id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("dot"), "n_a", "n_b"
         )
     )
-    t2 = int(round(min_cosine * min_cosine * 10_000))
-    dec = "decimal(38,0)"
-    pairs = j.filter(
-        (F.col("dot") >= 0)
-        & (
-            F.col("dot").cast(dec) * F.col("dot").cast(dec) * F.lit(10_000).cast(dec)
-            >= F.lit(t2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
-        )
-    ).select("id_a", "id_b")
+    pairs = j.filter(_cosine_keep(min_cosine)).select("id_a", "id_b")
     comp = neardup_components(m.select(id_col), pairs, id_col=id_col)
-    out = m.drop("v").join(
+    out = m.drop("v", "n").join(
         comp.select(
             F.col(id_col),
             F.col("cluster_id").alias("dup_group"),

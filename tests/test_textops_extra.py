@@ -463,3 +463,28 @@ def test_simhash_neardup_identical_and_validation(spark):
         textops.simhash_neardup(df, max_hamming=2, n_bands=2)
     with pytest.raises(ValueError):
         textops.simhash_neardup(df, n_bits=16, n_bands=3)
+
+
+def test_face_stats_map_id_grouping(spark):
+    # review fix: map_id must actually group — same face_id in two maps
+    # stays two rows instead of silently merging
+    rows = [
+        # map 0: unit square CCW, face 1 left of each edge
+        (0, 0, 0, 10, 0, 1, 0), (0, 10, 0, 10, 10, 1, 0),
+        (0, 10, 10, 0, 10, 1, 0), (0, 0, 10, 0, 0, 1, 0),
+        # map 1: 2x2 square CCW, same face id 1
+        (1, 0, 0, 2, 0, 1, 0), (1, 2, 0, 2, 2, 1, 0),
+        (1, 2, 2, 0, 2, 1, 0), (1, 0, 2, 0, 0, 1, 0),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "map_id int, x1 bigint, y1 bigint, x2 bigint, y2 bigint,"
+        " left_polygon_id bigint, right_polygon_id bigint",
+    )
+    out = {(r["map_id"], r["face_id"]): r for r in face_stats(edges, map_id="map_id").collect()}
+    assert (0, 1) in out and (1, 1) in out
+    assert out[(0, 1)]["area2"] == 200   # 2 * 100
+    assert out[(1, 1)]["area2"] == 8     # 2 * 4
+    # without map_id the faces merge (documented single-layer behavior)
+    merged = {r["face_id"]: r for r in face_stats(edges).collect()}
+    assert merged[1]["area2"] == 208
