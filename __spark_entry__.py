@@ -787,6 +787,38 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator slippy tiles (OSM/XYZ) at zoom 11 over integer
+    microdegree lon/lat derived from doc ids: exact-int64 tx, Mercator
+    ty via the identical asinh-ln double formula on both engines, plus
+    the Bing quadkey of the (tx, ty) tile."""
+    from rayjoin_spark.functions.cellcodes import (
+        interleave_bits,
+        quadkey_str,
+        web_mercator_tiles,
+    )
+
+    d = _docs(spark, sf_dir)
+    pts = d.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
+        .cast("bigint")
+        .alias("lon_udeg"),
+        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
+        .cast("bigint")
+        .alias("lat_udeg"),
+    )
+    t = web_mercator_tiles(pts, zoom=11)
+    return t.select(
+        "doc_id",
+        "lon_udeg",
+        "lat_udeg",
+        "tx",
+        "ty",
+        quadkey_str(interleave_bits(F.col("tx"), F.col("ty"), 11), 11).alias("quadkey"),
+    )
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl statistics over the derived pages table: JVM-regex
     URL decomposition + one algebraic groupBy (functions/htmlops.py)."""
@@ -2119,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_cells": q_adaptive_cells,
         "geohash_encode": q_geohash_encode,
         "quadkey_encode": q_quadkey,
+        "mercator_tiles": q_mercator_tiles,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -4719,6 +4752,30 @@ FROM m JOIN lab USING (vec_id) JOIN sz USING (dup_group) JOIN keeper USING (dup_
         "adaptive_cells": _adaptive_sql(),
         "geohash_encode": _geohash_sql(),
         "quadkey_encode": _quadkey_sql(),
+        "mercator_tiles": """
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 360000001 - 180000000 AS BIGINT) AS lon_udeg,
+         CAST((doc_id * 2246822519) % 170000001 - 85000000 AS BIGINT) AS lat_udeg
+  FROM documents
+), r AS (
+  SELECT *,
+         CAST(greatest(-85051130, least(85051130, lat_udeg)) AS DOUBLE)
+           / 1000000.0 * (pi() / 180.0) AS lr
+  FROM pts
+), t AS (
+  SELECT doc_id, lon_udeg, lat_udeg,
+         greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+           ((lon_udeg + 180000000) * 2048) // 360000000)) AS tx,
+         greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+           CAST(floor((1.0 - ln(tan(lr) + sqrt(tan(lr) * tan(lr) + 1.0)) / pi())
+                      / 2.0 * 2048.0) AS BIGINT))) AS ty
+  FROM r
+)
+SELECT doc_id, lon_udeg, lat_udeg, tx, ty,
+       CAST(((ty // 1024) % 2) * 2 + ((tx // 1024) % 2) AS VARCHAR) || CAST(((ty // 512) % 2) * 2 + ((tx // 512) % 2) AS VARCHAR) || CAST(((ty // 256) % 2) * 2 + ((tx // 256) % 2) AS VARCHAR) || CAST(((ty // 128) % 2) * 2 + ((tx // 128) % 2) AS VARCHAR) || CAST(((ty // 64) % 2) * 2 + ((tx // 64) % 2) AS VARCHAR) || CAST(((ty // 32) % 2) * 2 + ((tx // 32) % 2) AS VARCHAR) || CAST(((ty // 16) % 2) * 2 + ((tx // 16) % 2) AS VARCHAR) || CAST(((ty // 8) % 2) * 2 + ((tx // 8) % 2) AS VARCHAR) || CAST(((ty // 4) % 2) * 2 + ((tx // 4) % 2) AS VARCHAR) || CAST(((ty // 2) % 2) * 2 + ((tx // 2) % 2) AS VARCHAR) || CAST(((ty // 1) % 2) * 2 + ((tx // 1) % 2) AS VARCHAR) AS quadkey
+FROM t
+""",
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),
         "lm_score": _LM_SCORE_SQL,

@@ -468,3 +468,60 @@ def quadkey_str(cell: Column, level: int, out_len: int | None = None) -> Column:
         for j in range(n)
     ]
     return F.concat(*digits)
+
+
+import math as _math
+
+
+def web_mercator_tiles(
+    df: DataFrame,
+    lon_col: str = "lon_udeg",
+    lat_col: str = "lat_udeg",
+    zoom: int = 11,
+    tx: str = "tx",
+    ty: str = "ty",
+) -> DataFrame:
+    """Slippy-map (OSM/XYZ) tile coordinates at ``zoom`` for WGS84
+    microdegree integer columns — the Web-Mercator tiling every web map
+    serves:
+
+        tx = floor((lon + 180) / 360 * 2^z)
+        ty = floor((1 - asinh(tan(lat_rad)) / pi) / 2 * 2^z)
+
+    ``tx`` is EXACT int64 arithmetic over microdegrees
+    ((lon_u + 180e6) * 2^z DIV 360e6 — no float anywhere), so the x
+    split is engine-exact; zoom is validated <= 22 so the product stays
+    in int64 with margin. ``ty`` needs the Mercator transcendental and
+    is evaluated in double via the ln form asinh(t) = ln(t + sqrt(t*t+1))
+    — the SAME expression, over the same quantized integer inputs, that
+    the DuckDB oracle runs, so the gate compare over deterministic
+    fixtures is a fixed outcome rather than a probabilistic one. lat
+    clamps to the Web-Mercator +-85.05113 deg band, both outputs to
+    [0, 2^z - 1]. Pure codegen, zero shuffle; (tx, ty) feed
+    `interleave_bits` / `quadkey_str` for hierarchical tile keys.
+
+    Inputs MUST be integer microdegrees (quantize with
+    CAST(round(deg * 1e6) AS BIGINT)) — quantization is what makes both
+    engines see bit-identical doubles downstream.
+    """
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in 0..22, got {zoom}")
+    n = 1 << zoom
+    txc = F.expr(
+        f"greatest(CAST(0 AS BIGINT), least(CAST({n - 1} AS BIGINT), "
+        f"((CAST({lon_col} AS BIGINT) + 180000000) * {n}) DIV 360000000))"
+    )
+    lat_c = F.greatest(
+        F.lit(-85_051_130).cast("bigint"),
+        F.least(F.lit(85_051_130).cast("bigint"), F.col(lat_col).cast("bigint")),
+    )
+    lat_rad = lat_c.cast("double") / F.lit(1e6) * F.lit(_math.pi / 180.0)
+    t = F.tan(lat_rad)
+    merc = F.log(t + F.sqrt(t * t + F.lit(1.0)))  # asinh, ln form
+    ty_raw = F.floor(
+        (F.lit(1.0) - merc / F.lit(_math.pi)) / F.lit(2.0) * F.lit(float(n))
+    ).cast("bigint")
+    tyc = F.greatest(
+        F.lit(0).cast("bigint"), F.least(F.lit(n - 1).cast("bigint"), ty_raw)
+    )
+    return df.withColumn(tx, txc).withColumn(ty, tyc)

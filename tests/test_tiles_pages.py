@@ -486,3 +486,29 @@ def test_quadkey_out_len_validation(spark):
         quadkey_str(F.lit(0), level=3, out_len=5)
     with _pytest.raises(ValueError):
         quadkey_str(F.lit(0), level=3, out_len=0)
+
+
+def test_web_mercator_tiles_known_points(spark):
+    # known anchors: (0,0) -> center tile; lon 180 clamps to max tile;
+    # lat > mercator band clamps to ty 0 (north edge)
+    from rayjoin_spark.functions.cellcodes import web_mercator_tiles
+
+    z = 4  # 16 tiles per axis
+    rows = [
+        (1, 0, 0),                      # equator/prime meridian -> (8, 8)
+        (2, 180_000_000, 0),            # lon 180 -> clamp tx 15
+        (3, -180_000_000, 0),           # lon -180 -> tx 0
+        (4, 0, 89_000_000),             # above band -> ty 0
+        (5, 0, -89_000_000),            # below band -> ty 15
+        (6, -1, 0),                     # just west of meridian -> tx 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lon_udeg bigint, lat_udeg bigint")
+    out = {r["doc_id"]: (r["tx"], r["ty"]) for r in web_mercator_tiles(df, zoom=z).collect()}
+    assert out[1] == (8, 8)
+    assert out[2][0] == 15 and out[3][0] == 0
+    assert out[4][1] == 0 and out[5][1] == 15
+    assert out[6][0] == 7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        web_mercator_tiles(df, zoom=23)
