@@ -819,6 +819,29 @@ def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic bboxes of the distinct zoom-11 tiles the corpus lands
+    in (cellcodes.tile_bounds): exact integer microdegree lon edges,
+    inverse-Mercator lat edges quantized to integer microdegrees (the
+    exp/atan chain differs by ULPs between JVM and libm; rounding to
+    1e-6 deg absorbs it)."""
+    from rayjoin_spark.functions.cellcodes import tile_bounds, web_mercator_tiles
+
+    d = _docs(spark, sf_dir)
+    pts = d.select(
+        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
+        .cast("bigint")
+        .alias("lon_udeg"),
+        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
+        .cast("bigint")
+        .alias("lat_udeg"),
+    )
+    tiles = web_mercator_tiles(pts, zoom=11).select("tx", "ty").distinct()
+    return tile_bounds(tiles, zoom=11).select(
+        "tx", "ty", "lon_w_udeg", "lon_e_udeg", "lat_n_udeg", "lat_s_udeg"
+    )
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl statistics over the derived pages table: JVM-regex
     URL decomposition + one algebraic groupBy (functions/htmlops.py)."""
@@ -2152,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": q_geohash_encode,
         "quadkey_encode": q_quadkey,
         "mercator_tiles": q_mercator_tiles,
+        "tile_bounds": q_tile_bounds,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -4775,6 +4799,40 @@ WITH pts AS (
 SELECT doc_id, lon_udeg, lat_udeg, tx, ty,
        CAST(((ty // 1024) % 2) * 2 + ((tx // 1024) % 2) AS VARCHAR) || CAST(((ty // 512) % 2) * 2 + ((tx // 512) % 2) AS VARCHAR) || CAST(((ty // 256) % 2) * 2 + ((tx // 256) % 2) AS VARCHAR) || CAST(((ty // 128) % 2) * 2 + ((tx // 128) % 2) AS VARCHAR) || CAST(((ty // 64) % 2) * 2 + ((tx // 64) % 2) AS VARCHAR) || CAST(((ty // 32) % 2) * 2 + ((tx // 32) % 2) AS VARCHAR) || CAST(((ty // 16) % 2) * 2 + ((tx // 16) % 2) AS VARCHAR) || CAST(((ty // 8) % 2) * 2 + ((tx // 8) % 2) AS VARCHAR) || CAST(((ty // 4) % 2) * 2 + ((tx // 4) % 2) AS VARCHAR) || CAST(((ty // 2) % 2) * 2 + ((tx // 2) % 2) AS VARCHAR) || CAST(((ty // 1) % 2) * 2 + ((tx // 1) % 2) AS VARCHAR) AS quadkey
 FROM t
+""",
+        "tile_bounds": """
+WITH pts AS (
+  SELECT CAST((doc_id * 2654435761) % 360000001 - 180000000 AS BIGINT) AS lon_udeg,
+         CAST((doc_id * 2246822519) % 170000001 - 85000000 AS BIGINT) AS lat_udeg
+  FROM documents
+), r AS (
+  SELECT *,
+         CAST(greatest(-85051130, least(85051130, lat_udeg)) AS DOUBLE)
+           / 1000000.0 * (pi() / 180.0) AS lr
+  FROM pts
+), tiles AS (
+  SELECT DISTINCT
+         greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+           ((lon_udeg + 180000000) * 2048) // 360000000)) AS tx,
+         greatest(CAST(0 AS BIGINT), least(CAST(2047 AS BIGINT),
+           CAST(floor((1.0 - ln(tan(lr) + sqrt(tan(lr) * tan(lr) + 1.0)) / pi())
+                      / 2.0 * 2048.0) AS BIGINT))) AS ty
+  FROM r
+), edges AS (
+  SELECT tx, ty,
+         (tx * 360000000) // 2048 - 180000000 AS lon_w_udeg,
+         ((tx + 1) * 360000000) // 2048 - 180000000 AS lon_e_udeg,
+         pi() * (1.0 - 2.0 * CAST(ty AS DOUBLE) / 2048.0) AS an,
+         pi() * (1.0 - 2.0 * CAST(ty + 1 AS DOUBLE) / 2048.0) AS asouth
+  FROM tiles
+)
+SELECT tx, ty, CAST(lon_w_udeg AS BIGINT) AS lon_w_udeg,
+       CAST(lon_e_udeg AS BIGINT) AS lon_e_udeg,
+       CAST(round(atan((exp(an) - exp(-an)) / 2.0) * (180.0 / pi()) * 1e6)
+            AS BIGINT) AS lat_n_udeg,
+       CAST(round(atan((exp(asouth) - exp(-asouth)) / 2.0) * (180.0 / pi()) * 1e6)
+            AS BIGINT) AS lat_s_udeg
+FROM edges
 """,
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),

@@ -525,3 +525,48 @@ def web_mercator_tiles(
         F.lit(0).cast("bigint"), F.least(F.lit(n - 1).cast("bigint"), ty_raw)
     )
     return df.withColumn(tx, txc).withColumn(ty, tyc)
+
+
+def tile_bounds(
+    df: DataFrame,
+    tx_col: str = "tx",
+    ty_col: str = "ty",
+    zoom: int = 11,
+) -> DataFrame:
+    """Inverse of `web_mercator_tiles`: the geographic bbox of a slippy
+    tile — what a tile server stamps on every rendered tile.
+
+    Longitude edges are EXACT integer microdegrees
+    (tx * 360e6 DIV 2^z - 180e6; the west edge of tile tx+1 IS the east
+    edge of tile tx, no float seam anywhere). Latitude edges need the
+    inverse Mercator lat = atan(sinh(pi * (1 - 2*ty/2^z))) — computed in
+    double via the exp form sinh(a) = (exp(a) - exp(-a))/2, then
+    QUANTIZED to integer microdegrees (round(deg * 1e6)): the module's
+    integer contract, and what makes the result engine-portable — JVM
+    Math and libm differ by ULPs on exp/atan, which raw doubles expose
+    but a 1e-6-degree rounding absorbs (a flip needs the true value
+    within ~1e-10 deg of a rounding boundary). North edge = row ty,
+    south edge = row ty+1 (slippy y grows southward). Pure codegen,
+    zero shuffle.
+    """
+    if not 0 <= zoom <= 22:
+        raise ValueError(f"zoom must be in 0..22, got {zoom}")
+    n = 1 << zoom
+
+    def lon_edge(col_expr: str) -> F.Column:
+        return F.expr(
+            f"(CAST({col_expr} AS BIGINT) * 360000000) DIV {n} - 180000000"
+        )
+
+    def lat_edge(col_expr: str) -> F.Column:
+        a = F.expr(f"{_math.pi} * (1.0 - 2.0 * CAST({col_expr} AS DOUBLE) / {float(n)})")
+        sinh = (F.exp(a) - F.exp(-a)) / F.lit(2.0)
+        deg = F.atan(sinh) * F.lit(180.0 / _math.pi)
+        return F.round(deg * F.lit(1e6)).cast("bigint")
+
+    return (
+        df.withColumn("lon_w_udeg", lon_edge(tx_col))
+        .withColumn("lon_e_udeg", lon_edge(f"{tx_col} + 1"))
+        .withColumn("lat_n_udeg", lat_edge(ty_col))
+        .withColumn("lat_s_udeg", lat_edge(f"{ty_col} + 1"))
+    )

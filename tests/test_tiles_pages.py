@@ -512,3 +512,25 @@ def test_web_mercator_tiles_known_points(spark):
 
     with _pytest.raises(ValueError):
         web_mercator_tiles(df, zoom=23)
+
+
+def test_tile_bounds_roundtrip_containment(spark):
+    # every point's tile bbox must contain the point: lon in [w, e);
+    # lat within [south, north] up to the 1 microdegree quantization
+    from rayjoin_spark.functions.cellcodes import tile_bounds, web_mercator_tiles
+
+    rows = [(i, (i * 7919) % 360_000_001 - 180_000_000,
+             (i * 104729) % 170_000_001 - 85_000_000) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lon_udeg bigint, lat_udeg bigint")
+    t = web_mercator_tiles(df, zoom=9)
+    b = tile_bounds(t, zoom=9)
+    bad = b.filter(
+        ~((F.col("lon_udeg") >= F.col("lon_w_udeg"))
+          & (F.col("lon_udeg") < F.col("lon_e_udeg")))
+    ).count()
+    assert bad == 0
+    badlat = b.filter(
+        ~((F.col("lat_udeg") <= F.col("lat_n_udeg") + 1)
+          & (F.col("lat_udeg") >= F.col("lat_s_udeg") - 1))
+    ).count()
+    assert badlat == 0
