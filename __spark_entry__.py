@@ -842,6 +842,30 @@ def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geo_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic within-250km join over the microdegree lon/lat fixture
+    (operators/knn.geo_dist_join): conservative equirectangular-cell
+    candidates (lon wrap, worst-latitude ring sizing) + meter-quantized
+    haversine verify. Oracle = BRUTE-FORCE all-pairs haversine — an
+    independent check of the ring logic, not an echo of it."""
+    from rayjoin_spark.operators.knn import geo_dist_join
+
+    d = _docs(spark, sf_dir)
+    pts = d.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
+        .cast("bigint")
+        .alias("lon_udeg"),
+        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
+        .cast("bigint")
+        .alias("lat_udeg"),
+    )
+    q = pts.filter(F.pmod(F.col("doc_id"), 101) == 0)
+    return geo_dist_join(
+        q, pts, max_meters=250_000.0, query_id="doc_id", corpus_id="doc_id"
+    ).toDF("point_id", "corpus_id", "dist_m")
+
+
 def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl statistics over the derived pages table: JVM-regex
     URL decomposition + one algebraic groupBy (functions/htmlops.py)."""
@@ -2176,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_encode": q_quadkey,
         "mercator_tiles": q_mercator_tiles,
         "tile_bounds": q_tile_bounds,
+        "geo_dist_join": q_geo_dist_join,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_asof": q_event_asof,
@@ -4833,6 +4858,28 @@ SELECT tx, ty, CAST(lon_w_udeg AS BIGINT) AS lon_w_udeg,
        CAST(round(atan((exp(asouth) - exp(-asouth)) / 2.0) * (180.0 / pi()) * 1e6)
             AS BIGINT) AS lat_s_udeg
 FROM edges
+""",
+        "geo_dist_join": """
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 360000001 - 180000000 AS BIGINT) AS lon_udeg,
+         CAST((doc_id * 2246822519) % 170000001 - 85000000 AS BIGINT) AS lat_udeg
+  FROM documents
+), q AS (
+  SELECT * FROM pts WHERE doc_id % 101 = 0
+), d AS (
+  SELECT q.doc_id AS point_id, c.doc_id AS corpus_id,
+         CAST(round(12742000.0 * asin(sqrt(
+           sin(CAST(c.lat_udeg - q.lat_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+             * sin(CAST(c.lat_udeg - q.lat_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+           + cos(CAST(q.lat_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0))
+             * cos(CAST(c.lat_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0))
+             * sin(CAST(c.lon_udeg - q.lon_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+             * sin(CAST(c.lon_udeg - q.lon_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+         ))) AS BIGINT) AS dist_m
+  FROM q, pts c
+)
+SELECT point_id, corpus_id, dist_m FROM d WHERE dist_m <= 250000
 """,
         "cells_compact": _compact_sql(),
         "range_report": _range_report_sql(),

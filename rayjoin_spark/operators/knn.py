@@ -232,3 +232,133 @@ def dist_join(
             F.col("dist2").cast("bigint").alias("dist2"),
         )
     )
+
+
+#: spherical earth radius (meters) — the haversine model's single constant
+EARTH_R_M = 6_371_000.0
+
+
+def geo_dist_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    max_meters: float,
+    cell_udeg: int = 250_000,
+    query_id: str = "point_id",
+    corpus_id: str = "corpus_id",
+    broadcast_max: int = 2_000_000,
+) -> DataFrame:
+    """Geodesic within-distance join over WGS84 points (integer
+    microdegree lon/lat columns ``lon_udeg``/``lat_udeg``): all
+    (query, corpus) pairs whose spherical haversine distance is
+    <= max_meters — `dist_join`'s sibling for geocoded web pages, where
+    the metric is meters on the sphere rather than snapped planar units.
+
+    Candidates: equirectangular lon/lat cells of ``cell_udeg``
+    microdegrees. The corpus keys each point to ONE cell; each query
+    explodes a bounded neighborhood ring — constant in latitude
+    (meters-per-degree-lat is constant on the sphere) and per-query in
+    longitude (1/cos(lat), clamped to the +-85 deg band) — with a +1
+    margin cell each way, so the ring CONSERVATIVELY covers the
+    max_meters cap: a 1-ulp divergence in the double ring arithmetic can
+    only add or drop margin cells, never a true pair, making the
+    verified output engine-exact even though candidate sets may differ.
+    Longitude wraps (pmod by the cell count) so antimeridian pairs are
+    found; the x-ring is capped at the half-circle so wrapped probes
+    never revisit a cell (no pair dedup needed).
+
+    Verify: the haversine evaluated in double by the IDENTICAL formula
+    on both engines, quantized to integer METERS (round) before the
+    threshold compare — the quantize-to-absorb-ULP contract
+    (cf. cellcodes.tile_bounds; meter granularity leaves a ~1e-10
+    boundary window per pair for libm/JVM divergence). Returns
+    (query_id, corpus_id, dist_m).
+
+    Scale shape: one bounded explode + one hash equi-join on the cell
+    (corpus side broadcast under ``broadcast_max``) + codegen math.
+    ``cell_udeg`` is the fan-out knob, exactly like dist_join's grid.
+    """
+    import math
+
+    m_per_udeg = EARTH_R_M * math.pi / 180.0 / 1e6  # meters per udeg of lat
+    nx = 360_000_000 // cell_udeg
+    ry = int(math.ceil(max_meters / (m_per_udeg * cell_udeg))) + 1
+    rx_cap = (nx - 1) // 2
+
+    def cx_of(lon_col):
+        return F.pmod(
+            F.expr(f"(CAST({lon_col} AS BIGINT) + 180000000) DIV {cell_udeg}"),
+            F.lit(nx),
+        )
+
+    def cy_of(lat_col):
+        return F.expr(f"(CAST({lat_col} AS BIGINT) + 90000000) DIV {cell_udeg}")
+
+    cp = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col("lon_udeg").alias("clon"),
+        F.col("lat_udeg").alias("clat"),
+        cx_of("lon_udeg").alias("ccx"),
+        cy_of("lat_udeg").alias("ccy"),
+    )
+    cp = cp.persist()
+    if broadcast_max and cp.count() <= broadcast_max:
+        cp = F.broadcast(cp)
+
+    # x-ring sizing must use the cosine at the WORST latitude the pair can
+    # reach — |query lat| plus the full radius in latitude — else pairs
+    # whose corpus end sits poleward of the query need more lon cells than
+    # the query's own parallel suggests and would be silently missed
+    reach_udeg = int(math.ceil(max_meters / m_per_udeg))
+    lat_worst = F.least(
+        F.lit(85_000_000).cast("bigint"),
+        F.abs(F.col("lat_udeg").cast("bigint")) + F.lit(reach_udeg).cast("bigint"),
+    )
+    coslat = F.cos(lat_worst.cast("double") / F.lit(1e6) * F.lit(math.pi / 180.0))
+    rx = F.least(
+        F.lit(rx_cap).cast("bigint"),
+        (
+            F.ceil(F.lit(float(max_meters) / (m_per_udeg * cell_udeg)) / coslat) + 1
+        ).cast("bigint"),
+    )
+    probes = (
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col("lon_udeg").alias("qlon"),
+            F.col("lat_udeg").alias("qlat"),
+            cx_of("lon_udeg").alias("qcx"),
+            cy_of("lat_udeg").alias("qcy"),
+            rx.alias("_rx"),
+        )
+        .withColumn("cy", F.explode(F.sequence(F.col("qcy") - ry, F.col("qcy") + ry)))
+        .withColumn(
+            "ccx_p",
+            F.explode(F.sequence(F.col("qcx") - F.col("_rx"), F.col("qcx") + F.col("_rx"))),
+        )
+        .withColumn("cx", F.pmod(F.col("ccx_p"), F.lit(nx)))
+    )
+    j = probes.join(
+        cp, (F.col("cx") == F.col("ccx")) & (F.col("cy") == F.col("ccy")), "inner"
+    )
+    rad = math.pi / 180.0 / 1e6
+    la1 = F.col("qlat").cast("double") * F.lit(rad)
+    la2 = F.col("clat").cast("double") * F.lit(rad)
+    dla = (F.col("clat") - F.col("qlat")).cast("double") * F.lit(rad) / F.lit(2.0)
+    dlo = (F.col("clon") - F.col("qlon")).cast("double") * F.lit(rad) / F.lit(2.0)
+    h = (
+        F.sin(dla) * F.sin(dla)
+        + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
+    )
+    dist_m = F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(h))
+    dist_m_i = F.round(dist_m).cast("bigint")
+    # self-joins pass the same id name for both sides: suffix the corpus
+    # column so the output schema stays unambiguous
+    out_cid = corpus_id if corpus_id != query_id else f"{corpus_id}_r"
+    return (
+        j.withColumn("dist_m", dist_m_i)
+        .filter(F.col("dist_m") <= F.lit(int(round(max_meters))))
+        .select(
+            F.col("qid").alias(query_id),
+            F.col("cid").alias(out_cid),
+            "dist_m",
+        )
+    )

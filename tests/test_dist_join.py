@@ -66,3 +66,32 @@ def test_dist_join_empty_corpus(spark):
     qs = _pts(spark, [(1, 2.0, 2.0)], "point_id")
     cs = _pts(spark, [], "corpus_id")
     assert dist_join(qs, cs, scaling, GridSpec(8), d_int=1 << 20).count() == 0
+
+
+def test_geo_dist_join_wrap_and_polar(spark):
+    # pair straddling the antimeridian (0.1 deg apart at the equator,
+    # ~11 km) must be found via the lon wrap; polar pair at lat 84.9/84.95
+    # exercises the worst-latitude ring sizing; far pair excluded
+    from rayjoin_spark.operators.knn import geo_dist_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 179_950_000, 0),
+            (2, -179_950_000, 0),        # ~11.1 km from 1 across the seam
+            (3, 0, 84_900_000),
+            (4, 500_000, 84_950_000),    # ~7.4 km from 3 (lon shrunk by cos)
+            (5, 0, 0),                   # far from everything
+        ],
+        "doc_id bigint, lon_udeg bigint, lat_udeg bigint",
+    )
+    out = {
+        (r["doc_id"], r["doc_id_r"]): r["dist_m"]
+        for r in geo_dist_join(
+            pts, pts, max_meters=50_000.0, query_id="doc_id", corpus_id="doc_id"
+        ).collect()
+    }
+    assert out[(1, 1)] == 0 and out[(5, 5)] == 0
+    assert (1, 2) in out and 10_000 < out[(1, 2)] < 13_000
+    assert (2, 1) in out and out[(2, 1)] == out[(1, 2)]
+    assert (3, 4) in out and 5_000 < out[(3, 4)] < 10_000
+    assert (1, 5) not in out and (5, 3) not in out
