@@ -179,6 +179,24 @@ def _queries(spark, sf_dir):
         # kmeans + intra-cluster cosine pairs + CC + keeper pick
         return simsearch.semdedup(emb, k=8, iters=2, min_cosine=0.9)
 
+    def q_geo_join():
+        # geodesic within-250km join over microdegree lon/lat derived
+        # from doc ids (lon-wrapped cells, haversine verify)
+        from rayjoin_spark.operators.knn import geo_dist_join
+
+        pts = docs.select(
+            "doc_id",
+            (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
+            .cast("bigint")
+            .alias("lon_udeg"),
+            (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
+            .cast("bigint")
+            .alias("lat_udeg"),
+        )
+        q = pts.filter(F.pmod(F.col("doc_id"), 101) == 0)
+        return geo_dist_join(q, pts, max_meters=250_000.0,
+                             query_id="doc_id", corpus_id="doc_id")
+
     overlay_phases: dict = {}
 
     # big-grid pair at the reference's own operating point gsize=15000
@@ -345,6 +363,7 @@ def _queries(spark, sf_dir):
         "ann_ivf": q_ann_ivf,
         "neardup_emb_lsh": q_neardup_emb_lsh,
         "semdedup": q_semdedup,
+        "geo_join": q_geo_join,
         "warc_ingest": q_warc_ingest,
         "main_content": q_main_content,
         "lsi_biggrid": q_lsi_biggrid,
