@@ -787,6 +787,22 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_pts(d: DataFrame) -> DataFrame:
+    """Deterministic WGS84 microdegree lon/lat per document (Knuth-hash
+    moduli) — the one fixture behind mercator_tiles / tile_bounds /
+    geo_dist_join and bench.py's geo_join row; its THREE oracle SQL
+    twins state the same arithmetic."""
+    return d.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
+        .cast("bigint")
+        .alias("lon_udeg"),
+        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
+        .cast("bigint")
+        .alias("lat_udeg"),
+    )
+
+
 def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-Mercator slippy tiles (OSM/XYZ) at zoom 11 over integer
     microdegree lon/lat derived from doc ids: exact-int64 tx, Mercator
@@ -799,15 +815,7 @@ def q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
-    pts = d.select(
-        "doc_id",
-        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
-        .cast("bigint")
-        .alias("lon_udeg"),
-        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
-        .cast("bigint")
-        .alias("lat_udeg"),
-    )
+    pts = _geo_pts(d)
     t = web_mercator_tiles(pts, zoom=11)
     return t.select(
         "doc_id",
@@ -828,14 +836,7 @@ def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rayjoin_spark.functions.cellcodes import tile_bounds, web_mercator_tiles
 
     d = _docs(spark, sf_dir)
-    pts = d.select(
-        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
-        .cast("bigint")
-        .alias("lon_udeg"),
-        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
-        .cast("bigint")
-        .alias("lat_udeg"),
-    )
+    pts = _geo_pts(d).drop("doc_id")
     tiles = web_mercator_tiles(pts, zoom=11).select("tx", "ty").distinct()
     return tile_bounds(tiles, zoom=11).select(
         "tx", "ty", "lon_w_udeg", "lon_e_udeg", "lat_n_udeg", "lat_s_udeg"
@@ -851,15 +852,7 @@ def q_geo_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rayjoin_spark.operators.knn import geo_dist_join
 
     d = _docs(spark, sf_dir)
-    pts = d.select(
-        "doc_id",
-        (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
-        .cast("bigint")
-        .alias("lon_udeg"),
-        (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
-        .cast("bigint")
-        .alias("lat_udeg"),
-    )
+    pts = _geo_pts(d)
     q = pts.filter(F.pmod(F.col("doc_id"), 101) == 0)
     return geo_dist_join(
         q, pts, max_meters=250_000.0, query_id="doc_id", corpus_id="doc_id"
@@ -4846,7 +4839,7 @@ WITH pts AS (
 ), edges AS (
   SELECT tx, ty,
          (tx * 360000000) // 2048 - 180000000 AS lon_w_udeg,
-         ((tx + 1) * 360000000) // 2048 - 180000000 AS lon_e_udeg,
+         ((tx + 1) * 360000000 + 2047) // 2048 - 180000000 AS lon_e_udeg,
          pi() * (1.0 - 2.0 * CAST(ty AS DOUBLE) / 2048.0) AS an,
          pi() * (1.0 - 2.0 * CAST(ty + 1 AS DOUBLE) / 2048.0) AS asouth
   FROM tiles

@@ -184,15 +184,9 @@ def _queries(spark, sf_dir):
         # from doc ids (lon-wrapped cells, haversine verify)
         from rayjoin_spark.operators.knn import geo_dist_join
 
-        pts = docs.select(
-            "doc_id",
-            (F.pmod(F.col("doc_id") * 2654435761, 360_000_001) - 180_000_000)
-            .cast("bigint")
-            .alias("lon_udeg"),
-            (F.pmod(F.col("doc_id") * 2246822519, 170_000_001) - 85_000_000)
-            .cast("bigint")
-            .alias("lat_udeg"),
-        )
+        from __spark_entry__ import _geo_pts
+
+        pts = _geo_pts(docs)
         q = pts.filter(F.pmod(F.col("doc_id"), 101) == 0)
         return geo_dist_join(q, pts, max_meters=250_000.0,
                              query_id="doc_id", corpus_id="doc_id")

@@ -536,9 +536,15 @@ def tile_bounds(
     """Inverse of `web_mercator_tiles`: the geographic bbox of a slippy
     tile — what a tile server stamps on every rendered tile.
 
-    Longitude edges are EXACT integer microdegrees
-    (tx * 360e6 DIV 2^z - 180e6; the west edge of tile tx+1 IS the east
-    edge of tile tx, no float seam anywhere). Latitude edges need the
+    Longitude edges are EXACT integer microdegrees: west = FLOOR of the
+    rational edge tx * 360e6 / 2^z, east = CEIL of (tx+1) * 360e6 / 2^z,
+    so the half-open containment invariant lon_w <= lon < lon_e holds for
+    every point of the tile at EVERY zoom (360e6 = 2^9 * 703125: past
+    zoom 9 the rational edge is not integral, and flooring both sides
+    would put a tile's own boundary points at lon == lon_e). At
+    non-dividing zooms adjacent bboxes overlap by 1 microdegree
+    (ceil vs floor of the same rational edge); at zoom <= 9 they share
+    the edge exactly. Latitude edges need the
     inverse Mercator lat = atan(sinh(pi * (1 - 2*ty/2^z))) — computed in
     double via the exp form sinh(a) = (exp(a) - exp(-a))/2, then
     QUANTIZED to integer microdegrees (round(deg * 1e6)): the module's
@@ -553,9 +559,10 @@ def tile_bounds(
         raise ValueError(f"zoom must be in 0..22, got {zoom}")
     n = 1 << zoom
 
-    def lon_edge(col_expr: str) -> F.Column:
+    def lon_edge(col_expr: str, ceil: bool = False) -> F.Column:
+        add = n - 1 if ceil else 0
         return F.expr(
-            f"(CAST({col_expr} AS BIGINT) * 360000000) DIV {n} - 180000000"
+            f"(CAST({col_expr} AS BIGINT) * 360000000 + {add}) DIV {n} - 180000000"
         )
 
     def lat_edge(col_expr: str) -> F.Column:
@@ -566,7 +573,7 @@ def tile_bounds(
 
     return (
         df.withColumn("lon_w_udeg", lon_edge(tx_col))
-        .withColumn("lon_e_udeg", lon_edge(f"{tx_col} + 1"))
+        .withColumn("lon_e_udeg", lon_edge(f"{tx_col} + 1", ceil=True))
         .withColumn("lat_n_udeg", lat_edge(ty_col))
         .withColumn("lat_s_udeg", lat_edge(f"{ty_col} + 1"))
     )

@@ -254,17 +254,24 @@ def geo_dist_join(
     the metric is meters on the sphere rather than snapped planar units.
 
     Candidates: equirectangular lon/lat cells of ``cell_udeg``
-    microdegrees. The corpus keys each point to ONE cell; each query
-    explodes a bounded neighborhood ring — constant in latitude
-    (meters-per-degree-lat is constant on the sphere) and per-query in
-    longitude (1/cos(lat), clamped to the +-85 deg band) — with a +1
-    margin cell each way, so the ring CONSERVATIVELY covers the
-    max_meters cap: a 1-ulp divergence in the double ring arithmetic can
-    only add or drop margin cells, never a true pair, making the
-    verified output engine-exact even though candidate sets may differ.
-    Longitude wraps (pmod by the cell count) so antimeridian pairs are
-    found; the x-ring is capped at the half-circle so wrapped probes
-    never revisit a cell (no pair dedup needed).
+    microdegrees (``cell_udeg`` must divide 360e6 so longitude cells are
+    uniform through the wrap — validated). The corpus keys each point to
+    ONE cell; each query explodes a bounded neighborhood ring — constant
+    in latitude (meters-per-degree-lat is constant on the sphere) and
+    per-query in longitude via the EXACT spherical reach
+    2*asin(min(1, sin(d/2R) / cos(lat_worst))), where lat_worst is the
+    query's |lat| plus the full latitude reach (the widest parallel the
+    pair can touch; the planar 1/cos estimate undersizes the ring at
+    high latitude) — each with a +1 margin cell, so the ring
+    CONSERVATIVELY covers the max_meters cap everywhere up to the poles
+    (near them the ratio saturates at 1 and the ring degrades to the
+    full circle of longitude): a 1-ulp divergence in the double ring
+    arithmetic can only add or drop margin cells, never a true pair,
+    making the verified output engine-exact even though candidate sets
+    may differ. Longitude wraps (pmod by the cell count); when the
+    requested ring meets or exceeds the full circle the x-range is
+    truncated to exactly nx consecutive cells, so wrapped probes never
+    revisit a cell (no pair dedup needed, antipodal cell included).
 
     Verify: the haversine evaluated in double by the IDENTICAL formula
     on both engines, quantized to integer METERS (round) before the
@@ -279,10 +286,13 @@ def geo_dist_join(
     """
     import math
 
+    if 360_000_000 % cell_udeg:
+        raise ValueError(
+            f"cell_udeg must divide 360000000 (uniform wrap cells), got {cell_udeg}"
+        )
     m_per_udeg = EARTH_R_M * math.pi / 180.0 / 1e6  # meters per udeg of lat
     nx = 360_000_000 // cell_udeg
     ry = int(math.ceil(max_meters / (m_per_udeg * cell_udeg))) + 1
-    rx_cap = (nx - 1) // 2
 
     def cx_of(lon_col):
         return F.pmod(
@@ -304,22 +314,30 @@ def geo_dist_join(
     if broadcast_max and cp.count() <= broadcast_max:
         cp = F.broadcast(cp)
 
-    # x-ring sizing must use the cosine at the WORST latitude the pair can
-    # reach — |query lat| plus the full radius in latitude — else pairs
-    # whose corpus end sits poleward of the query need more lon cells than
-    # the query's own parallel suggests and would be silently missed
+    # x-ring: EXACT spherical longitude reach at the worst parallel the
+    # pair can touch — |query lat| plus the full latitude reach. From the
+    # haversine: a pair at distance d on parallels bounded by lat_w has
+    # |dlon| <= 2*asin(sin(d/2R) / cos(lat_w)) (saturating at pi when the
+    # ratio reaches 1 — near-polar queries scan the whole circle). The
+    # planar 1/cos estimate undersizes this (by >1 cell at high lat).
     reach_udeg = int(math.ceil(max_meters / m_per_udeg))
     lat_worst = F.least(
-        F.lit(85_000_000).cast("bigint"),
+        F.lit(90_000_000).cast("bigint"),
         F.abs(F.col("lat_udeg").cast("bigint")) + F.lit(reach_udeg).cast("bigint"),
     )
     coslat = F.cos(lat_worst.cast("double") / F.lit(1e6) * F.lit(math.pi / 180.0))
-    rx = F.least(
-        F.lit(rx_cap).cast("bigint"),
-        (
-            F.ceil(F.lit(float(max_meters) / (m_per_udeg * cell_udeg)) / coslat) + 1
-        ).cast("bigint"),
+    ratio = F.lit(math.sin(min(float(max_meters) / (2.0 * EARTH_R_M), math.pi / 2))) / coslat
+    dlon_udeg = (
+        F.lit(2.0)
+        * F.asin(F.least(F.lit(1.0), ratio))
+        * F.lit(180.0 / math.pi * 1e6)
     )
+    rx = F.least(
+        F.lit(nx).cast("bigint"),
+        (F.ceil(dlon_udeg / F.lit(float(cell_udeg))) + 1).cast("bigint"),
+    )
+    # truncate the x-range to at most nx consecutive cells: covers the
+    # full circle (antipodal cell included) without revisiting any cell
     probes = (
         queries.select(
             F.col(query_id).alias("qid"),
@@ -332,7 +350,15 @@ def geo_dist_join(
         .withColumn("cy", F.explode(F.sequence(F.col("qcy") - ry, F.col("qcy") + ry)))
         .withColumn(
             "ccx_p",
-            F.explode(F.sequence(F.col("qcx") - F.col("_rx"), F.col("qcx") + F.col("_rx"))),
+            F.explode(
+                F.sequence(
+                    F.col("qcx") - F.col("_rx"),
+                    F.least(
+                        F.col("qcx") + F.col("_rx"),
+                        F.col("qcx") - F.col("_rx") + F.lit(nx - 1),
+                    ),
+                )
+            ),
         )
         .withColumn("cx", F.pmod(F.col("ccx_p"), F.lit(nx)))
     )

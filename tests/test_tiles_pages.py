@@ -516,21 +516,28 @@ def test_web_mercator_tiles_known_points(spark):
 
 def test_tile_bounds_roundtrip_containment(spark):
     # every point's tile bbox must contain the point: lon in [w, e);
-    # lat within [south, north] up to the 1 microdegree quantization
+    # lat within [south, north] up to the 1 microdegree quantization.
+    # zooms 10/11 are the review-found hazard: 2^z stops dividing 360e6
+    # past zoom 9, so the east edge must be the CEIL of the rational
+    # edge or boundary points land exactly on lon_e
     from rayjoin_spark.functions.cellcodes import tile_bounds, web_mercator_tiles
 
     rows = [(i, (i * 7919) % 360_000_001 - 180_000_000,
              (i * 104729) % 170_000_001 - 85_000_000) for i in range(200)]
+    # adversarial: exact rational-edge boundary points at zoom 10
+    rows += [(1000 + k, (k * 360_000_000 * 3) // 1024 - 180_000_000 + dd, 0)
+             for k in range(1, 40) for dd in (-1, 0, 1)]
     df = spark.createDataFrame(rows, "doc_id bigint, lon_udeg bigint, lat_udeg bigint")
-    t = web_mercator_tiles(df, zoom=9)
-    b = tile_bounds(t, zoom=9)
-    bad = b.filter(
-        ~((F.col("lon_udeg") >= F.col("lon_w_udeg"))
-          & (F.col("lon_udeg") < F.col("lon_e_udeg")))
-    ).count()
-    assert bad == 0
-    badlat = b.filter(
-        ~((F.col("lat_udeg") <= F.col("lat_n_udeg") + 1)
-          & (F.col("lat_udeg") >= F.col("lat_s_udeg") - 1))
-    ).count()
-    assert badlat == 0
+    for z in (9, 10, 11):
+        t = web_mercator_tiles(df, zoom=z)
+        b = tile_bounds(t, zoom=z)
+        bad = b.filter(
+            ~((F.col("lon_udeg") >= F.col("lon_w_udeg"))
+              & (F.col("lon_udeg") < F.col("lon_e_udeg")))
+        ).count()
+        assert bad == 0, f"zoom {z}: {bad} points outside [w, e)"
+        badlat = b.filter(
+            ~((F.col("lat_udeg") <= F.col("lat_n_udeg") + 1)
+              & (F.col("lat_udeg") >= F.col("lat_s_udeg") - 1))
+        ).count()
+        assert badlat == 0, f"zoom {z}"
