@@ -171,6 +171,24 @@ def q_dist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-edge join (map matching): each query point -> the closest
+    A-layer segment by EXACT point-to-segment squared distance (floor +
+    118 fractional bits as decimal-limb long division; ties by eid).
+    The third query over the reference's uniform grid after LSI
+    (src/algo/lsi.h:27-103) and PIP (src/algo/pip.h:12-115): candidates
+    from Chebyshev cell-ring expansion over the same edge-cell explode
+    (src/grid/uniform_grid.h:63-83). Oracle: brute-force HUGEINT limb
+    argmin over the full point x edge cross product."""
+    from rayjoin_spark.operators.nearest import nearest_edge
+
+    pts = derived.query_points(spark, sf_dir, residue=2, mod=16)
+    ea = derived.edges_a(spark, sf_dir)
+    return nearest_edge(pts, ea, DERIVED_SCALING, DERIVED_GRID).select(
+        "point_id", "eid", "dist2"
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2219,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
         "dist_join": q_dist_join,
+        "nearest_edge": q_nearest_edge,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2748,6 +2767,48 @@ SELECT q.point_id AS point_id, c.point_id AS corpus_id,
 FROM q, c
 WHERE (q.px - c.px) * (q.px - c.px) + (q.py - c.py) * (q.py - c.py)
       <= {(1 << 22) ** 2}
+"""
+
+#: brute-force nearest-edge with the engine's exact limb key in HUGEINT:
+#: d2f = floor(d2); lo1/lo2 = next 59-bit fractional limbs of cross^2/len2
+#: (c2 <= 2^118 < 2^127; (c2 % len2) * 2^59 <= 2^118 — no overflow)
+_NEAREST_EDGE_SQL = f"""
+WITH qs AS ({points_sql(2, 16)}),
+     e AS ({derived.EDGES_A_SQL}),
+     d AS (
+  SELECT q.point_id, e.eid,
+         (e.x2 - e.x1) AS dx, (e.y2 - e.y1) AS dy,
+         (q.px - e.x1) AS wx, (q.py - e.y1) AS wy,
+         (q.px - e.x2) AS vx, (q.py - e.y2) AS vy
+  FROM qs q CROSS JOIN e
+), m AS (
+  SELECT point_id, eid,
+         dx * wx + dy * wy AS dot,
+         dx * dx + dy * dy AS len2,
+         CAST(dx * dx + dy * dy AS HUGEINT) AS len2h,
+         CAST(dx * wy - dy * wx AS HUGEINT)
+           * CAST(dx * wy - dy * wx AS HUGEINT) AS c2,
+         wx * wx + wy * wy AS d2a, vx * vx + vy * vy AS d2b
+  FROM d
+), k AS (
+  SELECT point_id, eid,
+         CASE WHEN len2 = 0 OR dot <= 0 THEN d2a
+              WHEN dot >= len2 THEN d2b
+              ELSE CAST(c2 // len2h AS BIGINT) END AS d2f,
+         CASE WHEN len2 = 0 OR dot <= 0 OR dot >= len2 THEN 0
+              ELSE CAST(((c2 % len2h) * 576460752303423488) // len2h AS BIGINT)
+              END AS lo1,
+         CASE WHEN len2 = 0 OR dot <= 0 OR dot >= len2 THEN 0
+              ELSE CAST((((c2 % len2h) * 576460752303423488) % len2h)
+                        * 576460752303423488 // len2h AS BIGINT) END AS lo2
+  FROM m
+), r AS (
+  SELECT point_id, eid, d2f,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY d2f, lo1, lo2, eid) AS rn
+  FROM k
+)
+SELECT point_id, eid, d2f AS dist2 FROM r WHERE rn = 1
 """
 
 _DECONTAMINATE_SQL = """
@@ -4711,6 +4772,7 @@ FROM agg
         "decontaminate": _DECONTAMINATE_SQL,
         "redact_pii": _REDACT_PII_SQL,
         "dist_join": _DIST_JOIN_SQL,
+        "nearest_edge": _NEAREST_EDGE_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),
