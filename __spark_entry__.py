@@ -189,6 +189,23 @@ def q_nearest_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull (two-level distributed reduction: partition-
+    local monotone chain in mapInPandas, survivors re-hulled per group in
+    applyInPandas; exact int64 cross products). The oracle is an
+    INDEPENDENT characterization — Caratheodory membership: a point is a
+    hull vertex iff it is in no nondegenerate closed triangle and on no
+    segment of its peers."""
+    from rayjoin_spark.operators.hull import convex_hull
+
+    pts = derived.query_points(spark, sf_dir, residue=2, mod=16).select(
+        F.pmod(F.col("point_id"), 96).alias("group_id"),
+        DERIVED_SCALING.scale_x(F.col("x")).alias("x"),
+        DERIVED_SCALING.scale_y(F.col("y")).alias("y"),
+    )
+    return convex_hull(pts).select("group_id", "x", "y")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2238,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "dist_join": q_dist_join,
         "nearest_edge": q_nearest_edge,
+        "convex_hull": q_convex_hull,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2809,6 +2827,48 @@ WITH qs AS ({points_sql(2, 16)}),
   FROM k
 )
 SELECT point_id, eid, d2f AS dist2 FROM r WHERE rn = 1
+"""
+
+#: independent hull-vertex characterization (Caratheodory in 2-D): a
+#: distinct point p is NOT extreme iff some nondegenerate closed triangle
+#: of peers contains it, or it lies on a segment between two peers.
+#: All sign tests are int64 (cross of snapped diffs <= 2^59).
+_CONVEX_HULL_SQL = f"""
+WITH raw AS ({points_sql(2, 16)}),
+pts AS (SELECT DISTINCT point_id % 96 AS group_id, px AS x, py AS y FROM raw),
+tri AS (
+  SELECT a.group_id,
+         a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_, c.x AS cx, c.y AS cy
+  FROM pts a JOIN pts b USING (group_id) JOIN pts c USING (group_id)
+  WHERE (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+    AND (b.x < c.x OR (b.x = c.x AND b.y < c.y))
+    AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <> 0
+),
+inside AS (
+  SELECT DISTINCT p.group_id, p.x, p.y
+  FROM pts p JOIN tri t ON p.group_id = t.group_id
+  WHERE NOT ((p.x = t.ax AND p.y = t.ay) OR (p.x = t.bx AND p.y = t.by_)
+             OR (p.x = t.cx AND p.y = t.cy))
+    AND ((  (t.bx - t.ax) * (p.y - t.ay) - (t.by_ - t.ay) * (p.x - t.ax) >= 0
+        AND (t.cx - t.bx) * (p.y - t.by_) - (t.cy - t.by_) * (p.x - t.bx) >= 0
+        AND (t.ax - t.cx) * (p.y - t.cy) - (t.ay - t.cy) * (p.x - t.cx) >= 0)
+     OR (   (t.bx - t.ax) * (p.y - t.ay) - (t.by_ - t.ay) * (p.x - t.ax) <= 0
+        AND (t.cx - t.bx) * (p.y - t.by_) - (t.cy - t.by_) * (p.x - t.bx) <= 0
+        AND (t.ax - t.cx) * (p.y - t.cy) - (t.ay - t.cy) * (p.x - t.cx) <= 0))
+),
+onseg AS (
+  SELECT DISTINCT p.group_id, p.x, p.y
+  FROM pts p JOIN pts a ON p.group_id = a.group_id
+             JOIN pts b ON p.group_id = b.group_id
+  WHERE (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+    AND NOT ((p.x = a.x AND p.y = a.y) OR (p.x = b.x AND p.y = b.y))
+    AND (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+    AND p.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+    AND p.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y)
+)
+SELECT group_id, x, y FROM pts
+EXCEPT SELECT group_id, x, y FROM inside
+EXCEPT SELECT group_id, x, y FROM onseg
 """
 
 _DECONTAMINATE_SQL = """
@@ -4773,6 +4833,7 @@ FROM agg
         "redact_pii": _REDACT_PII_SQL,
         "dist_join": _DIST_JOIN_SQL,
         "nearest_edge": _NEAREST_EDGE_SQL,
+        "convex_hull": _CONVEX_HULL_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),
