@@ -206,6 +206,21 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hull(pts).select("group_id", "x", "y")
 
 
+def q_group_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest pair per group via the hull reduction (diameter endpoints
+    are extreme points, so the two-level hull shrinks each group before
+    the exact all-pairs max — the rotating-calipers workload). Oracle:
+    brute-force max over ALL point pairs, same canonical tie-break."""
+    from rayjoin_spark.operators.hull import group_diameter
+
+    pts = derived.query_points(spark, sf_dir, residue=2, mod=16).select(
+        F.pmod(F.col("point_id"), 96).alias("group_id"),
+        DERIVED_SCALING.scale_x(F.col("x")).alias("x"),
+        DERIVED_SCALING.scale_y(F.col("y")).alias("y"),
+    )
+    return group_diameter(pts).select("group_id", "x1", "y1", "x2", "y2", "dist2")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2256,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_join": q_dist_join,
         "nearest_edge": q_nearest_edge,
         "convex_hull": q_convex_hull,
+        "group_diameter": q_group_diameter,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2869,6 +2885,22 @@ onseg AS (
 SELECT group_id, x, y FROM pts
 EXCEPT SELECT group_id, x, y FROM inside
 EXCEPT SELECT group_id, x, y FROM onseg
+"""
+
+_GROUP_DIAMETER_SQL = f"""
+WITH raw AS ({points_sql(2, 16)}),
+pts AS (SELECT DISTINCT point_id % 96 AS group_id, px AS x, py AS y FROM raw),
+pairs AS (
+  SELECT p.group_id, p.x AS x1, p.y AS y1, q.x AS x2, q.y AS y2,
+         (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS dist2
+  FROM pts p JOIN pts q USING (group_id)
+  WHERE (p.x < q.x OR (p.x = q.x AND p.y <= q.y))
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY group_id
+                               ORDER BY dist2 DESC, x1, y1, x2, y2) AS rn
+  FROM pairs
+)
+SELECT group_id, x1, y1, x2, y2, dist2 FROM r WHERE rn = 1
 """
 
 _DECONTAMINATE_SQL = """
@@ -4834,6 +4866,7 @@ FROM agg
         "dist_join": _DIST_JOIN_SQL,
         "nearest_edge": _NEAREST_EDGE_SQL,
         "convex_hull": _CONVEX_HULL_SQL,
+        "group_diameter": _GROUP_DIAMETER_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

@@ -92,6 +92,49 @@ def _final_hull(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _final_diameter(g: pd.DataFrame) -> pd.DataFrame:
+    hull = _chain([int(v) for v in g["x"]], [int(v) for v in g["y"]])
+    best = None
+    for i, p in enumerate(hull):
+        for q in hull[i:]:
+            d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+            a, b = (p, q) if p <= q else (q, p)
+            key = (-d2, a, b)
+            if best is None or key < best:
+                best = key
+    d2, a, b = -best[0], best[1], best[2]
+    return pd.DataFrame(
+        {
+            "group_id": [int(g["group_id"].iloc[0])],
+            "x1": [a[0]], "y1": [a[1]], "x2": [b[0]], "y2": [b[1]],
+            "dist2": [d2],
+        }
+    )
+
+
+def group_diameter(points: DataFrame, group_col: str = "group_id") -> DataFrame:
+    """Farthest pair (diameter) per group: (group_id, x1, y1, x2, y2,
+    dist2), endpoints canonicalized (x1,y1) <= (x2,y2) lex; among
+    equal-distance pairs the lexicographically smallest wins.
+
+    The diameter's endpoints are hull vertices, so the same two-level
+    hull reduction shrinks each group to O(hull) before the exact
+    all-pairs max over hull vertices (h^2 on a tiny frame; the classic
+    rotating-calipers step, done exhaustively because h is small after
+    reduction). dist2 <= 2*(2^29)^2 = 2^59 — exact int64.
+    """
+    src = points.selectExpr(
+        f"CAST({group_col} AS BIGINT) AS group_id",
+        "CAST(x AS BIGINT) AS x",
+        "CAST(y AS BIGINT) AS y",
+    )
+    partial = src.mapInPandas(_local_hulls, _OUT_SCHEMA)
+    return partial.groupBy("group_id").applyInPandas(
+        lambda g: _final_diameter(g),
+        "group_id bigint, x1 bigint, y1 bigint, x2 bigint, y2 bigint, dist2 bigint",
+    )
+
+
 def convex_hull(points: DataFrame, group_col: str = "group_id") -> DataFrame:
     """points(group_col, x:bigint, y:bigint) -> hull vertices
     (group_id, x, y), one row per extreme point (set semantics; the

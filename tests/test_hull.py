@@ -56,3 +56,33 @@ def test_hull_extreme_point_semantics(spark):
         rest = [q for q in distinct if q != p] + [p]
         is_vertex = p in set(_chain([q[0] for q in rest], [q[1] for q in rest]))
         assert is_vertex == (p in got)
+
+
+def test_group_diameter(spark):
+    from rayjoin_spark.operators.hull import group_diameter
+
+    rnd = random.Random(3)
+    groups = {
+        0: [(rnd.randrange(-900, 900), rnd.randrange(-900, 900)) for _ in range(120)],
+        1: [(i, 2 * i) for i in range(25)],        # collinear
+        2: [(5, -5)],                              # singleton
+        3: [(0, 0), (0, 0), (3, 4)],               # duplicates
+        4: [(0, 0), (10, 0), (0, 10), (10, 10)],   # square: tie on diagonals
+    }
+    rows = [(g, x, y) for g, pts in groups.items() for x, y in pts]
+    df = spark.createDataFrame(rows, "group_id bigint, x bigint, y bigint").repartition(5)
+    got = {r.group_id: (r.x1, r.y1, r.x2, r.y2, r.dist2)
+           for r in group_diameter(df).collect()}
+    for gid, pts in groups.items():
+        dpts = sorted(set(pts))
+        best = None
+        for i, p in enumerate(dpts):
+            for q in dpts[i:]:
+                d2 = (p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                key = (-d2, p, q)
+                if best is None or key < best:
+                    best = key
+        want = (best[1][0], best[1][1], best[2][0], best[2][1], -best[0])
+        assert got[gid] == want, (gid, got[gid], want)
+    # square: equal diagonals -> lexicographically smallest pair wins
+    assert got[4] == (0, 0, 10, 10, 200)
