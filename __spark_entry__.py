@@ -221,6 +221,17 @@ def q_group_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_diameter(pts).select("group_id", "x1", "y1", "x2", "y2", "dist2")
 
 
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized BM25 top-20 for a fixed term query (k1=1.2,
+    b=0.75, ratio idf, denominators cleared by 20*L — no float ever
+    compared; see functions/textops.bm25_rank). Distributed top-k via
+    orderBy+limit, not a global window."""
+    from rayjoin_spark.functions.textops import bm25_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_rank(docs, ["spark", "join", "data", "window"], k=20)
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2272,6 +2283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_edge": q_nearest_edge,
         "convex_hull": q_convex_hull,
         "group_diameter": q_group_diameter,
+        "bm25_rank": q_bm25_rank,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2901,6 +2913,36 @@ pairs AS (
   FROM pairs
 )
 SELECT group_id, x1, y1, x2, y2, dist2 FROM r WHERE rn = 1
+"""
+
+_BM25_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, len(toks) AS dl,
+         list_filter(toks, x -> list_contains(['spark','join','data','window'], x)) AS q
+  FROM t
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(q) AS term FROM b) GROUP BY 1, 2, 3
+), dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS l_total FROM b),
+scored AS (
+  SELECT tf.doc_id,
+         CAST((CAST(((2 * n_docs - 2 * df_t + 1) * 1000000) // (2 * df_t + 1)
+                    AS HUGEINT) * 44 * tf * l_total)
+              // CAST(20 * tf * l_total + 6 * l_total + 18 * dl * n_docs
+                      AS HUGEINT) AS BIGINT) AS term_score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+), agg AS (
+  SELECT doc_id, SUM(term_score) AS score FROM scored GROUP BY 1
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM agg ORDER BY score DESC, doc_id LIMIT 20
 """
 
 _DECONTAMINATE_SQL = """
@@ -4867,6 +4909,7 @@ FROM agg
         "nearest_edge": _NEAREST_EDGE_SQL,
         "convex_hull": _CONVEX_HULL_SQL,
         "group_diameter": _GROUP_DIAMETER_SQL,
+        "bm25_rank": _BM25_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

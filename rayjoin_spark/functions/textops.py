@@ -535,6 +535,84 @@ def tfidf_topk(
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents for a term query under integer-quantized BM25
+    (k1=1.2, b=0.75) — the search-ranking complement to ``tfidf_topk``.
+
+    Cross-engine determinism (same discipline as tfidf_topk): no float
+    ever enters a comparison. The idf is the BM25 ratio without the log,
+    quantized: ``idf_q = ((2N - 2df + 1) * 10^6) DIV (2df + 1)`` (log is
+    monotone, so per-term ranking order is preserved; absolute scores are
+    a documented variant). The tf saturation keeps BM25's exact rational
+    form, cleared of denominators by 20*L (L = corpus token count):
+
+        term = (idf_q * 44 * tf * L) DIV (20*tf*L + 6*L + 18*dl*N)
+
+    which is idf_q * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    avgdl = L/N, scaled and floor-quantized. The product rides
+    decimal(38,0) (< 2^96 for N < 2^40), the DIV result is bigint, and
+    the doc score is the bigint sum over query terms; ties break on
+    id ascending.
+
+    Scale shape: tf explode + groupBy (map-side combinable) filtered to
+    the query's terms FIRST (candidate set, not the corpus); df_t/N/L
+    are a handful of scalars via broadcast one-row frames; one window
+    for the global top-k (bounded output k).
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.lower(F.col(text)))
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        F.col(id_col),
+        F.filter(toks, lambda x: x != "").alias("toks"),
+    ).select(
+        id_col,
+        F.size("toks").alias("dl"),
+        F.filter("toks", lambda x: F.array_contains(terms, x)).alias("qtoks"),
+    )
+    tf = (
+        base.select(id_col, "dl", F.explode("qtoks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("l_total")
+    )
+    d38 = "decimal(38,0)"
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_q",
+            F.expr("((2 * n_docs - 2 * df_t + 1) * 1000000) DIV (2 * df_t + 1)"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"(CAST(idf_q AS {d38}) * 44 * tf * l_total)"
+                f" DIV CAST(20 * tf * l_total + 6 * l_total + 18 * dl * n_docs AS {d38})"
+            ).cast("bigint"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(F.sum("term_score").alias("score"))
+    # distributed top-k (TakeOrderedAndProject), NOT a global row_number
+    # window — a single-partition Window over every scored doc would be
+    # the classic scale bug; rank is assigned on the k-row result only.
+    top = agg.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def repetition_ratio(
     df: DataFrame,
     id_col: str = "doc_id",
