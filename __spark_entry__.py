@@ -232,6 +232,25 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, ["spark", "join", "data", "window"], k=20)
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW spatial interpolation (raster analytic): estimate at each
+    query point from its 5 exact nearest samples with floor-quantized
+    integer 1/d^2 weights — no float division in either engine; zero
+    distance returns the sample value exactly."""
+    from rayjoin_spark.operators.interp import idw_interpolate
+
+    qs = derived.query_points(spark, sf_dir, residue=2, mod=16)
+    corpus = derived.query_points(spark, sf_dir, residue=3, mod=4).select(
+        F.col("point_id").alias("corpus_id"),
+        "x",
+        "y",
+        F.pmod(F.col("point_id"), 1000).alias("v"),
+    )
+    return idw_interpolate(qs, corpus, DERIVED_SCALING, DERIVED_GRID, k=5).select(
+        "point_id", "value_q", "n_neighbors"
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2284,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": q_convex_hull,
         "group_diameter": q_group_diameter,
         "bm25_rank": q_bm25_rank,
+        "idw_interpolate": q_idw_interpolate,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2943,6 +2963,37 @@ scored AS (
 SELECT doc_id, CAST(score AS BIGINT) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
 FROM agg ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+_IDW_SQL = f"""
+WITH qs AS ({points_sql(2, 16)}),
+     corpus AS ({points_sql(3, 4)}),
+     d AS (
+  SELECT q.point_id, c.point_id AS corpus_id,
+         (c.px - q.px) * (c.px - q.px) + (c.py - q.py) * (c.py - q.py) AS dist2
+  FROM qs q, corpus c
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY point_id
+                               ORDER BY dist2 ASC, corpus_id ASC) AS rank
+  FROM d
+), nn AS (SELECT * FROM r WHERE rank <= 5),
+a AS (
+  SELECT point_id,
+         MIN(CASE WHEN dist2 = 0 THEN corpus_id END) AS exact_id,
+         SUM(CASE WHEN dist2 > 0 THEN CAST(corpus_id % 1000 AS HUGEINT)
+                  * (1000000000000000 // dist2) END) AS num,
+         SUM(CASE WHEN dist2 > 0
+                  THEN CAST(1000000000000000 // dist2 AS HUGEINT) END) AS den,
+         MIN(CASE WHEN rank = 1 THEN corpus_id % 1000 END) AS nearest_v,
+         COUNT(*) AS n
+  FROM nn GROUP BY 1
+)
+SELECT point_id,
+       CAST(CASE WHEN exact_id IS NOT NULL THEN exact_id % 1000
+                 WHEN den IS NULL OR den = 0 THEN nearest_v
+                 ELSE num // den END AS BIGINT) AS value_q,
+       CAST(n AS BIGINT) AS n_neighbors
+FROM a
 """
 
 _DECONTAMINATE_SQL = """
@@ -4910,6 +4961,7 @@ FROM agg
         "convex_hull": _CONVEX_HULL_SQL,
         "group_diameter": _GROUP_DIAMETER_SQL,
         "bm25_rank": _BM25_SQL,
+        "idw_interpolate": _IDW_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),
