@@ -251,6 +251,21 @@ def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_face_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-containment join (ST_Within decomposition on the engine's
+    own primitives): rep-vertex PIP into layer A + LSI boundary-crossing
+    poison, one left_anti join. Oracle independently re-derives the rep
+    vertices, the brute-force exact-limb PIP, and the brute-force SoS
+    LSI poison in SQL."""
+    from rayjoin_spark.operators.faces import face_within
+
+    return face_within(
+        derived.edges_a(spark, sf_dir),
+        derived.edges_b(spark, sf_dir),
+        DERIVED_GRID,
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2304,6 +2319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_diameter": q_group_diameter,
         "bm25_rank": q_bm25_rank,
         "idw_interpolate": q_idw_interpolate,
+        "face_within": q_face_within,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2994,6 +3010,85 @@ SELECT point_id,
                  ELSE num // den END AS BIGINT) AS value_q,
        CAST(n AS BIGINT) AS n_neighbors
 FROM a
+"""
+
+_FACE_WITHIN_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     eb AS ({EDGES_B_SQL}),
+     vb AS (
+  SELECT left_polygon_id AS f, x1 AS x, y1 AS y FROM eb
+  UNION ALL SELECT left_polygon_id, x2, y2 FROM eb
+  UNION ALL SELECT right_polygon_id, x1, y1 FROM eb
+  UNION ALL SELECT right_polygon_id, x2, y2 FROM eb
+), rep AS (
+  SELECT f AS point_id, x AS px, y AS py FROM (
+    SELECT *, row_number() OVER (PARTITION BY f ORDER BY x, y) AS rn FROM vb
+  ) WHERE rn = 1
+), cand AS (
+  SELECT p.point_id, e.eid, e.x1, e.x2, e.a, e.b,
+         e.left_polygon_id, e.right_polygon_id,
+         (-e.a * p.px - e.c) AS n
+  FROM rep p, ea e
+  WHERE p.px >= least(e.x1, e.x2) AND p.px <= greatest(e.x1, e.x2)
+    AND p.px <> greatest(e.x1, e.x2)
+    AND (CASE WHEN (p.px * e.a + p.py * e.b + e.c) <> 0
+              THEN (p.px * e.a + p.py * e.b + e.c)
+              WHEN e.a <> 0 THEN e.a ELSE e.b END) < 0
+), keyed AS (
+  SELECT *,
+    (n - ((n % b) + b) % b) // b AS yk_hi,
+    ((((n % b) + b) % b) * 2147483648
+      - (((n % b) + b) % b) * 2147483648 % b) // b * 2147483648
+    + ((((n % b) + b) % b) * 2147483648 % b * 2147483648
+       - (((n % b) + b) % b) * 2147483648 % b * 2147483648 % b) // b AS yk_lo,
+    (a * 2147483648 - ((a * 2147483648) % b + b) % b) // b AS sk_hi,
+    (((a * 2147483648) % b + b) % b * 2147483648
+     - ((a * 2147483648) % b + b) % b * 2147483648 % b) // b AS sk_lo
+  FROM cand
+), best AS (
+  SELECT point_id, eid, x1, x2, left_polygon_id, right_polygon_id,
+         row_number() OVER (PARTITION BY point_id
+                            ORDER BY yk_hi ASC, yk_lo ASC,
+                                     sk_hi DESC, sk_lo DESC, eid ASC) AS rn
+  FROM keyed
+), located AS (
+  SELECT p.point_id AS face_b,
+         CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
+                            ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_a
+  FROM rep p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (point_id)
+), lj AS (
+  SELECT ea.left_polygon_id AS la, ea.right_polygon_id AS ra,
+         eb.left_polygon_id AS lb, eb.right_polygon_id AS rb,
+         ea.x1 AS ax1, ea.y1 AS ay1, ea.x2 AS ax2, ea.y2 AS ay2,
+         eb.x1 AS bx1, eb.y1 AS by1, eb.x2 AS bx2, eb.y2 AS by2,
+         (ea.x1 * eb.a + ea.y1 * eb.b + eb.c) AS s_a1,
+         (ea.x2 * eb.a + ea.y2 * eb.b + eb.c) AS s_a2,
+         (eb.x1 * ea.a + eb.y1 * ea.b + ea.c) AS s_b1,
+         (eb.x2 * ea.a + eb.y2 * ea.b + ea.c) AS s_b2,
+         ea.a AS aa, ea.b AS ab, eb.a AS ba, eb.b AS bb
+  FROM ea, eb
+), lsos AS (
+  SELECT la, ra, lb, rb, ax1, ay1, ax2, ay2, bx1, by1, bx2, by2,
+         CASE WHEN s_a1 <> 0 THEN s_a1 WHEN ba <> 0 THEN -ba ELSE -bb END AS e_a1,
+         CASE WHEN s_a2 <> 0 THEN s_a2 WHEN ba <> 0 THEN -ba ELSE -bb END AS e_a2,
+         CASE WHEN s_b1 <> 0 THEN s_b1 WHEN aa <> 0 THEN aa ELSE ab END AS e_b1,
+         CASE WHEN s_b2 <> 0 THEN s_b2 WHEN aa <> 0 THEN aa ELSE ab END AS e_b2
+  FROM lj
+), poison AS (
+  SELECT DISTINCT u.fa AS face_a, v.fb AS face_b
+  FROM (
+    SELECT la, ra, lb, rb FROM lsos
+    WHERE ((e_a1 > 0) <> (e_a2 > 0)) AND ((e_b1 > 0) <> (e_b2 > 0))
+      AND NOT ((ax1 = bx1 AND ay1 = by1 AND ax2 = bx2 AND ay2 = by2)
+            OR (ax1 = bx2 AND ay1 = by2 AND ax2 = bx1 AND ay2 = by1))
+  ) s, (VALUES (0), (1)) su(i), (VALUES (0), (1)) sv(j),
+  LATERAL (SELECT CASE WHEN su.i = 0 THEN s.la ELSE s.ra END AS fa) u,
+  LATERAL (SELECT CASE WHEN sv.j = 0 THEN s.lb ELSE s.rb END AS fb) v
+)
+SELECT l.face_b, l.face_a FROM located l
+WHERE l.face_a <> 0
+  AND NOT EXISTS (SELECT 1 FROM poison w
+                  WHERE w.face_a = l.face_a AND w.face_b = l.face_b)
 """
 
 _DECONTAMINATE_SQL = """
@@ -4962,6 +5057,7 @@ FROM agg
         "group_diameter": _GROUP_DIAMETER_SQL,
         "bm25_rank": _BM25_SQL,
         "idw_interpolate": _IDW_SQL,
+        "face_within": _FACE_WITHIN_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

@@ -114,3 +114,100 @@ def zonal_stats(
         F.min(v).alias("min_val"),
         F.max(v).alias("max_val"),
     )
+
+
+def face_within(
+    edges_a: DataFrame,
+    edges_b: DataFrame,
+    grid=None,
+) -> DataFrame:
+    """Polygon-containment join: which B faces lie entirely inside which
+    A face. The ST_Within decomposition on the engine's own primitives:
+
+        within(f_b, f_a)  <=>  pip(rep_vertex(f_b)) = f_a
+                           AND no boundary edge of f_b intersects any
+                               boundary edge of f_a (LSI pairs poison)
+
+    — for a valid planar layer pair this is exactly containment (one
+    boundary point inside + boundaries never crossing => all inside);
+    on arbitrary segment soups it is still a well-defined, deterministic
+    contract (the one the oracle re-derives independently).
+
+    rep_vertex(f) is the lexicographic min (x, y) over the endpoints of
+    f's boundary edges (both sides, reference face ids per
+    src/map/map.h:52-60); it re-enters PIP through Scaling.identity()
+    (snapped ints pass through the snap unchanged).
+
+    Scale shape: one 4-way explode + combinable struct-min for reps
+    (face-table sized), one pip_locate (banded cell join), one lsi_join
+    (cell equi-join) whose pairs collapse to a DISTINCT face-pair poison
+    table, one left_anti join. No cross join anywhere.
+    """
+    from rayjoin_spark.operators.lsi import lsi_join
+    from rayjoin_spark.operators.pip import pip_locate
+    from rayjoin_spark.plans.scaling import GridSpec, Scaling
+
+    grid = grid or GridSpec(64)
+    vb = edges_b.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("left_polygon_id").alias("f"),
+                    F.col("x1").alias("x"), F.col("y1").alias("y"),
+                ),
+                F.struct(
+                    F.col("left_polygon_id").alias("f"),
+                    F.col("x2").alias("x"), F.col("y2").alias("y"),
+                ),
+                F.struct(
+                    F.col("right_polygon_id").alias("f"),
+                    F.col("x1").alias("x"), F.col("y1").alias("y"),
+                ),
+                F.struct(
+                    F.col("right_polygon_id").alias("f"),
+                    F.col("x2").alias("x"), F.col("y2").alias("y"),
+                ),
+            )
+        ).alias("v")
+    ).select("v.f", "v.x", "v.y")
+    rep = (
+        vb.groupBy("f")
+        .agg(F.min(F.struct("x", "y")).alias("m"))
+        .select(
+            F.col("f").alias("point_id"),
+            F.col("m.x").cast("double").alias("x"),
+            F.col("m.y").cast("double").alias("y"),
+        )
+    )
+    located = pip_locate(rep, edges_a, Scaling.identity(), grid).select(
+        F.col("point_id").alias("face_b"), F.col("face_id").alias("face_a")
+    )
+    pairs = lsi_join(edges_a, edges_b, grid).select("eid_a", "eid_b")
+    fa = edges_a.select(
+        F.col("eid").alias("eid_a"),
+        F.col("left_polygon_id").alias("la"),
+        F.col("right_polygon_id").alias("ra"),
+    )
+    fb = edges_b.select(
+        F.col("eid").alias("eid_b"),
+        F.col("left_polygon_id").alias("lb"),
+        F.col("right_polygon_id").alias("rb"),
+    )
+    poison = (
+        pairs.join(fa, "eid_a")
+        .join(fb, "eid_b")
+        .select(
+            F.explode(F.array("la", "ra")).alias("face_a"),
+            F.array("lb", "rb").alias("bs"),
+        )
+        .select("face_a", F.explode("bs").alias("face_b"))
+        .distinct()
+    )
+    return (
+        located.filter(F.col("face_a") != 0)
+        .join(poison, ["face_a", "face_b"], "left_anti")
+        .select(
+            F.col("face_b").cast("bigint").alias("face_b"),
+            F.col("face_a").cast("bigint").alias("face_a"),
+        )
+    )

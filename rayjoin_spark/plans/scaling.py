@@ -54,6 +54,16 @@ class Scaling:
     dy: float
 
     @staticmethod
+    def identity() -> "Scaling":
+        """rx=ry=1, dx=dy=0: integer-valued double inputs pass through
+        the snap unchanged (exact for |v| <= 2^28 << 2^53). For feeding
+        ALREADY-SNAPPED coordinates back into point-query operators."""
+        return Scaling.from_bbox(
+            float(INTERNAL_MIN + 1), float(INTERNAL_MAX - 1),
+            float(INTERNAL_MIN + 1), float(INTERNAL_MAX - 1),
+        )
+
+    @staticmethod
     def from_bbox(min_x: float, max_x: float, min_y: float, max_y: float) -> "Scaling":
         mx0 = min_x - BOUNDING_BOX_MARGIN
         mx1 = max_x + BOUNDING_BOX_MARGIN
