@@ -266,6 +266,16 @@ def q_face_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS link distance over the derived host graph
+    (crawl depth from seed h0, capped at 8 hops). Oracle: DuckDB
+    recursive CTE taking MIN(hops) per reached node."""
+    from rayjoin_spark.operators import graph
+
+    seeds = spark.createDataFrame([("h0",)], "node string")
+    return graph.bfs_hops(_host_edges(spark, sf_dir), seeds, max_hops=8)
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2320,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "idw_interpolate": q_idw_interpolate,
         "face_within": q_face_within,
+        "bfs_hops": q_bfs_hops,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3319,6 +3330,18 @@ e AS (
     WHERE doc_id % 3 = 0
   )
 )
+"""
+
+
+_BFS_HOPS_SQL = f"""
+WITH RECURSIVE {_HOST_EDGES_SQL.strip()},
+walk(node, hops) AS (
+  SELECT 'h0', 0
+  UNION
+  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hops < 8
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY 1
 """
 
 
@@ -5058,6 +5081,7 @@ FROM agg
         "bm25_rank": _BM25_SQL,
         "idw_interpolate": _IDW_SQL,
         "face_within": _FACE_WITHIN_SQL,
+        "bfs_hops": _BFS_HOPS_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

@@ -182,3 +182,56 @@ def _max_normalized(
         )
     )
     return scored.localCheckpoint(eager=True)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Single-source(s) BFS: minimum hop count from any seed to every
+    node reachable within ``max_hops`` — the crawl-depth / link-distance
+    analytic (how many clicks from the seed list is each host?).
+
+    seeds: one column ``node``. Returns (node, hops:bigint), hops = 0
+    for seeds (a seed stays 0 even if re-reached later: the visited
+    anti-join keeps the FIRST round's hop count, which is the minimum).
+
+    Scale shape: per round ONE equi-join of the frontier against the
+    hash-partitioned edge list on src + distinct + one anti-join against
+    the visited set; the frontier is eagerly localCheckpoint-ed (house
+    iterative-frontier pattern, see module docstring) so plan depth and
+    lineage stay O(1); early exit on an empty frontier. A high-degree
+    hub fans out through the edge-side join (already one row per edge),
+    never a hot reducer.
+    """
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    out = [visited]
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"], "inner")
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        out.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    res = out[0]
+    for d in out[1:]:
+        res = res.unionByName(d)
+    return res.select("node", F.col("hops").cast("bigint").alias("hops"))
