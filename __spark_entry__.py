@@ -228,8 +228,9 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit, not a global window."""
     from rayjoin_spark.functions.textops import bm25_rank
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return bm25_rank(docs, ["spark", "join", "data", "window"], k=20)
+    return bm25_rank(
+        _docs(spark, sf_dir), ["spark", "join", "data", "window"], k=20
+    )
 
 
 def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2381,14 +2382,16 @@ WHERE ((e_a1 > 0) <> (e_a2 > 0)) AND ((e_b1 > 0) <> (e_b2 > 0))
         OR (ax1 = bx2 AND ay1 = by2 AND ax2 = bx1 AND ay2 = by1))
 """
 
-_PIP_SQL = f"""
-WITH ea AS ({EDGES_A_SQL}),
-     pts AS ({points_sql(2, 4)}),
-     cand AS (
+def _pip_core_sql(pts_cte: str) -> str:
+    """Brute-force exact-limb PIP argmin CTE chain (cand/keyed/best) over
+    an `ea` edge CTE; `pts_cte` must expose (point_id, px, py). Shared by
+    _PIP_SQL and _FACE_WITHIN_SQL so the trickiest SQL in this file (the
+    two-limb floor-division keys mirroring operators/pip.py) lives once."""
+    return f"""cand AS (
   SELECT p.point_id, e.eid, e.x1, e.x2, e.a, e.b,
          e.left_polygon_id, e.right_polygon_id,
          (-e.a * p.px - e.c) AS n
-  FROM pts p, ea e
+  FROM {pts_cte} p, ea e
   WHERE p.px >= least(e.x1, e.x2) AND p.px <= greatest(e.x1, e.x2)
     AND p.px <> greatest(e.x1, e.x2)
     AND (CASE WHEN (p.px * e.a + p.py * e.b + e.c) <> 0
@@ -2411,7 +2414,13 @@ WITH ea AS ({EDGES_A_SQL}),
                             ORDER BY yk_hi ASC, yk_lo ASC,
                                      sk_hi DESC, sk_lo DESC, eid ASC) AS rn
   FROM keyed
-)
+)"""
+
+
+_PIP_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     pts AS ({points_sql(2, 4)}),
+     {_pip_core_sql('pts')}
 SELECT p.point_id, b.eid AS closest_eid,
        CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
                           ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_id
@@ -2979,10 +2988,13 @@ WITH t AS (
 stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS l_total FROM b),
 scored AS (
   SELECT tf.doc_id,
-         CAST((CAST(((2 * n_docs - 2 * df_t + 1) * 1000000) // (2 * df_t + 1)
-                    AS HUGEINT) * 44 * tf * l_total)
-              // CAST(20 * tf * l_total + 6 * l_total + 18 * dl * n_docs
-                      AS HUGEINT) AS BIGINT) AS term_score
+         CAST((((2 * CAST(n_docs AS HUGEINT) - 2 * df_t + 1) * 1000000)
+               // (2 * df_t + 1))
+              * ((44 * CAST(tf AS HUGEINT) * l_total * 1000000000)
+                 // (20 * CAST(tf AS HUGEINT) * l_total
+                     + 6 * CAST(l_total AS HUGEINT)
+                     + 18 * CAST(dl AS HUGEINT) * n_docs))
+              // 1000000000 AS BIGINT) AS term_score
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 ), agg AS (
   SELECT doc_id, SUM(term_score) AS score FROM scored GROUP BY 1
@@ -3032,37 +3044,12 @@ WITH ea AS ({EDGES_A_SQL}),
   UNION ALL SELECT right_polygon_id, x1, y1 FROM eb
   UNION ALL SELECT right_polygon_id, x2, y2 FROM eb
 ), rep AS (
+  -- face 0 = exterior / no-polygon marker: never a containment subject
   SELECT f AS point_id, x AS px, y AS py FROM (
     SELECT *, row_number() OVER (PARTITION BY f ORDER BY x, y) AS rn FROM vb
+    WHERE f <> 0
   ) WHERE rn = 1
-), cand AS (
-  SELECT p.point_id, e.eid, e.x1, e.x2, e.a, e.b,
-         e.left_polygon_id, e.right_polygon_id,
-         (-e.a * p.px - e.c) AS n
-  FROM rep p, ea e
-  WHERE p.px >= least(e.x1, e.x2) AND p.px <= greatest(e.x1, e.x2)
-    AND p.px <> greatest(e.x1, e.x2)
-    AND (CASE WHEN (p.px * e.a + p.py * e.b + e.c) <> 0
-              THEN (p.px * e.a + p.py * e.b + e.c)
-              WHEN e.a <> 0 THEN e.a ELSE e.b END) < 0
-), keyed AS (
-  SELECT *,
-    (n - ((n % b) + b) % b) // b AS yk_hi,
-    ((((n % b) + b) % b) * 2147483648
-      - (((n % b) + b) % b) * 2147483648 % b) // b * 2147483648
-    + ((((n % b) + b) % b) * 2147483648 % b * 2147483648
-       - (((n % b) + b) % b) * 2147483648 % b * 2147483648 % b) // b AS yk_lo,
-    (a * 2147483648 - ((a * 2147483648) % b + b) % b) // b AS sk_hi,
-    (((a * 2147483648) % b + b) % b * 2147483648
-     - ((a * 2147483648) % b + b) % b * 2147483648 % b) // b AS sk_lo
-  FROM cand
-), best AS (
-  SELECT point_id, eid, x1, x2, left_polygon_id, right_polygon_id,
-         row_number() OVER (PARTITION BY point_id
-                            ORDER BY yk_hi ASC, yk_lo ASC,
-                                     sk_hi DESC, sk_lo DESC, eid ASC) AS rn
-  FROM keyed
-), located AS (
+), {_pip_core_sql('rep')}, located AS (
   SELECT p.point_id AS face_b,
          CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
                             ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_a

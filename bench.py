@@ -100,6 +100,14 @@ def _queries(spark, sf_dir):
         )
         return knn_points(qs, corpus, d.DERIVED_SCALING, d.DERIVED_GRID, k=3)
 
+    def q_nearest_edge():
+        # map matching: 200k points -> nearest lattice segment, exact
+        # limb-key argmin over cell-ring expansion (dense grid: most
+        # points resolve in rings 0-2)
+        from rayjoin_spark.operators.nearest import nearest_edge
+
+        return nearest_edge(lat_pts, ea, scaling, GridSpec(256))
+
     def q_tiles():
         return tile_aggregate(
             d.query_points(spark, sf_dir, residue=3, mod=4),
@@ -343,6 +351,7 @@ def _queries(spark, sf_dir):
         "pip_lattice": q_pip_lattice,
         "pip_derived": q_pip_derived,
         "knn_cellring": q_knn,
+        "nearest_edge": q_nearest_edge,
         "tile_counts": q_tiles,
         "range_clip": q_range_clip,
         "overlay_chains": q_overlay,

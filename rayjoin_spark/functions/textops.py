@@ -550,15 +550,19 @@ def bm25_rank(
     quantized: ``idf_q = ((2N - 2df + 1) * 10^6) DIV (2df + 1)`` (log is
     monotone, so per-term ranking order is preserved; absolute scores are
     a documented variant). The tf saturation keeps BM25's exact rational
-    form, cleared of denominators by 20*L (L = corpus token count):
+    form, cleared of denominators by 20*L (L = corpus token count) and
+    quantized to 10^9 BEFORE the idf product so every intermediate is
+    bounded at ANY corpus scale:
 
-        term = (idf_q * 44 * tf * L) DIV (20*tf*L + 6*L + 18*dl*N)
+        tf_sat_q = (44*tf*L*10^9) DIV (20*tf*L + 6*L + 18*dl*N)   < 2.2e9
+        term     = (idf_q * tf_sat_q) DIV 10^9
 
     which is idf_q * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
-    avgdl = L/N, scaled and floor-quantized. The product rides
-    decimal(38,0) (< 2^96 for N < 2^40), the DIV result is bigint, and
-    the doc score is the bigint sum over query terms; ties break on
-    id ascending.
+    avgdl = L/N, floor-quantized twice. All multiplications ride
+    decimal(38,0): tf_sat's numerator needs tf*L*4.4e10 < 10^38 (holds
+    through L ~ 10^15 tokens, tf ~ 10^7 — far past 100 TB), and the
+    idf product is <= 2e18 * 2.2e9 < 10^28. Doc score = bigint sum over
+    query terms; ties break on id ascending.
 
     Scale shape: tf explode + groupBy (map-side combinable) filtered to
     the query's terms FIRST (candidate set, not the corpus); df_t/N/L
@@ -592,14 +596,25 @@ def bm25_rank(
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf_q",
-            F.expr("((2 * n_docs - 2 * df_t + 1) * 1000000) DIV (2 * df_t + 1)"),
+            F.expr(
+                f"((2 * CAST(n_docs AS {d38}) - 2 * df_t + 1) * 1000000)"
+                " DIV (2 * df_t + 1)"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "tf_sat_q",
+            F.expr(
+                f"(44 * CAST(tf AS {d38}) * l_total * 1000000000)"
+                f" DIV (20 * CAST(tf AS {d38}) * l_total"
+                f"      + 6 * CAST(l_total AS {d38})"
+                f"      + 18 * CAST(dl AS {d38}) * n_docs)"
+            ).cast("bigint"),
         )
         .withColumn(
             "term_score",
-            F.expr(
-                f"(CAST(idf_q AS {d38}) * 44 * tf * l_total)"
-                f" DIV CAST(20 * tf * l_total + 6 * l_total + 18 * dl * n_docs AS {d38})"
-            ).cast("bigint"),
+            F.expr(f"(CAST(idf_q AS {d38}) * tf_sat_q) DIV 1000000000").cast(
+                "bigint"
+            ),
         )
     )
     agg = scored.groupBy(id_col).agg(F.sum("term_score").alias("score"))

@@ -171,7 +171,11 @@ def face_within(
         ).alias("v")
     ).select("v.f", "v.x", "v.y")
     rep = (
-        vb.groupBy("f")
+        # face 0 is the exterior / "no polygon" marker (reference
+        # src/map/map.h:52-60): the unbounded face is not a polygon and
+        # must never be reported as contained
+        vb.filter(F.col("f") != 0)
+        .groupBy("f")
         .agg(F.min(F.struct("x", "y")).alias("m"))
         .select(
             F.col("f").alias("point_id"),

@@ -39,7 +39,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rayjoin_spark.operators.knn import _ring_offsets
-from rayjoin_spark.plans.cells import explode_edges_to_cells
+from rayjoin_spark.plans.cells import (
+    SPLIT_CELLS_DEFAULT,
+    edge_cell_stats,
+    explode_edges_to_cells,
+)
 from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
 #: 2^59 as a decimal literal for the fractional limb shifts
@@ -111,8 +115,17 @@ def nearest_edge(
         max_rounds = 2 * grid.grid_size + 2
     cell_w = int(1.0 / grid.cell_scale)
 
+    # long-edge pre-split, same 'auto' decision as lsi_join / PipIndex:
+    # a long diagonal segment at a fine grid would otherwise explode its
+    # bbox QUADRATICALLY (plans/cells.py module doc). dropDuplicates
+    # below already absorbs the fragment-seam duplicate (cell, eid) rows.
+    k = None
+    (_, span, _, _) = edge_cell_stats(edges, grid)
+    if span > SPLIT_CELLS_DEFAULT:
+        k = SPLIT_CELLS_DEFAULT
+
     ec = (
-        explode_edges_to_cells(edges, grid)
+        explode_edges_to_cells(edges, grid, k)
         .select(
             F.col("cx").alias("ecx"),
             F.col("cy").alias("ecy"),

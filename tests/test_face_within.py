@@ -44,3 +44,13 @@ def test_face_within_nested_crossing_disjoint(spark):
     )
     got = {(r.face_b, r.face_a) for r in face_within(ea, eb, GridSpec(16)).collect()}
     assert got == {(2, 1)}, got
+
+
+def test_face_within_exterior_face_never_contained(spark):
+    # nested-only pair with NO boundary crossings anywhere: B's exterior
+    # face 0 must not be reported (regression: its rep vertex — the
+    # global lex-min B vertex — always locates inside some A face)
+    ea = _edges(spark, _square(0, 1, 0, 0, 100))
+    eb = _edges(spark, _square(100, 2, 20, 20, 30))
+    got = {(r.face_b, r.face_a) for r in face_within(ea, eb, GridSpec(16)).collect()}
+    assert got == {(2, 1)}, got

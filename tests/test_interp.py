@@ -30,14 +30,9 @@ def test_idw_exact_hit_and_far_fallback(spark):
 
 
 def test_idw_weight_floor_zero_falls_back_to_nearest(spark):
-    # identity-ish snap over a huge bbox makes dist2 exceed IDW_SCALE:
-    # every weight floors to 0 -> nearest sample's value verbatim
-    from rayjoin_spark.plans.scaling import INTERNAL_MAX, INTERNAL_MIN
-
-    ident = Scaling.from_bbox(
-        float(INTERNAL_MIN + 1), float(INTERNAL_MAX - 1),
-        float(INTERNAL_MIN + 1), float(INTERNAL_MAX - 1),
-    )
+    # identity snap over the full internal domain makes dist2 exceed
+    # IDW_SCALE: every weight floors to 0 -> nearest sample's value
+    ident = Scaling.identity()
     corpus = spark.createDataFrame(
         [(1, 0.0, 0.0, 42), (2, float(1 << 27), 0.0, 99)],
         "corpus_id bigint, x double, y double, v bigint",

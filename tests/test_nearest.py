@@ -12,14 +12,10 @@ from fractions import Fraction
 from pyspark.sql import functions as F
 
 from rayjoin_spark.operators.nearest import nearest_edge
-from rayjoin_spark.plans.scaling import INTERNAL_MAX, INTERNAL_MIN, GridSpec, Scaling
+from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
-#: identity snap: bbox sized so rx=ry=1, dx=dy=0 — double inputs that are
-#: integers pass through unchanged (all < 2^53, exactly representable)
-IDENT = Scaling.from_bbox(
-    float(INTERNAL_MIN + 1), float(INTERNAL_MAX - 1),
-    float(INTERNAL_MIN + 1), float(INTERNAL_MAX - 1),
-)
+#: identity snap: integer-valued double inputs pass through unchanged
+IDENT = Scaling.identity()
 
 
 def _d2_exact(qx, qy, x1, y1, x2, y2):
