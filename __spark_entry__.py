@@ -277,6 +277,29 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_hops(_host_edges(spark, sf_dir), seeds, max_hops=8)
 
 
+def q_sssp_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-weighted single-source shortest path (Bellman-Ford
+    rounds, early exit on convergence) from seed h0 over the derived
+    host graph; deterministic weights 1 + (3*src + 5*dst) % 7. Oracle:
+    hop-bounded recursive CTE taking MIN(cost)."""
+    from rayjoin_spark.operators import graph
+
+    e = _host_edges(spark, sf_dir).select(
+        "src",
+        "dst",
+        (
+            1
+            + F.pmod(
+                3 * F.substring("src", 2, 10).cast("long")
+                + 5 * F.substring("dst", 2, 10).cast("long"),
+                7,
+            )
+        ).alias("w"),
+    )
+    seeds = spark.createDataFrame([("h0",)], "node string")
+    return graph.sssp(e, seeds, max_rounds=12)
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2332,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_interpolate": q_idw_interpolate,
         "face_within": q_face_within,
         "bfs_hops": q_bfs_hops,
+        "sssp_hosts": q_sssp_hosts,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3329,6 +3353,25 @@ walk(node, hops) AS (
   WHERE w.hops < 8
 )
 SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY 1
+"""
+
+
+_SSSP_SQL = f"""
+WITH RECURSIVE {_HOST_EDGES_SQL.strip()},
+ew AS (
+  SELECT src, dst,
+         1 + (3 * CAST(substr(src, 2) AS BIGINT)
+              + 5 * CAST(substr(dst, 2) AS BIGINT)) % 7 AS w
+  FROM e
+),
+walk(node, cost, hops) AS (
+  SELECT 'h0', CAST(0 AS BIGINT), 0
+  UNION
+  SELECT ew.dst, wk.cost + ew.w, wk.hops + 1
+  FROM walk wk JOIN ew ON ew.src = wk.node
+  WHERE wk.hops < 12
+)
+SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY 1
 """
 
 
@@ -5069,6 +5112,7 @@ FROM agg
         "idw_interpolate": _IDW_SQL,
         "face_within": _FACE_WITHIN_SQL,
         "bfs_hops": _BFS_HOPS_SQL,
+        "sssp_hosts": _SSSP_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

@@ -235,3 +235,64 @@ def bfs_hops(
     for d in out[1:]:
         res = res.unionByName(d)
     return res.select("node", F.col("hops").cast("bigint").alias("hops"))
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Single-source shortest path with integer edge weights —
+    Bellman-Ford as synchronous rounds: (node, cost) = minimum total
+    weight over paths of <= max_rounds edges from any seed. With
+    max_rounds >= the graph's hop diameter this IS the shortest path;
+    the round cap is part of the deterministic contract (mirrored by the
+    oracle's hop-bounded recursion), not an approximation knob.
+
+    Per round: relax = dist JOIN edges on src (one shuffle) -> candidate
+    (dst, cost + w) -> min groupBy (map-side combinable) -> min-merge
+    with the standing table. The frame is eagerly localCheckpoint-ed per
+    round (house iterative pattern) and the loop exits early when a
+    round improves nothing (one tiny agg on the merged frame).
+
+    Weights are assumed >= 0: the early exit is only equivalent to the
+    bounded-rounds contract under nonnegative weights (no validation
+    pass is spent on it — at scale an extra full edge scan per call is
+    real money; callers own the invariant).
+    """
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(weight).cast("bigint").alias("_w"),
+    )
+    for _ in range(max_rounds):
+        relax = (
+            dist.join(e, dist["node"] == e["_s"], "inner")
+            .select(F.col("_d").alias("node"), (F.col("cost") + F.col("_w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        merged = (
+            dist.withColumnRenamed("cost", "c0")
+            .join(relax.withColumnRenamed("cost", "c1"), "node", "full_outer")
+            .select(
+                "node",
+                F.least("c0", "c1").alias("cost"),
+                (F.col("c1").isNotNull() & (F.col("c0").isNull() | (F.col("c1") < F.col("c0")))).alias("_imp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = not merged.filter("_imp").isEmpty()
+        dist = merged.drop("_imp")
+        if not improved:
+            break
+    return dist.select("node", F.col("cost").cast("bigint").alias("cost"))
