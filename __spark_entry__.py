@@ -300,6 +300,33 @@ def q_sssp_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.sssp(e, seeds, max_rounds=12)
 
 
+def q_tile_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile top-3 hosts (geo x webtext composition): geocoded pages
+    -> Web-Mercator tiles at zoom 5 -> per-(tile, host) counts -> skew-
+    safe per-group rank (plans/ranking.grouped_index — no mega-group
+    single-task window), ties count desc then host asc."""
+    from rayjoin_spark.functions.cellcodes import web_mercator_tiles
+    from rayjoin_spark.plans.ranking import grouped_index
+
+    d = _docs(spark, sf_dir)
+    pts = _geo_pts(d).withColumn(
+        "host",
+        F.concat(
+            F.lit("site"), F.pmod("doc_id", 97).cast("string"), F.lit(".example")
+        ),
+    )
+    t = web_mercator_tiles(pts, zoom=5)
+    c = (
+        t.groupBy("tx", "ty", "host")
+        .agg(F.count("*").alias("n_pages"))
+        .withColumn("neg_n", -F.col("n_pages"))
+    )
+    rk = grouped_index(c, ["tx", "ty"], ["neg_n", "host"], "rnk")
+    return rk.filter(F.col("rnk") < 3).select(
+        "tx", "ty", "host", "n_pages", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2356,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "face_within": q_face_within,
         "bfs_hops": q_bfs_hops,
         "sssp_hosts": q_sssp_hosts,
+        "tile_top_hosts": q_tile_top_hosts,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3111,6 +3139,37 @@ SELECT l.face_b, l.face_a FROM located l
 WHERE l.face_a <> 0
   AND NOT EXISTS (SELECT 1 FROM poison w
                   WHERE w.face_a = l.face_a AND w.face_b = l.face_b)
+"""
+
+_TILE_TOP_HOSTS_SQL = """
+WITH pts AS (
+  SELECT doc_id,
+         CAST((doc_id * 2654435761) % 360000001 - 180000000 AS BIGINT) AS lon_udeg,
+         CAST((doc_id * 2246822519) % 170000001 - 85000000 AS BIGINT) AS lat_udeg,
+         'site' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host
+  FROM documents
+), r AS (
+  SELECT *,
+         CAST(greatest(-85051130, least(85051130, lat_udeg)) AS DOUBLE)
+           / 1000000.0 * (pi() / 180.0) AS lr
+  FROM pts
+), t AS (
+  SELECT host,
+         greatest(CAST(0 AS BIGINT), least(CAST(31 AS BIGINT),
+           ((lon_udeg + 180000000) * 32) // 360000000)) AS tx,
+         greatest(CAST(0 AS BIGINT), least(CAST(31 AS BIGINT),
+           CAST(floor((1.0 - ln(tan(lr) + sqrt(tan(lr) * tan(lr) + 1.0)) / pi())
+                      / 2.0 * 32.0) AS BIGINT))) AS ty
+  FROM r
+), c AS (
+  SELECT tx, ty, host, COUNT(*) AS n_pages FROM t GROUP BY 1, 2, 3
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY tx, ty
+                               ORDER BY n_pages DESC, host ASC) AS rn
+  FROM c
+)
+SELECT tx, ty, host, n_pages, CAST(rn - 1 AS BIGINT) AS rnk
+FROM rk WHERE rn <= 3
 """
 
 _DECONTAMINATE_SQL = """
@@ -5113,6 +5172,7 @@ FROM agg
         "face_within": _FACE_WITHIN_SQL,
         "bfs_hops": _BFS_HOPS_SQL,
         "sssp_hosts": _SSSP_SQL,
+        "tile_top_hosts": _TILE_TOP_HOSTS_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),
