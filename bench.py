@@ -461,12 +461,15 @@ def _scaling_queries(spark, only: str | None = None):
     def q_minhash_big():
         return textops.minhash_signatures(pages)
 
+    # keep list: the per-query cleanup clearCache()s and then re-pins
+    # these, so a multi-query --suite-once run doesn't time later
+    # queries with the edge build back inside the measured window
     return {
         "lsi_big": q_lsi_big,
         "pip_big": q_pip_big,
         "minhash_big": q_minhash_big,
         "lsi_big_unsalted": q_lsi_big_unsalted,
-    }
+    }, ([ea, eb] if need_lattice else [])
 
 
 def run_suite(
@@ -488,14 +491,18 @@ def run_suite(
     if scaling_suite:
         # fixed partition count at BOTH levels makes the two runs truly
         # "same plan, same tasks" (only the executor count differs — the
-        # cluster-scaling analogy); default 4x the larger level
-        shuffle = int(fixed) if fixed else 4 * cpus
+        # cluster-scaling analogy); default 4x the LARGER level, derived
+        # from SPARK_GRAFT_SCALING_N so the N and 4N subprocesses agree
+        # (a per-level 4*cpus would give the legs different task
+        # decompositions and conflate core scaling with granularity)
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+        shuffle = int(fixed) if fixed else 4 * (4 * n_small)
     else:
         shuffle = cpus
     spark = get_spark(f"bench_{cpus}", cpus=cpus, shuffle_partitions=shuffle)
     keep, index_build = [], {}
     if scaling_suite:
-        qs = _scaling_queries(spark, only)
+        qs, keep = _scaling_queries(spark, only)
     else:
         qs, keep, index_build = _queries(spark, sf_dir)
         for d_ in keep:
@@ -543,18 +550,31 @@ def run_suite(
             spark.sparkContext._jvm.System.gc()
         if warmup or (not scaling_suite and not overlay_like and n_rep > 1):
             build().write.format("noop").mode("overwrite").save()  # JIT warm
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         best = None
+        n_rows = None
         for i in range(n_rep):
+            obs = Observation()
             t0 = time.time()
             df = build()
-            df.write.format("noop").mode("overwrite").save()
+            # row count observed on the SAME forced pass (a trailing
+            # df.count() would re-execute every query one full extra,
+            # untimed time — another 1M-point locate for pip_biggrid);
+            # the observe node is attached in every repeat so all timed
+            # plans stay identical
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
             dt = time.time() - t0
+            n_rows = obs.get["n"]
             if overlay_like and i == 0:
                 cold_times[f"{name}_cold_s"] = round(dt, 3)
             best = dt if best is None else min(best, dt)  # min-of-N: the
             # machine is shared; min is the least noise-contaminated sample
         times[name] = round(best, 3)
-        counts[name] = df.count()
+        counts[name] = n_rows
         # drop DataFrame caches + checkpointed RDDs the query left behind:
         # pinned blocks from one query otherwise evict/spill the next
         # query's shuffle working set and poison its timing

@@ -32,11 +32,15 @@ def streaming_tile_counts(
     window: str = "5 minutes",
 ) -> DataFrame:
     """readStream(pages) -> geocode -> watermarked windowed tile counts."""
+    from rayjoin_spark.operators.tiles import tile_of
+
     g = geocode_pages(pages_stream, *bbox)
+    # same cell->tile convention as the batch tile_aggregate (one code
+    # path for the tiling rule, so stream and batch tiles can't diverge)
     g = g.withColumn(
-        "tile_x", F.shiftright(grid.cell_of(scaling.scale_x(F.col("x"))), shift)
+        "tile_x", tile_of(grid.cell_of(scaling.scale_x(F.col("x"))), shift)
     ).withColumn(
-        "tile_y", F.shiftright(grid.cell_of(scaling.scale_y(F.col("y"))), shift)
+        "tile_y", tile_of(grid.cell_of(scaling.scale_y(F.col("y"))), shift)
     )
     return (
         g.withWatermark("warc_ts", watermark)
@@ -93,7 +97,13 @@ def sessionize_hosts(
                     start, np_, nb = t, 0, 0
                 if start is None:
                     start = t
-                last = t
+                else:
+                    # late-but-in-watermark event: extends the OPEN
+                    # session backward, never moves the frontier back
+                    # (a backward `last` would falsely split a continuous
+                    # session on the next on-time event)
+                    start = min(start, t)
+                last = t if last is None else max(last, t)
                 np_ += 1
                 nb += int(sz)
             state.update((start, last, np_, nb))
@@ -112,7 +122,9 @@ def sessionize_hosts(
     ev = pages_stream.select(
         F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
         F.col("warc_ts"),
-        F.length("text").cast("long").alias("n_bytes"),
+        # octet_length: BYTES, as the column name promises (F.length is a
+        # character count and under-reports multibyte content ~3x for CJK)
+        F.octet_length("text").cast("long").alias("n_bytes"),
     ).withWatermark("warc_ts", watermark)
     return ev.groupBy("host").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
@@ -130,9 +142,12 @@ def dedup_pages_stream(
     (plain dropDuplicates on a stream grows state forever — the thing
     that kills a long-running 100-TB ingest); duplicates farther apart
     than the horizon are left to the batch dedup pass downstream."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    from rayjoin_spark.functions.textops import fingerprint
+
+    # the BATCH fingerprint op, verbatim — stream/batch dedup parity is
+    # the contract, so the normalization must be the same code object
     return (
-        pages_stream.withColumn("fingerprint", F.md5(F.encode(norm, "UTF-8")))
+        fingerprint(pages_stream)
         .withWatermark("warc_ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
@@ -203,13 +218,27 @@ def stream_locate_pages(
     """foreachBatch: per epoch, geocode + PIP-locate the micro-batch in the
     static layer, call sink(df, epoch_id). Returns the DataStreamWriter
     (caller .start()s it with its own checkpointLocation)."""
+    from rayjoin_spark.operators.pip import PipIndex
     from rayjoin_spark.sources.pages import locate_pages
 
+    # the layer is static: build the PipIndex ONCE (stays cached across
+    # epochs — the documented repeated-locate pattern); each epoch's
+    # OTHER internal persists (stepped/accepted) are released after the
+    # sink, or a long-running stream accumulates two pinned frames per
+    # epoch until eviction churn (pip_locate docstring)
+    ix = PipIndex(base_edges, grid)
+
     def handle(batch_df: DataFrame, epoch_id: int):
+        epoch_caches: list = []
         located = locate_pages(
-            geocode_pages(batch_df, *bbox), base_edges, scaling, grid
+            geocode_pages(batch_df, *bbox), base_edges, scaling, grid,
+            index=ix, caches=epoch_caches,
         )
-        sink(located, epoch_id)
+        try:
+            sink(located, epoch_id)
+        finally:
+            for c in epoch_caches:
+                c.unpersist()
 
     return pages_stream.writeStream.foreachBatch(handle)
 
