@@ -327,6 +327,22 @@ def q_tile_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route geodesic length over the microdegree fixture (routes =
+    doc_id % 97, sequenced by doc_id): haversine legs meter-rounded
+    BEFORE the bigint sum, so the total is order-independent and
+    engine-exact (geo_dist_join's determinism discipline)."""
+    from rayjoin_spark.operators.knn import route_length
+
+    pts = _geo_pts(_docs(spark, sf_dir)).select(
+        F.pmod(F.col("doc_id"), 97).alias("route_id"),
+        F.col("doc_id").alias("seq"),
+        "lon_udeg",
+        "lat_udeg",
+    )
+    return route_length(pts).select("route_id", "n_points", "length_m")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2384,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "sssp_hosts": q_sssp_hosts,
         "tile_top_hosts": q_tile_top_hosts,
+        "route_length": q_route_length,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3170,6 +3187,35 @@ WITH pts AS (
 )
 SELECT tx, ty, host, n_pages, CAST(rn - 1 AS BIGINT) AS rnk
 FROM rk WHERE rn <= 3
+"""
+
+_ROUTE_LENGTH_SQL = """
+WITH pts AS (
+  SELECT doc_id % 97 AS route_id, doc_id AS seq,
+         CAST((doc_id * 2654435761) % 360000001 - 180000000 AS BIGINT) AS lon_udeg,
+         CAST((doc_id * 2246822519) % 170000001 - 85000000 AS BIGINT) AS lat_udeg
+  FROM documents
+), lagged AS (
+  SELECT route_id, lon_udeg, lat_udeg,
+         lag(lon_udeg) OVER (PARTITION BY route_id ORDER BY seq) AS plon,
+         lag(lat_udeg) OVER (PARTITION BY route_id ORDER BY seq) AS plat
+  FROM pts
+), legs AS (
+  SELECT route_id,
+         CASE WHEN plon IS NULL THEN NULL ELSE
+           CAST(round(12742000.0 * asin(sqrt(
+             sin(CAST(lat_udeg - plat AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+               * sin(CAST(lat_udeg - plat AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+             + cos(CAST(plat AS DOUBLE) * (pi() / 180.0 / 1000000.0))
+               * cos(CAST(lat_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0))
+               * sin(CAST(lon_udeg - plon AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+               * sin(CAST(lon_udeg - plon AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+           ))) AS BIGINT) END AS leg_m
+  FROM lagged
+)
+SELECT route_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COALESCE(SUM(leg_m), 0) AS BIGINT) AS length_m
+FROM legs GROUP BY 1
 """
 
 _DECONTAMINATE_SQL = """
@@ -5173,6 +5219,7 @@ FROM agg
         "bfs_hops": _BFS_HOPS_SQL,
         "sssp_hosts": _SSSP_SQL,
         "tile_top_hosts": _TILE_TOP_HOSTS_SQL,
+        "route_length": _ROUTE_LENGTH_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

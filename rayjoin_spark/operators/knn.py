@@ -388,3 +388,54 @@ def geo_dist_join(
             "dist_m",
         )
     )
+
+
+def route_length(
+    points: DataFrame,
+    route_id: str = "route_id",
+    seq: str = "seq",
+    lon: str = "lon_udeg",
+    lat: str = "lat_udeg",
+) -> DataFrame:
+    """Per-route geodesic length: the haversine sum over consecutive
+    points ordered by ``seq`` — the trajectory/route analytic on the
+    same microdegree fixture as `geo_dist_join`.
+
+    Determinism discipline (same as geo_dist_join's verify): each LEG is
+    meter-rounded to bigint BEFORE the sum, so the per-route total is an
+    exact integer sum — order-independent under any partitioning, and
+    bit-identical across engines evaluating the same double formula on
+    the same quantized inputs. Returns (route_id, n_points, length_m).
+
+    Scale shape: one window (lag) partitioned by route + one map-side
+    combinable groupBy; a monster route is a single window partition —
+    for billion-point routes, pre-split by (route, coarse seq range) and
+    sum the per-range outputs (the lag seam legs are the ranges' border
+    pairs).
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_rid").orderBy("_seq")
+    p = points.select(
+        F.col(route_id).alias("_rid"),
+        F.col(seq).alias("_seq"),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+    )
+    p = p.withColumn("_plon", F.lag("_lon").over(w)).withColumn(
+        "_plat", F.lag("_lat").over(w)
+    )
+    rad = _math.pi / 180.0 / 1e6
+    la1 = F.col("_plat").cast("double") * F.lit(rad)
+    la2 = F.col("_lat").cast("double") * F.lit(rad)
+    dla = (F.col("_lat") - F.col("_plat")).cast("double") * F.lit(rad) / F.lit(2.0)
+    dlo = (F.col("_lon") - F.col("_plon")).cast("double") * F.lit(rad) / F.lit(2.0)
+    h = F.sin(dla) * F.sin(dla) + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
+    leg_m = F.round(F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(h))).cast("bigint")
+    p = p.withColumn("_leg", F.when(F.col("_plon").isNotNull(), leg_m))
+    return p.groupBy("_rid").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.coalesce(F.sum("_leg"), F.lit(0)).cast("bigint").alias("length_m"),
+    ).select(F.col("_rid").alias(route_id), "n_points", "length_m")
