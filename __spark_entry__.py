@@ -343,6 +343,39 @@ def q_route_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_length(pts).select("route_id", "n_points", "length_m")
 
 
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix: per trip (orders residue 2 mod 16),
+    origin and destination points locate in layer A via TWO pip_locates
+    sharing ONE PipIndex; flows aggregate per (face_o, face_d). The
+    movement-analytics composition (same id, two coordinate pairs).
+    Oracle: the exact-limb brute-force PIP chain twice (suffixed CTEs)
+    + a join + groupBy."""
+    from rayjoin_spark.operators.pip import PipIndex, pip_locate
+
+    o_pts = derived.query_points(spark, sf_dir, residue=2, mod=16)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.pmod(F.col("o_orderkey"), 16) == 2
+    )
+    d_pts = orders.select(
+        F.col("o_orderkey").alias("point_id"),
+        F.pmod(F.col("o_orderkey") * 28657, derived.P).cast("double").alias("x"),
+        F.pmod(F.col("o_orderkey") * 14449, derived.P).cast("double").alias("y"),
+    )
+    ea = derived.edges_a(spark, sf_dir)
+    ix = PipIndex(ea, DERIVED_GRID)
+    lo = pip_locate(o_pts, ea, DERIVED_SCALING, DERIVED_GRID, index=ix).select(
+        "point_id", F.col("face_id").alias("face_o")
+    )
+    ld = pip_locate(d_pts, ea, DERIVED_SCALING, DERIVED_GRID, index=ix).select(
+        "point_id", F.col("face_id").alias("face_d")
+    )
+    return (
+        lo.join(ld, "point_id")
+        .groupBy("face_o", "face_d")
+        .agg(F.count("*").alias("n_trips"))
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2401,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hosts": q_sssp_hosts,
         "tile_top_hosts": q_tile_top_hosts,
         "route_length": q_route_length,
+        "od_matrix": q_od_matrix,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -2451,12 +2485,14 @@ WHERE ((e_a1 > 0) <> (e_a2 > 0)) AND ((e_b1 > 0) <> (e_b2 > 0))
         OR (ax1 = bx2 AND ay1 = by2 AND ax2 = bx1 AND ay2 = by1))
 """
 
-def _pip_core_sql(pts_cte: str) -> str:
+def _pip_core_sql(pts_cte: str, sfx: str = "") -> str:
     """Brute-force exact-limb PIP argmin CTE chain (cand/keyed/best) over
     an `ea` edge CTE; `pts_cte` must expose (point_id, px, py). Shared by
-    _PIP_SQL and _FACE_WITHIN_SQL so the trickiest SQL in this file (the
-    two-limb floor-division keys mirroring operators/pip.py) lives once."""
-    return f"""cand AS (
+    _PIP_SQL / _FACE_WITHIN_SQL / _OD_MATRIX_SQL so the trickiest SQL in
+    this file (the two-limb floor-division keys mirroring
+    operators/pip.py) lives once. ``sfx`` suffixes the CTE names so two
+    chains can coexist in one query."""
+    return f"""cand{sfx} AS (
   SELECT p.point_id, e.eid, e.x1, e.x2, e.a, e.b,
          e.left_polygon_id, e.right_polygon_id,
          (-e.a * p.px - e.c) AS n
@@ -2466,7 +2502,7 @@ def _pip_core_sql(pts_cte: str) -> str:
     AND (CASE WHEN (p.px * e.a + p.py * e.b + e.c) <> 0
               THEN (p.px * e.a + p.py * e.b + e.c)
               WHEN e.a <> 0 THEN e.a ELSE e.b END) < 0
-), keyed AS (
+), keyed{sfx} AS (
   SELECT *,
     (n - ((n % b) + b) % b) // b AS yk_hi,
     ((((n % b) + b) % b) * 2147483648
@@ -2476,13 +2512,13 @@ def _pip_core_sql(pts_cte: str) -> str:
     (a * 2147483648 - ((a * 2147483648) % b + b) % b) // b AS sk_hi,
     (((a * 2147483648) % b + b) % b * 2147483648
      - ((a * 2147483648) % b + b) % b * 2147483648 % b) // b AS sk_lo
-  FROM cand
-), best AS (
+  FROM cand{sfx}
+), best{sfx} AS (
   SELECT point_id, eid, x1, x2, left_polygon_id, right_polygon_id,
          row_number() OVER (PARTITION BY point_id
                             ORDER BY yk_hi ASC, yk_lo ASC,
                                      sk_hi DESC, sk_lo DESC, eid ASC) AS rn
-  FROM keyed
+  FROM keyed{sfx}
 )"""
 
 
@@ -3216,6 +3252,32 @@ WITH pts AS (
 SELECT route_id, CAST(COUNT(*) AS BIGINT) AS n_points,
        CAST(COALESCE(SUM(leg_m), 0) AS BIGINT) AS length_m
 FROM legs GROUP BY 1
+"""
+
+_OD_MATRIX_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     o AS ({points_sql(2, 16)}),
+     d AS (
+  SELECT o_orderkey AS point_id,
+         {derived._snap_sql(f'CAST((o_orderkey * 28657) % {derived.P} AS DOUBLE)', 'x')} AS px,
+         {derived._snap_sql(f'CAST((o_orderkey * 14449) % {derived.P} AS DOUBLE)', 'y')} AS py
+  FROM orders WHERE o_orderkey % 16 = 2
+),
+{_pip_core_sql('o', '_o')},
+{_pip_core_sql('d', '_d')},
+lo AS (
+  SELECT p.point_id,
+         CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
+                            ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_o
+  FROM o p LEFT JOIN (SELECT * FROM best_o WHERE rn = 1) b USING (point_id)
+), ld AS (
+  SELECT p.point_id,
+         CAST(COALESCE(CASE WHEN b.x1 < b.x2 THEN b.right_polygon_id
+                            ELSE b.left_polygon_id END, 0) AS BIGINT) AS face_d
+  FROM d p LEFT JOIN (SELECT * FROM best_d WHERE rn = 1) b USING (point_id)
+)
+SELECT face_o, face_d, COUNT(*) AS n_trips
+FROM lo JOIN ld USING (point_id) GROUP BY 1, 2
 """
 
 _DECONTAMINATE_SQL = """
@@ -5220,6 +5282,7 @@ FROM agg
         "sssp_hosts": _SSSP_SQL,
         "tile_top_hosts": _TILE_TOP_HOSTS_SQL,
         "route_length": _ROUTE_LENGTH_SQL,
+        "od_matrix": _OD_MATRIX_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),
