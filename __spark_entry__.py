@@ -376,6 +376,21 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style hotspot flags over the tile-count raster:
+    integer cross-multiplied 'local 3x3 mass vs uniform expectation'
+    decision, no float z-score (operators/tiles.hotspot_tiles)."""
+    from rayjoin_spark.operators.tiles import hotspot_tiles, tile_aggregate
+
+    t = tile_aggregate(
+        derived.query_points(spark, sf_dir, residue=3, mod=4),
+        DERIVED_SCALING,
+        DERIVED_GRID,
+        shift=3,
+    )
+    return hotspot_tiles(t).select("tile_x", "tile_y", "n_points", "nbr_sum", "hot")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2435,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_top_hosts": q_tile_top_hosts,
         "route_length": q_route_length,
         "od_matrix": q_od_matrix,
+        "hotspot_tiles": q_hotspot_tiles,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3278,6 +3294,29 @@ lo AS (
 )
 SELECT face_o, face_d, COUNT(*) AS n_trips
 FROM lo JOIN ld USING (point_id) GROUP BY 1, 2
+"""
+
+_HOTSPOT_SQL = f"""
+WITH pts AS ({points_sql(3, 4)}),
+t AS (
+  SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
+         CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), stats AS (SELECT COUNT(*) AS n_tiles, SUM(n) AS total FROM t),
+probes AS (
+  SELECT t.tile_x, t.tile_y, t.n,
+         t.tile_x + dx.v AS nx, t.tile_y + dy.v AS ny
+  FROM t, (VALUES (-1), (0), (1)) dx(v), (VALUES (-1), (0), (1)) dy(v)
+), agg AS (
+  SELECT p.tile_x, p.tile_y, p.n,
+         SUM(COALESCE(nb.n, 0)) AS nbr_sum
+  FROM probes p LEFT JOIN t nb ON nb.tile_x = p.nx AND nb.tile_y = p.ny
+  GROUP BY 1, 2, 3
+)
+SELECT tile_x, tile_y, n AS n_points, CAST(nbr_sum AS BIGINT) AS nbr_sum,
+       nbr_sum * n_tiles * 100 > 9 * total * 150 AS hot
+FROM agg CROSS JOIN stats
 """
 
 _DECONTAMINATE_SQL = """
@@ -5283,6 +5322,7 @@ FROM agg
         "tile_top_hosts": _TILE_TOP_HOSTS_SQL,
         "route_length": _ROUTE_LENGTH_SQL,
         "od_matrix": _OD_MATRIX_SQL,
+        "hotspot_tiles": _HOTSPOT_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

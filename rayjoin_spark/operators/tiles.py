@@ -209,3 +209,79 @@ def tile_pyramid(
     if value_col:
         aggs.append(F.sum(value_col).alias("sum_value"))
     return p.groupBy("zoom", "tile_x", "tile_y").agg(*aggs)
+
+
+def hotspot_tiles(
+    tiles: DataFrame,
+    hot_pct: int = 150,
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Getis-Ord-style hotspot flags over a tile-count raster, integer-
+    quantized: a tile is HOT when its 3x3 neighborhood sum exceeds
+    ``hot_pct`` percent of the neighborhood's expected mass under a
+    uniform spread,
+
+        hot  <=>  nbr_sum * n_tiles * 100 > 9 * total * hot_pct
+
+    — one cross-multiplied bigint comparison, no float z-score (the
+    classic Gi* divides by a stddev; this variant keeps the same "local
+    mass vs global expectation" decision boundary in exact integers, so
+    both engines agree bit-for-bit). Empty neighbor tiles contribute 0
+    (only OCCUPIED tiles generate rows; a tile bordering the void is
+    judged on what's actually there).
+
+    Scale shape: one bounded 9-way offset explode on the (already
+    aggregated, tile-table-sized) input + one equi-join on the tile key
+    + one combinable groupBy — the cell-neighborhood pattern of
+    dist_join applied at raster level. n_tiles/total ride a broadcast
+    one-row frame.
+    """
+    t = tiles.select(
+        F.col("tile_x").cast("bigint"),
+        F.col("tile_y").cast("bigint"),
+        F.col(count_col).cast("bigint").alias("n"),
+    )
+    stats = t.agg(
+        F.count("*").alias("n_tiles"), F.sum("n").alias("total")
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = t.select(
+        "tile_x",
+        "tile_y",
+        "n",
+        F.explode(offs).alias("o"),
+    ).select(
+        "tile_x",
+        "tile_y",
+        "n",
+        (F.col("tile_x") + F.col("o.dx")).alias("nx"),
+        (F.col("tile_y") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = t.select(
+        F.col("tile_x").alias("nx"), F.col("tile_y").alias("ny"),
+        F.col("n").alias("nn"),
+    )
+    agg = (
+        probes.join(nbr, ["nx", "ny"], "left")
+        .groupBy("tile_x", "tile_y", "n")
+        .agg(F.sum(F.coalesce("nn", F.lit(0))).alias("nbr_sum"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(stats))
+        .select(
+            "tile_x",
+            "tile_y",
+            F.col("n").alias("n_points"),
+            F.col("nbr_sum").cast("bigint").alias("nbr_sum"),
+            (
+                F.col("nbr_sum") * F.col("n_tiles") * F.lit(100)
+                > F.lit(9) * F.col("total") * F.lit(hot_pct)
+            ).alias("hot"),
+        )
+    )
