@@ -353,27 +353,30 @@ def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rayjoin_spark.operators.pip import PipIndex, pip_locate
 
     o_pts = derived.query_points(spark, sf_dir, residue=2, mod=16)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.pmod(F.col("o_orderkey"), 16) == 2
-    )
-    d_pts = orders.select(
-        F.col("o_orderkey").alias("point_id"),
-        F.pmod(F.col("o_orderkey") * 28657, derived.P).cast("double").alias("x"),
-        F.pmod(F.col("o_orderkey") * 14449, derived.P).cast("double").alias("y"),
-    )
+    d_pts = derived.query_points(spark, sf_dir, residue=2, mod=16, xm=28657, ym=14449)
     ea = derived.edges_a(spark, sf_dir)
     ix = PipIndex(ea, DERIVED_GRID)
-    lo = pip_locate(o_pts, ea, DERIVED_SCALING, DERIVED_GRID, index=ix).select(
-        "point_id", F.col("face_id").alias("face_o")
-    )
-    ld = pip_locate(d_pts, ea, DERIVED_SCALING, DERIVED_GRID, index=ix).select(
-        "point_id", F.col("face_id").alias("face_d")
-    )
-    return (
+    caches: list = []
+    lo = pip_locate(
+        o_pts, ea, DERIVED_SCALING, DERIVED_GRID, index=ix, caches=caches
+    ).select("point_id", F.col("face_id").alias("face_o"))
+    ld = pip_locate(
+        d_pts, ea, DERIVED_SCALING, DERIVED_GRID, index=ix, caches=caches
+    ).select("point_id", F.col("face_id").alias("face_d"))
+    out = (
         lo.join(ld, "point_id")
         .groupBy("face_o", "face_d")
         .agg(F.count("*").alias("n_trips"))
+        # eager cut: materialize the tiny flow table now so the locates'
+        # internal persists (and the index) can be released immediately —
+        # a 127-query gate session otherwise accumulates pinned frames
+        # (the pip_locate docstring's eviction-churn warning)
+        .localCheckpoint(eager=True)
     )
+    for c in caches:
+        c.unpersist()
+    ix.unpersist()
+    return out
 
 
 def q_hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:

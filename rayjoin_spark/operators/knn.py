@@ -238,6 +238,24 @@ def dist_join(
 EARTH_R_M = 6_371_000.0
 
 
+def _haversine_m(lon1, lat1, lon2, lat2):
+    """Meter-rounded haversine distance between two microdegree integer
+    (lon, lat) column pairs — bigint output. ONE copy of the formula:
+    its exact IEEE op order IS the cross-engine determinism contract
+    (the DuckDB oracles state the same expression term-for-term), so
+    every consumer (geo_dist_join, route_length) must go through here.
+    """
+    import math as _math
+
+    rad = _math.pi / 180.0 / 1e6
+    la1 = lat1.cast("double") * F.lit(rad)
+    la2 = lat2.cast("double") * F.lit(rad)
+    dla = (lat2 - lat1).cast("double") * F.lit(rad) / F.lit(2.0)
+    dlo = (lon2 - lon1).cast("double") * F.lit(rad) / F.lit(2.0)
+    h = F.sin(dla) * F.sin(dla) + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
+    return F.round(F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(h))).cast("bigint")
+
+
 def geo_dist_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -365,17 +383,9 @@ def geo_dist_join(
     j = probes.join(
         cp, (F.col("cx") == F.col("ccx")) & (F.col("cy") == F.col("ccy")), "inner"
     )
-    rad = math.pi / 180.0 / 1e6
-    la1 = F.col("qlat").cast("double") * F.lit(rad)
-    la2 = F.col("clat").cast("double") * F.lit(rad)
-    dla = (F.col("clat") - F.col("qlat")).cast("double") * F.lit(rad) / F.lit(2.0)
-    dlo = (F.col("clon") - F.col("qlon")).cast("double") * F.lit(rad) / F.lit(2.0)
-    h = (
-        F.sin(dla) * F.sin(dla)
-        + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
+    dist_m_i = _haversine_m(
+        F.col("qlon"), F.col("qlat"), F.col("clon"), F.col("clat")
     )
-    dist_m = F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(h))
-    dist_m_i = F.round(dist_m).cast("bigint")
     # self-joins pass the same id name for both sides: suffix the corpus
     # column so the output schema stays unambiguous
     out_cid = corpus_id if corpus_id != query_id else f"{corpus_id}_r"
@@ -413,8 +423,6 @@ def route_length(
     sum the per-range outputs (the lag seam legs are the ranges' border
     pairs).
     """
-    import math as _math
-
     from pyspark.sql import Window
 
     w = Window.partitionBy("_rid").orderBy("_seq")
@@ -427,13 +435,9 @@ def route_length(
     p = p.withColumn("_plon", F.lag("_lon").over(w)).withColumn(
         "_plat", F.lag("_lat").over(w)
     )
-    rad = _math.pi / 180.0 / 1e6
-    la1 = F.col("_plat").cast("double") * F.lit(rad)
-    la2 = F.col("_lat").cast("double") * F.lit(rad)
-    dla = (F.col("_lat") - F.col("_plat")).cast("double") * F.lit(rad) / F.lit(2.0)
-    dlo = (F.col("_lon") - F.col("_plon")).cast("double") * F.lit(rad) / F.lit(2.0)
-    h = F.sin(dla) * F.sin(dla) + F.cos(la1) * F.cos(la2) * F.sin(dlo) * F.sin(dlo)
-    leg_m = F.round(F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(h))).cast("bigint")
+    leg_m = _haversine_m(
+        F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+    )
     p = p.withColumn("_leg", F.when(F.col("_plon").isNotNull(), leg_m))
     return p.groupBy("_rid").agg(
         F.count("*").cast("bigint").alias("n_points"),

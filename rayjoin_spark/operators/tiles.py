@@ -279,9 +279,14 @@ def hotspot_tiles(
             "tile_y",
             F.col("n").alias("n_points"),
             F.col("nbr_sum").cast("bigint").alias("nbr_sum"),
+            # decimal(38,0) on both sides: at planet scale (total ~1e10,
+            # n_tiles ~1e8) the int64 product wraps silently while the
+            # HUGEINT oracle doesn't — the bm25 overflow lesson applied
             (
-                F.col("nbr_sum") * F.col("n_tiles") * F.lit(100)
-                > F.lit(9) * F.col("total") * F.lit(hot_pct)
+                F.col("nbr_sum").cast("decimal(38,0)")
+                * F.col("n_tiles")
+                * F.lit(100)
+                > F.lit(9) * F.col("total").cast("decimal(38,0)") * F.lit(hot_pct)
             ).alias("hot"),
         )
     )

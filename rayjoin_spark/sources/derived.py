@@ -141,13 +141,24 @@ def rects_sql() -> str:
   FROM orders WHERE o_orderkey % 16 = 3"""
 
 
-def query_points(spark: SparkSession, sf_dir: str, residue: int = 2, mod: int = 4) -> DataFrame:
+def query_points(
+    spark: SparkSession,
+    sf_dir: str,
+    residue: int = 2,
+    mod: int = 4,
+    xm: int = 33461,
+    ym: int = 20021,
+) -> DataFrame:
+    """Deterministic point fixture over orders keys. ``xm``/``ym`` pick
+    the coordinate hash multipliers (the defaults are THE fixture every
+    oracle states; alternates like od_matrix's destination set pass
+    their own pair so the derivation convention lives here only)."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     o = o.filter(F.pmod(F.col("o_orderkey"), mod) == residue)
     return o.select(
         F.col("o_orderkey").alias("point_id"),
-        F.pmod(F.col("o_orderkey") * 33461, P).cast("double").alias("x"),
-        F.pmod(F.col("o_orderkey") * 20021, P).cast("double").alias("y"),
+        F.pmod(F.col("o_orderkey") * xm, P).cast("double").alias("x"),
+        F.pmod(F.col("o_orderkey") * ym, P).cast("double").alias("y"),
     )
 
 
