@@ -394,6 +394,19 @@ def q_hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hotspot_tiles(t).select("tile_x", "tile_y", "n_points", "nbr_sum", "hot")
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (minimize x and y) over the snapped derived
+    points — two-level reducible scan (operators/skyline.py). Oracle:
+    the NOT EXISTS dominance definition, verbatim."""
+    from rayjoin_spark.operators.skyline import skyline
+
+    pts = derived.query_points(spark, sf_dir, residue=2, mod=4).select(
+        DERIVED_SCALING.scale_x(F.col("x")).alias("x"),
+        DERIVED_SCALING.scale_y(F.col("y")).alias("y"),
+    )
+    return skyline(pts).select("x", "y")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2454,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_length": q_route_length,
         "od_matrix": q_od_matrix,
         "hotspot_tiles": q_hotspot_tiles,
+        "skyline": q_skyline,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3320,6 +3334,16 @@ probes AS (
 SELECT tile_x, tile_y, n AS n_points, CAST(nbr_sum AS BIGINT) AS nbr_sum,
        nbr_sum * n_tiles * 100 > 9 * total * 150 AS hot
 FROM agg CROSS JOIN stats
+"""
+
+_SKYLINE_SQL = f"""
+WITH raw AS ({points_sql(2, 4)}),
+pts AS (SELECT DISTINCT px AS x, py AS y FROM raw)
+SELECT x, y FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
+)
 """
 
 _DECONTAMINATE_SQL = """
@@ -5326,6 +5350,7 @@ FROM agg
         "route_length": _ROUTE_LENGTH_SQL,
         "od_matrix": _OD_MATRIX_SQL,
         "hotspot_tiles": _HOTSPOT_SQL,
+        "skyline": _SKYLINE_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),

@@ -86,3 +86,22 @@ def test_group_diameter(spark):
         assert got[gid] == want, (gid, got[gid], want)
     # square: equal diagonals -> lexicographically smallest pair wins
     assert got[4] == (0, 0, 10, 10, 200)
+
+
+def test_skyline_matches_bruteforce(spark):
+    from rayjoin_spark.operators.skyline import skyline
+
+    rnd = random.Random(17)
+    pts = [(rnd.randrange(0, 200), rnd.randrange(0, 200)) for _ in range(300)]
+    pts += [(5, 5), (5, 5), (0, 199), (199, 0)]  # dupes + axis extremes
+    df = spark.createDataFrame(pts, "x bigint, y bigint").repartition(6)
+    got = {(r.x, r.y) for r in skyline(df).collect()}
+    dpts = set(pts)
+    want = {
+        p for p in dpts
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and (q[0] < p[0] or q[1] < p[1])
+            for q in dpts
+        )
+    }
+    assert got == want
