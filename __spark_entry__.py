@@ -407,6 +407,42 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(pts).select("x", "y")
 
 
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering composed from engine primitives:
+    dist_join eps-neighborhoods + pointer-jumping CC over core pairs +
+    deterministic MIN-label border assignment (operators/dbscan.py).
+    Input: a deterministic CLUSTERED fixture (a density algorithm on a
+    uniform or lattice fixture is degenerate — everything is noise or
+    everything is core): 70% of docs scatter with +-1e6 jitter around
+    20 hashed centers, 30% are uniform noise; integer arithmetic stated
+    identically in the oracle. Cluster-mate distance <= 2.83e6 < eps
+    3e6, so each populated center forms one clique component.
+    Coordinates stay under 2^28, so Scaling.identity() snaps exactly.
+    Oracle: brute-force neighborhoods + recursive-CTE reachability."""
+    from rayjoin_spark.operators.dbscan import dbscan
+    from rayjoin_spark.plans.scaling import Scaling
+
+    i = F.col("doc_id")
+    c = F.pmod(i, 20)
+    member = F.pmod(i, 10) < 7
+    cx = F.pmod(c * 2654435761, 300000001) - 150000000
+    cy = F.pmod(c * 2246822519, 150000001) - 75000000
+    pts = _docs(spark, sf_dir).select(
+        i.alias("point_id"),
+        F.when(member, cx + F.pmod(i * 48271, 2000001) - 1000000)
+        .otherwise(F.pmod(i * 1103515245, 360000001) - 180000000)
+        .cast("double")
+        .alias("x"),
+        F.when(member, cy + F.pmod(i * 69621, 2000001) - 1000000)
+        .otherwise(F.pmod(i * 12345791, 170000001) - 85000000)
+        .cast("double")
+        .alias("y"),
+    )
+    return dbscan(
+        pts, Scaling.identity(), DERIVED_GRID, eps_int=3_000_000, min_pts=4
+    ).select("point_id", "cluster_id", "kind")
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics: integer point values (point_id % 1000) aggregated
     per containing face of the derived A layer via the engine's exact PIP;
@@ -2468,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_matrix": q_od_matrix,
         "hotspot_tiles": q_hotspot_tiles,
         "skyline": q_skyline,
+        "dbscan": q_dbscan,
         "zonal_stats": q_zonal_stats,
         "winnow_fingerprints": q_winnow,
         "neardup_containment": q_neardup_containment,
@@ -3344,6 +3381,51 @@ WHERE NOT EXISTS (
   SELECT 1 FROM pts q
   WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y)
 )
+"""
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS (
+  SELECT doc_id AS point_id,
+         CAST(CASE WHEN doc_id % 10 < 7
+              THEN ((doc_id % 20) * 2654435761) % 300000001 - 150000000
+                   + (doc_id * 48271) % 2000001 - 1000000
+              ELSE (doc_id * 1103515245) % 360000001 - 180000000 END AS BIGINT) AS px,
+         CAST(CASE WHEN doc_id % 10 < 7
+              THEN ((doc_id % 20) * 2246822519) % 150000001 - 75000000
+                   + (doc_id * 69621) % 2000001 - 1000000
+              ELSE (doc_id * 12345791) % 170000001 - 85000000 END AS BIGINT) AS py
+  FROM documents
+),
+nb AS (
+  SELECT p.point_id AS a, q.point_id AS b
+  FROM pts p, pts q
+  WHERE (p.px - q.px) * (p.px - q.px) + (p.py - q.py) * (p.py - q.py)
+        <= {3_000_000 ** 2}
+),
+cnt AS (SELECT a, COUNT(*) AS n FROM nb GROUP BY 1),
+core AS (SELECT a AS id FROM cnt WHERE n >= 4),
+ce AS (
+  SELECT nb.a, nb.b FROM nb
+  JOIN core c1 ON c1.id = nb.a JOIN core c2 ON c2.id = nb.b
+),
+walk(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT w.id, ce.b FROM walk w JOIN ce ON ce.a = w.r
+),
+lab AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY 1),
+border AS (
+  SELECT nb.a AS id, MIN(l.cluster_id) AS cluster_id
+  FROM nb JOIN core c ON c.id = nb.b JOIN lab l ON l.id = nb.b
+  WHERE nb.a NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT p.point_id,
+       CAST(COALESCE(l.cluster_id, b.cluster_id, -1) AS BIGINT) AS cluster_id,
+       CASE WHEN l.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind
+FROM pts p LEFT JOIN lab l ON l.id = p.point_id
+           LEFT JOIN border b ON b.id = p.point_id
 """
 
 _DECONTAMINATE_SQL = """
@@ -5351,6 +5433,7 @@ FROM agg
         "od_matrix": _OD_MATRIX_SQL,
         "hotspot_tiles": _HOTSPOT_SQL,
         "skyline": _SKYLINE_SQL,
+        "dbscan": _DBSCAN_SQL,
         "zonal_stats": _ZONAL_SQL_TMPL.format(pip_sql=_PIP_SQL),
         "winnow_fingerprints": _WINNOW_SQL,
         "neardup_containment": _containment_sql(),
