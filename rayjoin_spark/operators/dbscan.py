@@ -73,9 +73,10 @@ def dbscan(
         point_id, "cluster_id"
     )
 
+    # comp's ids ARE the core set, so joining nb on comp both restricts
+    # to core neighbors and attaches their labels in one join
     border = (
-        nb.join(core.select(F.col(point_id).alias("nbr_id")), "nbr_id")
-        .join(comp.select(F.col(point_id).alias("nbr_id"), "cluster_id"), "nbr_id")
+        nb.join(comp.select(F.col(point_id).alias("nbr_id"), "cluster_id"), "nbr_id")
         .join(core, point_id, "left_anti")
         .groupBy(point_id)
         .agg(F.min("cluster_id").alias("cluster_id"))

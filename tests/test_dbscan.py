@@ -18,7 +18,9 @@ def test_dbscan_core_border_noise(spark):
     # border: within eps of one A-core but itself has only 2 neighbors;
     # noise: far away
     a = [(1, 0.0, 0.0), (2, 10.0, 0.0), (3, 0.0, 10.0), (4, 10.0, 10.0)]
-    border = [(5, 25.0, 0.0)]   # within eps=20 of points 2 (d=15) only... d((25,0),(10,0))=15
+    # (25,0) reaches cores 2 (d=15) and 4 (d~18.03) but its own
+    # neighborhood is {2, 4, self} = 3 < min_pts -> border, not core
+    border = [(5, 25.0, 0.0)]
     noise = [(9, 1000.0, 1000.0)]
     got = _run(spark, a + border + noise, eps=20, min_pts=4)
     assert got[1] == (1, "core") and got[4] == (1, "core")

@@ -128,6 +128,14 @@ def test_new_ops_plans_no_python_hot_path(spark):
     plan = _plan(hotspot_tiles(t))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    # tile_top_hosts' skew-safe rank: genuinely no single-partition
+    # window exchange anywhere in the plan
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["tile_top_hosts"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     from rayjoin_spark.operators.knn import route_length
 
     pts = spark.range(100).select(
