@@ -2385,6 +2385,77 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the derived link graph
+    (operators/graph.py triangle_count — degree-ordered wedge counting,
+    the Suri-Vassilvitskii 'last reducer' pattern, so hub fan-out stays
+    O(sqrt(m))). Link-farm-clique detection signal. Oracle: the same
+    orientation + wedge-close joins in SQL."""
+    from rayjoin_spark.operators import graph
+
+    return graph.triangle_count(_host_edges(spark, sf_dir))
+
+
+def q_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-link set-similarity (co-citation mirror suspects): host pairs
+    whose distinct out-neighbor sets, after dropping neighbors cited by
+    more than 2 hosts (the set-sim-join prefix/stop-term filter),
+    have Jaccard >= 1/3 — decided by cross-multiplied integers
+    (operators/graph.py link_jaccard). Oracle: the same filtered
+    universe + pair counts in SQL."""
+    from rayjoin_spark.operators import graph
+
+    return graph.link_jaccard(
+        _host_edges(spark, sf_dir), sim_num=1, sim_den=3, max_fanout=2
+    )
+
+
+def q_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a deterministic 5-chain host graph
+    (k -> k+5 for k <= 91: the 97 hosts split into 5 path components by
+    k mod 5) via the engine's pointer-jumping min-label CC
+    (functions/textops.neardup_components — O(log n) rounds, not
+    O(diameter), which these ~20-long chains actually exercise, unlike
+    the tiny near-dup cliques). Oracle: recursive-CTE reachability with
+    MIN-label, size and canonical flag."""
+    from rayjoin_spark.functions.textops import neardup_components
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), 97)
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    pairs = (
+        d.select(k.alias("k"))
+        .filter(F.col("k") <= 91)
+        .distinct()
+        .select(h(F.col("k")).alias("id_a"), h(F.col("k") + 5).alias("id_b"))
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("host"))
+        .unionByName(pairs.select(F.col("id_b").alias("host")))
+        .distinct()
+    )
+    return neardup_components(ids, pairs, id_col="host")
+
+
+def q_moran_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I over the tile-count raster (rook weights,
+    operators/tiles.moran_i): the exact-integer spatial-autocorrelation
+    fraction — one row (n_tiles, w_sum, moran_num, moran_den); I =
+    n_tiles*num/(w_sum*den). decimal(38,0) internally (planet-scale
+    s_i products overflow int64), bigint at this boundary (exact at
+    gate scale). Oracle: same scaled-deviation sums in SQL."""
+    from rayjoin_spark.operators.tiles import moran_i, tile_aggregate
+
+    pts = derived.query_points(spark, sf_dir, residue=3, mod=4)
+    t = tile_aggregate(pts, DERIVED_SCALING, DERIVED_GRID, shift=3)
+    return moran_i(t).select(
+        "n_tiles",
+        "w_sum",
+        F.col("moran_num").cast("bigint").alias("moran_num"),
+        F.col("moran_den").cast("bigint").alias("moran_den"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2429,6 +2500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "host_stats": q_host_stats,
         "pagerank_hosts": q_pagerank,
+        "triangle_count": q_triangle_count,
+        "link_jaccard": q_link_jaccard,
+        "host_components": q_host_components,
+        "moran_tiles": q_moran_tiles,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3373,6 +3448,38 @@ SELECT tile_x, tile_y, n AS n_points, CAST(nbr_sum AS BIGINT) AS nbr_sum,
 FROM agg CROSS JOIN stats
 """
 
+#: global Moran's I as the exact fraction over rook-neighbor tile pairs:
+#: s_i = N*x_i - T (scaled deviation; the N^2 cancels in the ratio), one
+#: row (n_tiles, w_sum, moran_num, moran_den). HUGEINT products mirror
+#: the engine's decimal(38,0); bigint at the boundary.
+_MORAN_SQL = f"""
+WITH pts AS ({points_sql(3, 4)}),
+t AS (
+  SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
+         CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), stats AS (SELECT COUNT(*) AS n_tiles, SUM(n) AS total FROM t),
+s AS (
+  SELECT tile_x, tile_y,
+         CAST(n_tiles AS HUGEINT) * n - total AS s
+  FROM t CROSS JOIN stats
+),
+probes AS (
+  SELECT s.s, s.tile_x + o.dx AS nx, s.tile_y + o.dy AS ny
+  FROM s, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+),
+cr AS (
+  SELECT COUNT(*) AS w_sum, SUM(p.s * nb.s) AS num
+  FROM probes p JOIN s nb ON nb.tile_x = p.nx AND nb.tile_y = p.ny
+)
+SELECT (SELECT CAST(n_tiles AS BIGINT) FROM stats) AS n_tiles,
+       CAST(w_sum AS BIGINT) AS w_sum,
+       CAST(num AS BIGINT) AS moran_num,
+       (SELECT CAST(SUM(s * s) AS BIGINT) FROM s) AS moran_den
+FROM cr
+"""
+
 _SKYLINE_SQL = f"""
 WITH raw AS ({points_sql(2, 4)}),
 pts AS (SELECT DISTINCT px AS x, py AS y FROM raw)
@@ -3687,6 +3794,74 @@ walk(node, cost, hops) AS (
   WHERE wk.hops < 12
 )
 SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM walk GROUP BY 1
+"""
+
+#: per-node triangle counts — INDEPENDENT of the engine's degree-ordered
+#: orientation: plain a<b<c id-ordered closure (each triangle once),
+#: exploded back to its three corners, zero-filled over incident nodes.
+_TRIANGLE_SQL = f"""
+WITH {_HOST_EDGES_SQL.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e WHERE src <> dst
+),
+nodes AS (SELECT lo AS node FROM und UNION SELECT hi FROM und),
+tri AS (
+  SELECT u.lo AS a, u.hi AS b, v.hi AS c
+  FROM und u
+  JOIN und v ON v.lo = u.hi
+  JOIN und w ON w.lo = u.lo AND w.hi = v.hi
+),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT n.node, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles
+FROM nodes n
+LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners GROUP BY 1) t USING (node)
+"""
+
+_LINK_JACCARD_SQL = f"""
+WITH {_HOST_EDGES_SQL.strip()},
+f AS (
+  SELECT src AS s, dst AS d FROM e
+  WHERE d IN (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= 2)
+),
+deg AS (SELECT s, COUNT(*) AS deg FROM f GROUP BY s),
+pairs AS (
+  SELECT a.s AS node_a, b.s AS node_b, COUNT(*) AS shared
+  FROM f a JOIN f b ON a.d = b.d AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, CAST(shared AS BIGINT) AS shared,
+       CAST(da.deg + db.deg - shared AS BIGINT) AS union_cnt
+FROM pairs
+JOIN deg da ON da.s = node_a
+JOIN deg db ON db.s = node_b
+WHERE 3 * shared >= 1 * (da.deg + db.deg - shared)
+"""
+
+_HOST_COMPONENTS_SQL = """
+WITH RECURSIVE ks AS (
+  SELECT DISTINCT doc_id % 97 AS k FROM documents WHERE doc_id % 97 <= 91
+),
+pe AS (
+  SELECT 'h' || CAST(k AS VARCHAR) AS a, 'h' || CAST(k + 5 AS VARCHAR) AS b
+  FROM ks
+),
+nodes AS (SELECT a AS host FROM pe UNION SELECT b FROM pe),
+edges AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
+reach(id, r) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+),
+lab AS (SELECT id AS host, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT lab.host, lab.cluster_id, sz.cluster_size,
+       lab.host = lab.cluster_id AS is_canonical
+FROM lab JOIN sz USING (cluster_id)
 """
 
 
@@ -5378,6 +5553,10 @@ FROM agg
 """,
         "host_stats": _HOST_STATS_SQL,
         "pagerank_hosts": _pagerank_sql(),
+        "triangle_count": _TRIANGLE_SQL,
+        "link_jaccard": _LINK_JACCARD_SQL,
+        "host_components": _HOST_COMPONENTS_SQL,
+        "moran_tiles": _MORAN_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

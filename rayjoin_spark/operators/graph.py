@@ -296,3 +296,150 @@ def sssp(
         if not improved:
             break
     return dist.select("node", F.col("cost").cast("bigint").alias("cost"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by the edge list (direction and multiplicity dropped; self-loops
+    ignored) — the local clustering signal used to separate organic link
+    neighborhoods from link-farm cliques (a spam feature over the host
+    graph, analogous to the reference's per-cell workload metrics in
+    src/grid/uniform_grid.h:444-494 as a "where is structure dense"
+    table).
+
+    Returns (node, triangles:bigint) for every node incident to an edge,
+    zero-filled — each triangle increments all three corners by 1.
+
+    Scale shape (degree-ordered wedge counting, the published
+    MapReduce-triangle pattern of Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer"): each undirected edge
+    is oriented from its lexicographically smaller (degree, id) endpoint
+    to the larger, so every triangle is counted exactly once as a wedge
+    at its minimum-key corner, and wedge fan-out per node is bounded by
+    the oriented out-degree — O(sqrt(m)) for any node regardless of raw
+    degree, which is precisely what defuses the hub-reducer curse. Three
+    shuffles total (degree agg, wedge self-join on the wedge apex,
+    closing-edge equi-join), all on uniform keys after orientation.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    ed = und.join(dl, "lo").join(dh, "hi")
+    # orient u -> v when (deg(u), u) < (deg(v), v)
+    o = ed.select(
+        F.when(
+            (F.col("dlo") < F.col("dhi"))
+            | ((F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))),
+            F.struct(
+                F.col("lo").alias("u"), F.col("hi").alias("v"),
+                F.col("dhi").alias("dv"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("hi").alias("u"), F.col("lo").alias("v"),
+                F.col("dlo").alias("dv"),
+            )
+        )
+        .alias("e")
+    ).select("e.u", "e.v", "e.dv")
+    l = o.select(F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx"))
+    r = o.select(F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = l.join(r, "u").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"], "inner").select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corners, "node", "left")
+        .select(
+            "node", F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles")
+        )
+    )
+
+
+def link_jaccard(
+    edges: DataFrame,
+    sim_num: int = 1,
+    sim_den: int = 3,
+    max_fanout: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Out-link set-similarity join between source nodes: pairs of
+    sources whose distinct out-neighbor sets have Jaccard similarity
+    >= sim_num/sim_den — co-citation mirror detection over the host
+    graph (two hosts that link to largely the same places are mirror /
+    template suspects, the link-structure sibling of textops'
+    minhash-LSH content dedup).
+
+    The decision is exact-integer (cross-multiplied ``sim_den * shared
+    >= sim_num * (deg_a + deg_b - shared)``), never a float ratio.
+    Returns (node_a, node_b, shared, union_cnt) with node_a < node_b.
+
+    Scale shape: candidate pairs come from an equi-join of the edge list
+    with itself on the shared NEIGHBOR key — bucketed, never all-pairs —
+    followed by one combinable pair-count groupBy. The quadratic hazard
+    is a neighbor with huge in-degree (every pair of its citers becomes
+    a candidate row). `max_fanout` is the standard prefix-filter answer
+    (set-similarity joins drop stop-terms; idf does the same thing):
+    neighbors cited by more than `max_fanout` sources are excluded from
+    the similarity universe entirely — candidates AND degrees, so the
+    contract stays a true Jaccard over the filtered universe
+    ("discriminative out-links only"). None = exact over everything
+    (small graphs / offline audits).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    if max_fanout is not None:
+        fan = e.groupBy("d").agg(F.count("*").alias("_fan"))
+        e = (
+            e.join(fan.filter(F.col("_fan") <= max_fanout), "d", "left_semi")
+        )
+    deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("deg"))
+    l = e.select(F.col("s").alias("node_a"), "d")
+    r = e.select(F.col("s").alias("node_b"), "d")
+    shared = (
+        l.join(r, "d")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    da = deg.select(F.col("s").alias("node_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("s").alias("node_b"), F.col("deg").alias("deg_b"))
+    return (
+        shared.join(da, "node_a")
+        .join(db, "node_b")
+        .withColumn(
+            "union_cnt",
+            (F.col("deg_a") + F.col("deg_b") - F.col("shared")).cast("bigint"),
+        )
+        .filter(
+            F.lit(int(sim_den)) * F.col("shared")
+            >= F.lit(int(sim_num)) * F.col("union_cnt")
+        )
+        .select("node_a", "node_b", "shared", "union_cnt")
+    )

@@ -290,3 +290,83 @@ def hotspot_tiles(
             ).alias("hot"),
         )
     )
+
+
+def moran_i(
+    tiles: DataFrame,
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Global Moran's I spatial autocorrelation over a tile-count raster
+    with rook (4-neighbor) binary weights — the one-number "is the
+    geocoded-page density clustered, dispersed, or random?" diagnostic
+    that pairs with hotspot_tiles' per-tile flags.
+
+    Exact-integer contract: with N tiles, total mass T and per-tile
+    count x_i, the scaled deviation s_i = N*x_i - T is an integer and
+
+        I = (N / W) * (sum_{i~j} s_i * s_j) / (sum_i s_i^2)
+
+    (the N^2 from the un-scaled deviations cancels). The result is
+    returned as the exact fraction — one row (n_tiles, w_sum, moran_num,
+    moran_den) where moran_num = sum over DIRECTED rook neighbor pairs
+    of s_i*s_j and moran_den = sum s_i^2, both decimal(38,0): at planet
+    scale (N ~ 1e8 occupied tiles, counts ~ 1e12) s_i ~ 1e20 overflows
+    int64 but its products fit 38 digits; no float crosses an aggregate
+    so both engines agree digit-for-digit. I itself = n_tiles * num /
+    (w_sum * den), left to the caller (it is generally irrational).
+
+    Only OCCUPIED tiles participate (the raster contract shared with
+    hotspot_tiles: absent tiles are void, not zero-count cells — the
+    universe is "tiles that received data").
+
+    Scale shape: one stats agg, one bounded 4-way offset explode +
+    equi-join on the tile key (the raster-level cell-neighborhood
+    pattern), two combinable sums. No window, no collect.
+    """
+    t = tiles.select(
+        F.col("tile_x").cast("bigint"),
+        F.col("tile_y").cast("bigint"),
+        F.col(count_col).cast("bigint").alias("n"),
+    )
+    stats = t.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_tiles"),
+        F.sum("n").cast("decimal(38,0)").alias("total"),
+    )
+    s = t.crossJoin(F.broadcast(stats)).select(
+        "tile_x",
+        "tile_y",
+        "n_tiles",
+        (F.col("n_tiles") * F.col("n") - F.col("total")).alias("s"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+        ]
+    )
+    probes = s.select(
+        "s",
+        F.explode(offs).alias("o"),
+        (F.col("tile_x")).alias("tx"),
+        (F.col("tile_y")).alias("ty"),
+    ).select(
+        "s",
+        (F.col("tx") + F.col("o.dx")).alias("nx"),
+        (F.col("ty") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = s.select(
+        F.col("tile_x").alias("nx"),
+        F.col("tile_y").alias("ny"),
+        F.col("s").alias("sn"),
+    )
+    cross = probes.join(nbr, ["nx", "ny"], "inner").agg(
+        F.count("*").cast("bigint").alias("w_sum"),
+        F.sum(F.col("s") * F.col("sn")).cast("decimal(38,0)").alias("moran_num"),
+    )
+    den = s.agg(
+        F.max("n_tiles").cast("bigint").alias("n_tiles"),
+        F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("moran_den"),
+    )
+    return den.crossJoin(F.broadcast(cross)).select(
+        "n_tiles", "w_sum", "moran_num", "moran_den"
+    )

@@ -1,0 +1,113 @@
+"""Unit tests for triangle_count / link_jaccard (operators/graph.py) and
+moran_i (operators/tiles.py) on handcrafted graphs/rasters with known
+exact answers — the entry-oracle mirror covers the derived-host-graph
+shapes; these pin the edge cases (direction/multiplicity collapse,
+self-loops, hub orientation, fanout filter, checkerboard sign)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rayjoin_spark.operators.graph import link_jaccard, triangle_count
+from rayjoin_spark.operators.tiles import moran_i
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_triangle_count_basic(spark):
+    # K4 minus one edge on {a,b,c,d}: triangles abc and abd share edge ab.
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("b", "d")],
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_triangle_count_collapses_direction_multiplicity_loops(spark):
+    # Same triangle stated 3x with reversed duplicates + a self-loop:
+    # the undirected simple graph is ONE triangle.
+    e = _edges(
+        spark,
+        [
+            ("a", "b"), ("b", "a"), ("a", "b"),
+            ("b", "c"), ("c", "b"),
+            ("c", "a"),
+            ("a", "a"),
+        ],
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    # A star has no triangles; hub must still be emitted zero-filled.
+    e = _edges(spark, [("hub", f"x{i}") for i in range(10)])
+    got = {r["node"]: r["triangles"] for r in triangle_count(e).collect()}
+    assert got["hub"] == 0 and all(v == 0 for v in got.values())
+    assert len(got) == 11
+
+
+def test_link_jaccard_exact_and_threshold(spark):
+    # a -> {1,2,3}; b -> {2,3,4}; c -> {9}. J(a,b) = 2/4 >= 1/3; c pairs
+    # with nobody (no shared neighbor).
+    e = _edges(
+        spark,
+        [("a", "1"), ("a", "2"), ("a", "3"),
+         ("b", "2"), ("b", "3"), ("b", "4"), ("c", "9")],
+    )
+    rows = link_jaccard(e, sim_num=1, sim_den=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node_a"], r["node_b"], r["shared"], r["union_cnt"]) == ("a", "b", 2, 4)
+    # tighter threshold 2/3 drops the pair
+    assert link_jaccard(e, sim_num=2, sim_den=3).count() == 0
+
+
+def test_link_jaccard_max_fanout_filters_universe(spark):
+    # hub neighbor 'h' cited by all three sources; with max_fanout=2 the
+    # hub leaves candidates AND degrees (a,b still tie via '2').
+    e = _edges(
+        spark,
+        [("a", "h"), ("b", "h"), ("c", "h"), ("a", "2"), ("b", "2")],
+    )
+    rows = link_jaccard(e, sim_num=1, sim_den=1, max_fanout=2).collect()
+    assert [(r["node_a"], r["node_b"], r["shared"], r["union_cnt"]) for r in rows] == [
+        ("a", "b", 1, 1)
+    ]
+    # without the filter, J(a,b) = 2/2 = 1 but also (a,c) and (b,c) via h
+    assert link_jaccard(e, sim_num=1, sim_den=2).count() == 3
+
+
+def _raster(spark, rows):
+    return spark.createDataFrame(rows, "tile_x long, tile_y long, n_points long")
+
+
+def test_moran_checkerboard_negative(spark):
+    # 2x2 checkerboard counts 1/3 alternating: every rook pair is (1,3),
+    # s_i in {-4, +4}, each directed pair contributes -16, w_sum = 8.
+    t = _raster(
+        spark,
+        [(0, 0, 1), (1, 0, 3), (0, 1, 3), (1, 1, 1)],
+    )
+    r = moran_i(t).collect()[0]
+    assert r["n_tiles"] == 4 and r["w_sum"] == 8
+    assert int(r["moran_num"]) == -128 and int(r["moran_den"]) == 64
+    # I = N*num/(W*den) = 4*-128/(8*64) = -1 (perfect dispersion)
+
+
+def test_moran_uniform_is_zero_num(spark):
+    t = _raster(spark, [(x, y, 7) for x in range(3) for y in range(3)])
+    r = moran_i(t).collect()[0]
+    assert int(r["moran_num"]) == 0 and int(r["moran_den"]) == 0
+    assert r["w_sum"] == 24  # 12 undirected rook pairs, directed
+
+
+def test_moran_isolated_tiles_no_pairs(spark):
+    # tiles far apart: w_sum = 0, num null-sum -> emitted as NULL;
+    # caller treats no-neighbor rasters as undefined I.
+    t = _raster(spark, [(0, 0, 1), (10, 10, 5)])
+    r = moran_i(t).collect()[0]
+    assert r["w_sum"] == 0 and r["moran_num"] is None
+    assert int(r["moran_den"]) == 32  # s = {-4, +4} scaled by N=2
