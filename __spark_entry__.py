@@ -2456,6 +2456,60 @@ def q_moran_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation extraction (functions/textops.collocations):
+    adjacent token pairs whose frequency beats 2x their independence
+    expectation, decided by the cross-multiplied integer inequality
+    den*n_ab*N^2 >= num*M*n_a*n_b (no log, no float). Oracle: identical
+    counts + HUGEINT inequality."""
+    return textops.collocations(
+        _docs(spark, sf_dir), min_count=2, ratio_num=2, ratio_den=1
+    )
+
+
+def q_dwell_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory segmentation + dwell flags (operators/knn.py
+    dwell_segments) over the microdegree route fixture: split where the
+    meter-rounded haversine leg exceeds 12,000 km (uniform random globe
+    points average ~10,000 km legs, so both branches are exercised),
+    dwell = segment with >= 3 points. Oracle: same haversine + window
+    cumulative-sum segmentation."""
+    from rayjoin_spark.operators.knn import dwell_segments
+
+    pts = _geo_pts(_docs(spark, sf_dir)).select(
+        F.pmod(F.col("doc_id"), 97).alias("route_id"),
+        F.col("doc_id").alias("seq"),
+        "lon_udeg",
+        "lat_udeg",
+    )
+    return dwell_segments(pts, jump_m=12_000_000, min_pts=3)
+
+
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-rectangles coverage area (operators/sweep.py
+    union_area): ~overlapping integer boxes (centers Lehmer-hashed into
+    a 2^20 square, half-widths up to ~2000, x1 occasionally negative to
+    exercise the negative-floor tile path), tile-partitioned sweep,
+    exact integer area per occupied tile. Oracle: an INDEPENDENT global
+    SQL slab sweep (x-compression + running-max y-union via windows) —
+    a different algorithm producing the same integers."""
+    from rayjoin_spark.operators.sweep import union_area
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    cx = F.pmod(k * 14741, 1 << 20)
+    cy = F.pmod(k * 28657, 1 << 20)
+    w = F.pmod(k, 2000) + 2
+    h = F.pmod(k, 1700) + 2
+    rects = o.filter(F.pmod(k, 16) == 3).select(
+        (cx - w).cast("bigint").alias("x1"),
+        (cy - h).cast("bigint").alias("y1"),
+        (cx + w).cast("bigint").alias("x2"),
+        (cy + h).cast("bigint").alias("y2"),
+    )
+    return union_area(rects, tile_shift=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2504,6 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_jaccard": q_link_jaccard,
         "host_components": q_host_components,
         "moran_tiles": q_moran_tiles,
+        "collocations": q_collocations,
+        "dwell_segments": q_dwell_segments,
+        "union_area": q_union_area,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3840,6 +3897,137 @@ FROM pairs
 JOIN deg da ON da.s = node_a
 JOIN deg db ON db.s = node_b
 WHERE 3 * shared >= 1 * (da.deg + db.deg - shared)
+"""
+
+_COLLOCATIONS_SQL = """
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+),
+uni AS (SELECT unnest(toks) AS w FROM t),
+un AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t
+        WHERE len(toks) >= 2)
+),
+bn_all AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+bn AS (SELECT * FROM bn_all WHERE n_ab >= 2),
+tot AS (SELECT (SELECT SUM(n) FROM un) AS n_total,
+               (SELECT SUM(n_ab) FROM bn_all) AS m_total)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b
+FROM bn
+JOIN un ua ON ua.w = bn.w1
+JOIN un ub ON ub.w = bn.w2
+CROSS JOIN tot
+WHERE 1 * CAST(n_ab AS HUGEINT) * n_total * n_total
+      >= 2 * CAST(m_total AS HUGEINT) * ua.n * ub.n
+"""
+
+#: same haversine leg expression as _ROUTE_LENGTH_SQL (the shared
+#: _haversine_m IEEE op order), then break/cumsum segmentation.
+_DWELL_SQL = """
+WITH pts AS (
+  SELECT doc_id % 97 AS route_id, doc_id AS seq,
+         CAST((doc_id * 2654435761) % 360000001 - 180000000 AS BIGINT) AS lon_udeg,
+         CAST((doc_id * 2246822519) % 170000001 - 85000000 AS BIGINT) AS lat_udeg
+  FROM documents
+), lagged AS (
+  SELECT route_id, seq, lon_udeg, lat_udeg,
+         lag(lon_udeg) OVER (PARTITION BY route_id ORDER BY seq) AS plon,
+         lag(lat_udeg) OVER (PARTITION BY route_id ORDER BY seq) AS plat
+  FROM pts
+), legs AS (
+  SELECT route_id, seq,
+         CASE WHEN plon IS NULL THEN NULL ELSE
+           CAST(round(12742000.0 * asin(sqrt(
+             sin(CAST(lat_udeg - plat AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+               * sin(CAST(lat_udeg - plat AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+             + cos(CAST(plat AS DOUBLE) * (pi() / 180.0 / 1000000.0))
+               * cos(CAST(lat_udeg AS DOUBLE) * (pi() / 180.0 / 1000000.0))
+               * sin(CAST(lon_udeg - plon AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+               * sin(CAST(lon_udeg - plon AS DOUBLE) * (pi() / 180.0 / 1000000.0) / 2.0)
+           ))) AS BIGINT) END AS leg
+  FROM lagged
+), brk AS (
+  SELECT route_id, seq, leg,
+         CASE WHEN leg IS NULL OR leg > 12000000 THEN 1 ELSE 0 END AS b
+  FROM legs
+), seg AS (
+  SELECT route_id, seq, leg, b,
+         SUM(b) OVER (PARTITION BY route_id ORDER BY seq
+                      ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM brk
+)
+SELECT route_id, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(seq) AS BIGINT) AS start_seq,
+       CAST(MAX(seq) AS BIGINT) AS end_seq,
+       CAST(COALESCE(SUM(CASE WHEN b = 0 THEN leg END), 0) AS BIGINT) AS intra_m,
+       COUNT(*) >= 3 AS is_dwell
+FROM seg GROUP BY 1, 2
+"""
+
+#: INDEPENDENT algorithm vs operators/sweep.py: global slab sweep in
+#: SQL (x-coordinate compression + running-max y-interval union via a
+#: window), same per-tile integers. Floor division of possibly-negative
+#: coords uses the subtract-pmod form ((x % W) + W) % W.
+_UNION_AREA_SQL = """
+WITH rect AS (
+  SELECT (o_orderkey * 14741) % 1048576 - (o_orderkey % 2000 + 2) AS x1,
+         (o_orderkey * 28657) % 1048576 - (o_orderkey % 1700 + 2) AS y1,
+         (o_orderkey * 14741) % 1048576 + (o_orderkey % 2000 + 2) AS x2,
+         (o_orderkey * 28657) % 1048576 + (o_orderkey % 1700 + 2) AS y2
+  FROM orders WHERE o_orderkey % 16 = 3
+),
+tx AS (
+  SELECT x1, y1, x2, y2,
+         unnest(range((x1 - ((x1 % 65536) + 65536) % 65536) // 65536,
+                      (x2 - 1 - (((x2 - 1) % 65536) + 65536) % 65536) // 65536 + 1)) AS tile_x
+  FROM rect
+),
+txy AS (
+  SELECT x1, y1, x2, y2, tile_x,
+         unnest(range((y1 - ((y1 % 65536) + 65536) % 65536) // 65536,
+                      (y2 - 1 - (((y2 - 1) % 65536) + 65536) % 65536) // 65536 + 1)) AS tile_y
+  FROM tx
+),
+clip AS (
+  SELECT tile_x, tile_y,
+         greatest(x1, tile_x * 65536) AS cx1,
+         least(x2, (tile_x + 1) * 65536) AS cx2,
+         greatest(y1, tile_y * 65536) AS cy1,
+         least(y2, (tile_y + 1) * 65536) AS cy2
+  FROM txy
+),
+ex AS (
+  SELECT DISTINCT tile_x, tile_y, cx1 AS x FROM clip
+  UNION
+  SELECT DISTINCT tile_x, tile_y, cx2 FROM clip
+),
+slab AS (
+  SELECT tile_x, tile_y, x AS xs,
+         lead(x) OVER (PARTITION BY tile_x, tile_y ORDER BY x) AS xe
+  FROM ex
+),
+slab2 AS (SELECT * FROM slab WHERE xe IS NOT NULL),
+cand AS (
+  SELECT s.tile_x, s.tile_y, s.xs, s.xe, c.cy1, c.cy2
+  FROM slab2 s
+  JOIN clip c ON c.tile_x = s.tile_x AND c.tile_y = s.tile_y
+             AND c.cx1 <= s.xs AND c.cx2 >= s.xe
+),
+m AS (
+  SELECT tile_x, tile_y, xs, xe, cy1, cy2,
+         max(cy2) OVER (PARTITION BY tile_x, tile_y, xs
+                        ORDER BY cy1, cy2
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevr
+  FROM cand
+)
+SELECT tile_x, tile_y,
+       CAST(SUM((xe - xs) * greatest(0, cy2 - greatest(cy1, COALESCE(prevr, cy1)))) AS BIGINT) AS area
+FROM m GROUP BY 1, 2
 """
 
 _HOST_COMPONENTS_SQL = """
@@ -5557,6 +5745,9 @@ FROM agg
         "link_jaccard": _LINK_JACCARD_SQL,
         "host_components": _HOST_COMPONENTS_SQL,
         "moran_tiles": _MORAN_SQL,
+        "collocations": _COLLOCATIONS_SQL,
+        "dwell_segments": _DWELL_SQL,
+        "union_area": _UNION_AREA_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

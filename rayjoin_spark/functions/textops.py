@@ -1891,3 +1891,85 @@ def gopher_repetition(
         *[v.cast("int").alias(k) for k, v in rules.items()],
         keep.cast("int").alias("keep"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 2,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+    text: str = "text",
+) -> DataFrame:
+    """PMI-style collocation extraction: adjacent whitespace-token pairs
+    whose observed frequency beats their independence expectation by at
+    least ratio_num/ratio_den — the corpus-linguistics pass that finds
+    multiword units ("new york", boilerplate phrases) for tokenizer vocab
+    building and template detection.
+
+    With N = total tokens, M = total bigrams, n_a/n_b unigram counts and
+    n_ab the bigram count, the association ratio is
+
+        r = P(ab) / (P(a) P(b)) = (n_ab / M) / ((n_a / N) (n_b / N))
+
+    and the emitted test is the cross-multiplied integer inequality
+    ``ratio_den * n_ab * N^2 >= ratio_num * M * n_a * n_b`` (PMI >=
+    log(num/den) without ever taking a log — float-free, cf.
+    tfidf_topk's integer-monotone idf). Products ride decimal(38,0):
+    at corpus scale N ~ 1e14, N^2 ~ 1e28 wraps int64 silently.
+
+    Returns (w1, w2, n_ab, n_a, n_b) with n_ab >= min_count.
+
+    Scale shape: one bounded bigram explode (size-1 per doc) + one
+    unigram explode, two combinable groupBys, two hash joins on the
+    word key, scalar totals via a broadcast one-row frame. A stop-word
+    hub ("the") is a fat join key on n_a/n_b lookup — 1-row build side
+    per key, AQE-friendly probe skew (quality_classifier's pattern),
+    never a pair blowup (pairs are ADJACENT only, not co-occurrence).
+    """
+    toks = _tokens(F.col(text))
+    t = df.select(toks.alias("_toks")).filter(F.size("_toks") > 0)
+    uni = (
+        t.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    bi_all = (
+        t.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks) - 2), "
+                    "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
+    # M is the UNFILTERED bigram total — P(ab) is relative to every
+    # adjacent pair in the corpus, not just the frequent ones
+    totals = uni.agg(
+        F.sum("n").cast("decimal(38,0)").alias("_n_total")
+    ).crossJoin(
+        bi_all.agg(F.sum("n_ab").cast("decimal(38,0)").alias("_m_total"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.lit(int(ratio_den))
+            * F.col("n_ab").cast("decimal(38,0)")
+            * F.col("_n_total")
+            * F.col("_n_total")
+            >= F.lit(int(ratio_num))
+            * F.col("_m_total")
+            * F.col("n_a").cast("decimal(38,0)")
+            * F.col("n_b").cast("decimal(38,0)")
+        )
+        .select("w1", "w2", "n_ab", "n_a", "n_b")
+    )

@@ -443,3 +443,71 @@ def route_length(
         F.count("*").cast("bigint").alias("n_points"),
         F.coalesce(F.sum("_leg"), F.lit(0)).cast("bigint").alias("length_m"),
     ).select(F.col("_rid").alias(route_id), "n_points", "length_m")
+
+
+def dwell_segments(
+    points: DataFrame,
+    jump_m: int = 50_000,
+    min_pts: int = 3,
+    route_id: str = "route_id",
+    seq: str = "seq",
+    lon: str = "lon_udeg",
+    lat: str = "lat_udeg",
+) -> DataFrame:
+    """Trajectory segmentation + stay-point (dwell) detection: split
+    each route wherever the leg to the previous point exceeds ``jump_m``
+    meters, then flag segments with at least ``min_pts`` points as
+    dwells — the movement-analytics pass that turns a raw geocoded
+    trace into visits ("where did this entity linger") feeding the
+    od_matrix / route_length family.
+
+    Deterministic contract: legs are the ONE shared meter-rounded
+    haversine (`_haversine_m` — its IEEE op order is the cross-engine
+    agreement), the break decision is an integer compare (leg > jump_m),
+    and segment ids number breaks cumulatively per route, so output is
+    bit-stable under any partitioning. Returns one row per segment:
+    (route_id, seg_id, n_points, start_seq, end_seq, intra_m, is_dwell)
+    with intra_m = integer sum of WITHIN-segment legs (the leg that
+    crossed the break belongs to no segment).
+
+    Scale shape: two windows over the same (route, seq) ordering —
+    Catalyst evaluates them in one sort — plus one combinable groupBy.
+    A monster route is one window partition; the route_length pre-split
+    note applies verbatim (split by coarse seq range, stitch border
+    legs).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_rid").orderBy("_seq")
+    p = points.select(
+        F.col(route_id).alias("_rid"),
+        F.col(seq).alias("_seq"),
+        F.col(lon).alias("_lon"),
+        F.col(lat).alias("_lat"),
+    )
+    p = p.withColumn("_plon", F.lag("_lon").over(w)).withColumn(
+        "_plat", F.lag("_lat").over(w)
+    )
+    leg = F.when(
+        F.col("_plon").isNotNull(),
+        _haversine_m(F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")),
+    )
+    p = p.withColumn("_leg", leg).withColumn(
+        "_brk",
+        F.when(
+            F.col("_leg").isNull() | (F.col("_leg") > jump_m), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    p = p.withColumn(
+        "seg_id",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return p.groupBy(F.col("_rid").alias(route_id), "seg_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.min("_seq").cast("bigint").alias("start_seq"),
+        F.max("_seq").cast("bigint").alias("end_seq"),
+        F.coalesce(
+            F.sum(F.when(F.col("_brk") == 0, F.col("_leg"))), F.lit(0)
+        ).cast("bigint").alias("intra_m"),
+        (F.count("*") >= min_pts).alias("is_dwell"),
+    )
