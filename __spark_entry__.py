@@ -3902,7 +3902,7 @@ WHERE 3 * shared >= 1 * (da.deg + db.deg - shared)
 _COLLOCATIONS_SQL = """
 WITH t AS (
   SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
-  WHERE len(string_split_regex(trim(text), '\\s+')) > 0
+  WHERE len(trim(text)) > 0
 ),
 uni AS (SELECT unnest(toks) AS w FROM t),
 un AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),

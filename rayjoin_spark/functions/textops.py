@@ -1914,8 +1914,13 @@ def collocations(
     and the emitted test is the cross-multiplied integer inequality
     ``ratio_den * n_ab * N^2 >= ratio_num * M * n_a * n_b`` (PMI >=
     log(num/den) without ever taking a log — float-free, cf.
-    tfidf_topk's integer-monotone idf). Products ride decimal(38,0):
-    at corpus scale N ~ 1e14, N^2 ~ 1e28 wraps int64 silently.
+    tfidf_topk's integer-monotone idf). Products ride decimal(38,0)
+    (int64 wraps silently at N ~ 1e10 already); the decimal side is
+    EXACT while both sides stay under 10^38 — i.e. up to N ~ 1e12
+    with n_ab, n_a*n_b/M bounded accordingly — and beyond that Spark's
+    ANSI mode fails LOUD (NUMERIC_VALUE_OUT_OF_RANGE), never silently:
+    shard the corpus (per language / per domain) before this pass at
+    larger scales.
 
     Returns (w1, w2, n_ab, n_a, n_b) with n_ab >= min_count.
 
@@ -1926,8 +1931,13 @@ def collocations(
     per key, AQE-friendly probe skew (quality_classifier's pattern),
     never a pair blowup (pairs are ADJACENT only, not co-occurrence).
     """
-    toks = _tokens(F.col(text))
-    t = df.select(toks.alias("_toks")).filter(F.size("_toks") > 0)
+    # guard on the TRIMMED TEXT, not on array size: splitting a trimmed
+    # empty string yields [''] (size 1), which would inject a phantom ''
+    # unigram per blank doc and inflate N quadratically in the PMI test
+    t = (
+        df.filter(F.length(F.trim(F.col(text))) > 0)
+        .select(_tokens(F.col(text)).alias("_toks"))
+    )
     uni = (
         t.select(F.explode("_toks").alias("w"))
         .groupBy("w")

@@ -16,17 +16,18 @@ span). Tiles partition the plane, so per-tile union areas are
 independent and their sum is the global union area. Within one tile the
 classic sequential sweep runs in an Arrow-batched pandas group
 (applyInPandas — the documented custom-operator fallback for genuinely
-non-SQL per-group logic): x-coordinate compression into slabs, then the
-exact integer union length of y-intervals per slab via the
-running-max-reach scan.
+non-SQL per-group logic): an x-ordered event sweep over a
+y-compressed coverage-count array — each box updates its own y cells
+once on enter and once on leave (vectorized slices), the covered
+length is maintained incrementally by cells crossing 0 <-> >0, and
+each inter-event slab contributes width x covered.
 
 Exactness: all coordinates are int64, half-open boxes [x1,x2)x[y1,y2),
-every contribution ``(xe-xs) * max(0, y2 - max(y1, prev_reach))`` is
-integer — no epsilon anywhere; per-tile area <= 4^tile_shift fits
-bigint for tile_shift <= 31. The DuckDB oracle computes the SAME
-numbers by a DIFFERENT route (global SQL slab sweep with window
-functions, no pandas) — an independent algorithmic cross-check, not a
-transliteration.
+every contribution is an integer product — no epsilon anywhere;
+per-tile area <= 4^tile_shift fits bigint for tile_shift <= 31. The
+DuckDB oracle computes the SAME numbers by a DIFFERENT route (global
+SQL slab sweep with running-max window functions, no pandas, no event
+walk) — an independent algorithmic cross-check, not a transliteration.
 
 Scale shape: one bounded 2-D explode + clip (codegen), one shuffle on
 the tile key, per-tile python bounded by tile occupancy (pick
@@ -50,6 +51,12 @@ def _tile(col: str, width: int) -> F.Column:
 
 
 def _sweep_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Event sweep over one tile: y-coordinate compression + an active
+    coverage-count array updated incrementally at each box edge. A box
+    touches its own y-range cells exactly twice (enter/leave), each a
+    vectorized slice op, and the running covered length is maintained by
+    counting cells crossing 0 <-> >0 — so per-tile work is
+    O(n log n + sum of per-box y-cell spans), not slabs x boxes."""
     import numpy as np
 
     if pdf.empty:
@@ -60,24 +67,35 @@ def _sweep_group(pdf: pd.DataFrame) -> pd.DataFrame:
     x2 = pdf["cx2"].to_numpy(np.int64)
     y1 = pdf["cy1"].to_numpy(np.int64)
     y2 = pdf["cy2"].to_numpy(np.int64)
-    xs = np.unique(np.concatenate([x1, x2]))
+    ys = np.unique(np.concatenate([y1, y2]))
+    seg_len = np.diff(ys)
+    a_idx = np.searchsorted(ys, y1)
+    b_idx = np.searchsorted(ys, y2)
+    # events: (x, is_leave, box) — enters before leaves at equal x is
+    # irrelevant for area (zero-width slab between them), sort by x only
+    ev_x = np.concatenate([x1, x2])
+    ev_leave = np.concatenate(
+        [np.zeros(len(x1), bool), np.ones(len(x2), bool)]
+    )
+    ev_box = np.concatenate([np.arange(len(x1)), np.arange(len(x2))])
+    order = np.argsort(ev_x, kind="stable")
+    cnt = np.zeros(len(seg_len), dtype=np.int64)
+    covered = 0
     area = 0
-    for i in range(len(xs) - 1):
-        xl, xr = xs[i], xs[i + 1]
-        m = (x1 <= xl) & (x2 >= xr)
-        if not m.any():
-            continue
-        ys1 = y1[m]
-        ys2 = y2[m]
-        order = np.lexsort((ys2, ys1))
-        ys1 = ys1[order]
-        ys2 = ys2[order]
-        reach = np.maximum.accumulate(ys2)
-        prev = np.empty_like(reach)
-        prev[0] = ys1[0]  # max(y1, prev_reach) with no predecessor
-        prev[1:] = np.maximum(ys1[1:], reach[:-1])
-        length = int(np.maximum(0, ys2 - prev).sum())
-        area += int(xr - xl) * length
+    prev_x = None
+    for e in order:
+        x = int(ev_x[e])
+        if prev_x is not None and x > prev_x:
+            area += (x - prev_x) * covered
+        prev_x = x
+        box = ev_box[e]
+        a, b = a_idx[box], b_idx[box]
+        if ev_leave[e]:
+            cnt[a:b] -= 1
+            covered -= int(seg_len[a:b][cnt[a:b] == 0].sum())
+        else:
+            covered += int(seg_len[a:b][cnt[a:b] == 0].sum())
+            cnt[a:b] += 1
     return pd.DataFrame({"tile_x": [tx], "tile_y": [ty], "area": [area]})
 
 

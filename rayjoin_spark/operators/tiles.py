@@ -309,11 +309,15 @@ def moran_i(
     (the N^2 from the un-scaled deviations cancels). The result is
     returned as the exact fraction — one row (n_tiles, w_sum, moran_num,
     moran_den) where moran_num = sum over DIRECTED rook neighbor pairs
-    of s_i*s_j and moran_den = sum s_i^2, both decimal(38,0): at planet
-    scale (N ~ 1e8 occupied tiles, counts ~ 1e12) s_i ~ 1e20 overflows
-    int64 but its products fit 38 digits; no float crosses an aggregate
-    so both engines agree digit-for-digit. I itself = n_tiles * num /
-    (w_sum * den), left to the caller (it is generally irrational).
+    of s_i*s_j and moran_den = sum s_i^2, both decimal(38,0) (s_i alone
+    overflows int64 once N*x_max > 9.2e18). The decimal side is EXACT
+    while |s_i| < ~1e18 (so the summed 36-digit products stay under 38
+    digits across ~1e2 x more pairs); past that Spark's ANSI mode fails
+    LOUD, never silently — aggregate to a coarser zoom (tile_aggregate)
+    first, which is statistically sensible anyway at that density. No
+    float crosses an aggregate, so both engines agree digit-for-digit.
+    I itself = n_tiles * num / (w_sum * den), left to the caller (it is
+    generally irrational).
 
     Only OCCUPIED tiles participate (the raster contract shared with
     hotspot_tiles: absent tiles are void, not zero-count cells — the

@@ -4,8 +4,8 @@ exact answers — the entry-oracle mirror covers the derived-host-graph
 shapes; these pin the edge cases (direction/multiplicity collapse,
 self-loops, hub orientation, fanout filter, checkerboard sign)."""
 
-import pytest
-from pyspark.sql import functions as F
+
+
 
 from rayjoin_spark.operators.graph import link_jaccard, triangle_count
 from rayjoin_spark.operators.tiles import moran_i

@@ -4,8 +4,8 @@ oracle mirrors cover the fixture shapes; these pin the geometry and
 segmentation edge cases against brute force."""
 
 import numpy as np
-import pytest
-from pyspark.sql import functions as F
+
+
 
 from rayjoin_spark.functions.textops import collocations
 from rayjoin_spark.operators.knn import dwell_segments
