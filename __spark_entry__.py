@@ -2510,6 +2510,74 @@ def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_area(rects, tile_shift=16)
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-span coalescing (functions/eventops.py
+    interval_merge): each event opens a half-open 30-minute window
+    [us, us + 1800s); overlapping/touching windows merge into maximal
+    busy spans — the 1-D measure-union sibling of union_area, pure
+    codegen. Oracle: same running-max-reach window + cumsum."""
+    from rayjoin_spark.functions.eventops import interval_merge
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = e.select(
+        "user_id",
+        us.alias("lo"),
+        (us + 1800 * 1_000_000).alias("hi"),
+    )
+    return interval_merge(iv)
+
+
+def q_xsect_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection-point density raster: the LSI join's EXACT rational
+    intersection points (num/den, decimal(38,0)) rolled up to 2^25-wide
+    tiles by exact rational floor division (tile = floor(num/(den*W))
+    via the subtract-pmod decimal form — no double ever decides a tile).
+    The composition showcase: spatial join -> exact geometry -> raster
+    rollup in one declarative plan. Oracle: the LSI SQL + HUGEINT xsect
+    + the same floor arithmetic."""
+    ea = derived.edges_a(spark, sf_dir)
+    eb = derived.edges_b(spark, sf_dir)
+    pts = lsi_join(ea, eb, DERIVED_GRID, with_points=True)
+    w = 1 << 25
+    md = f"(den * CAST({w} AS decimal(38,0)))"
+
+    def tile(num: str) -> F.Column:
+        return F.expr(
+            f"CAST(({num} - pmod({num}, {md})) DIV {md} AS BIGINT)"
+        )
+
+    return (
+        pts.select(tile("num_x").alias("tile_x"), tile("num_y").alias("tile_y"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").cast("bigint").alias("n_xsects"))
+    )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity over the derived host graph (operators/graph.py
+    reciprocity): distinct non-loop edges with a reverse edge. Oracle:
+    EXISTS over the swapped edge set."""
+    from rayjoin_spark.operators import graph
+
+    return graph.reciprocity(_host_edges(spark, sf_dir))
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity sums over the derived host graph
+    (operators/graph.py degree_assortativity; r = (m*s_jk - s_j^2) /
+    (m*s_j2 - s_j^2) left to the caller). decimal(38,0) internally,
+    bigint at this boundary. Oracle: same sums in SQL."""
+    from rayjoin_spark.operators import graph
+
+    return graph.degree_assortativity(_host_edges(spark, sf_dir)).select(
+        "m",
+        F.col("s_j").cast("bigint").alias("s_j"),
+        F.col("s_jk").cast("bigint").alias("s_jk"),
+        F.col("s_j2").cast("bigint").alias("s_j2"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2561,6 +2629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "dwell_segments": q_dwell_segments,
         "union_area": q_union_area,
+        "interval_merge": q_interval_merge,
+        "xsect_density": q_xsect_density,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3537,6 +3609,66 @@ SELECT (SELECT CAST(n_tiles AS BIGINT) FROM stats) AS n_tiles,
 FROM cr
 """
 
+#: LSI pairs (same SoS chain as _LSI_SQL, geometry kept) -> exact
+#: HUGEINT intersection point (mirrors operators/lsi.with_xsect_point:
+#: sign-normalized den, bbox clamp) -> exact rational floor division to
+#: 2^25-wide tiles -> count. W = 33554432; M = den * W <= 2^84 fits
+#: HUGEINT.
+_XSECT_DENSITY_SQL = f"""
+WITH ea AS ({EDGES_A_SQL}),
+     eb AS ({EDGES_B_SQL}),
+     j AS (
+  SELECT ea.x1 AS ax1, ea.y1 AS ay1, ea.x2 AS ax2, ea.y2 AS ay2,
+         eb.x1 AS bx1, eb.y1 AS by1, eb.x2 AS bx2, eb.y2 AS by2,
+         (ea.x1 * eb.a + ea.y1 * eb.b + eb.c) AS s_a1,
+         (ea.x2 * eb.a + ea.y2 * eb.b + eb.c) AS s_a2,
+         (eb.x1 * ea.a + eb.y1 * ea.b + ea.c) AS s_b1,
+         (eb.x2 * ea.a + eb.y2 * ea.b + ea.c) AS s_b2,
+         ea.a AS aa, ea.b AS ab_, ea.c AS ac,
+         eb.a AS ba, eb.b AS bb, eb.c AS bc
+  FROM ea, eb
+), sos AS (
+  SELECT *,
+         CASE WHEN s_a1 <> 0 THEN s_a1 WHEN ba <> 0 THEN -ba ELSE -bb END AS e_a1,
+         CASE WHEN s_a2 <> 0 THEN s_a2 WHEN ba <> 0 THEN -ba ELSE -bb END AS e_a2,
+         CASE WHEN s_b1 <> 0 THEN s_b1 WHEN aa <> 0 THEN aa ELSE ab_ END AS e_b1,
+         CASE WHEN s_b2 <> 0 THEN s_b2 WHEN aa <> 0 THEN aa ELSE ab_ END AS e_b2
+  FROM j
+), hits AS (
+  SELECT * FROM sos
+  WHERE ((e_a1 > 0) <> (e_a2 > 0)) AND ((e_b1 > 0) <> (e_b2 > 0))
+    AND NOT ((ax1 = bx1 AND ay1 = by1 AND ax2 = bx2 AND ay2 = by2)
+          OR (ax1 = bx2 AND ay1 = by2 AND ax2 = bx1 AND ay2 = by1))
+), x0 AS (
+  SELECT CAST(aa AS HUGEINT) * bb - CAST(ba AS HUGEINT) * ab_ AS den0,
+         CAST(bc AS HUGEINT) * ab_ - CAST(ac AS HUGEINT) * bb AS numx0,
+         CAST(ba AS HUGEINT) * ac - CAST(aa AS HUGEINT) * bc AS numy0,
+         least(ax1, ax2, bx1, bx2) AS lo_x, greatest(ax1, ax2, bx1, bx2) AS hi_x,
+         least(ay1, ay2, by1, by2) AS lo_y, greatest(ay1, ay2, by1, by2) AS hi_y
+  FROM hits
+), xn AS (
+  SELECT CASE WHEN den0 < 0 THEN -den0 ELSE den0 END AS den,
+         CASE WHEN den0 < 0 THEN -numx0 ELSE numx0 END AS num_x0,
+         CASE WHEN den0 < 0 THEN -numy0 ELSE numy0 END AS num_y0,
+         lo_x, hi_x, lo_y, hi_y
+  FROM x0
+), cl AS (
+  SELECT den, den * 33554432 AS m,
+         CASE WHEN num_x0 < lo_x * den THEN lo_x * den
+              WHEN num_x0 > hi_x * den THEN hi_x * den ELSE num_x0 END AS num_x,
+         CASE WHEN num_y0 < lo_y * den THEN lo_y * den
+              WHEN num_y0 > hi_y * den THEN hi_y * den ELSE num_y0 END AS num_y
+  FROM xn
+), tiles AS (
+  SELECT (num_x - ((num_x % m) + m) % m) // m AS tile_x,
+         (num_y - ((num_y % m) + m) % m) // m AS tile_y
+  FROM cl
+)
+SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_xsects
+FROM tiles GROUP BY 1, 2
+"""
+
 _SKYLINE_SQL = f"""
 WITH raw AS ({points_sql(2, 4)}),
 pts AS (SELECT DISTINCT px AS x, py AS y FROM raw)
@@ -4028,6 +4160,61 @@ m AS (
 SELECT tile_x, tile_y,
        CAST(SUM((xe - xs) * greatest(0, cy2 - greatest(cy1, COALESCE(prevr, cy1)))) AS BIGINT) AS area
 FROM m GROUP BY 1, 2
+"""
+
+_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi
+  FROM events
+), r AS (
+  SELECT user_id, lo, hi,
+         max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+  FROM iv
+), f AS (
+  SELECT user_id, lo, hi,
+         CASE WHEN reach IS NULL OR lo > reach THEN 1 ELSE 0 END AS nw
+  FROM r
+), g AS (
+  SELECT user_id, lo, hi,
+         SUM(nw) OVER (PARTITION BY user_id ORDER BY lo, hi
+                       ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM f
+)
+SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(lo) AS BIGINT) AS lo, CAST(MAX(hi) AS BIGINT) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM g GROUP BY 1, 2
+"""
+
+_RECIPROCITY_SQL = f"""
+WITH {_HOST_EDGES_SQL.strip()},
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM d WHERE EXISTS
+          (SELECT 1 FROM d r WHERE r.src = d.dst AND r.dst = d.src)) AS BIGINT)
+         AS n_reciprocal
+"""
+
+_ASSORTATIVITY_SQL = f"""
+WITH {_HOST_EDGES_SQL.strip()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY 1
+),
+sym AS (SELECT lo AS u, hi AS v FROM und UNION ALL SELECT hi AS u, lo AS v FROM und)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(du.deg) AS BIGINT) AS s_j,
+       CAST(SUM(CAST(du.deg AS HUGEINT) * dv.deg) AS BIGINT) AS s_jk,
+       CAST(SUM(CAST(du.deg AS HUGEINT) * du.deg) AS BIGINT) AS s_j2
+FROM sym
+JOIN deg du ON du.node = sym.u
+JOIN deg dv ON dv.node = sym.v
 """
 
 _HOST_COMPONENTS_SQL = """
@@ -5748,6 +5935,10 @@ FROM agg
         "collocations": _COLLOCATIONS_SQL,
         "dwell_segments": _DWELL_SQL,
         "union_area": _UNION_AREA_SQL,
+        "interval_merge": _INTERVAL_MERGE_SQL,
+        "xsect_density": _XSECT_DENSITY_SQL,
+        "reciprocity": _RECIPROCITY_SQL,
+        "assortativity": _ASSORTATIVITY_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

@@ -195,3 +195,60 @@ def interval_join(
         F.min("us").alias("first_us"),
         F.max("us").alias("last_us"),
     )
+
+
+def interval_merge(
+    intervals: DataFrame,
+    key: str = "user_id",
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Coalesce overlapping/touching half-open intervals [lo, hi) per
+    key into maximal disjoint spans — the 1-D measure-union sibling of
+    operators/sweep.union_area (same running-max-reach idea, but here
+    the per-key interval list fits a window, so it stays pure codegen:
+    no pandas, no explode). Crawl-side use: merge per-host activity
+    windows ([fetch_ts, fetch_ts + crawl_delay)) into contiguous busy
+    spans; event-side: visit spans from raw event instants.
+
+    Semantics: intervals with lo >= hi are dropped; a new span starts
+    exactly when this lo is STRICTLY greater than the running max of
+    all previous his (ties touch: [0,5) + [5,9) merge — half-open
+    adjacency is contiguity). Output (key, span_id, lo, hi, n_merged)
+    with span_id dense per key from 1 by ascending lo, all bigint —
+    integer compares only, bit-stable on both engines.
+
+    Scale shape: ONE window sort per key + one combinable groupBy — the
+    same two-shuffle shape as dwell_segments; a mega-key is one window
+    partition (pre-split by coarse lo range and re-merge seam spans if
+    a single key ever holds billions of intervals).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_k").orderBy("_lo", "_hi")
+    p = (
+        intervals.select(
+            F.col(key).alias("_k"),
+            F.col(lo).cast("bigint").alias("_lo"),
+            F.col(hi).cast("bigint").alias("_hi"),
+        )
+        .filter(F.col("_lo") < F.col("_hi"))
+    )
+    p = p.withColumn(
+        "_reach",
+        F.max("_hi").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    ).withColumn(
+        "_new",
+        F.when(
+            F.col("_reach").isNull() | (F.col("_lo") > F.col("_reach")), 1
+        ).otherwise(0),
+    )
+    p = p.withColumn(
+        "span_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+    )
+    return p.groupBy(F.col("_k").alias(key), "span_id").agg(
+        F.min("_lo").alias("lo"),
+        F.max("_hi").alias("hi"),
+        F.count("*").cast("bigint").alias("n_merged"),
+    )

@@ -443,3 +443,78 @@ def link_jaccard(
         )
         .select("node_a", "node_b", "shared", "union_cnt")
     )
+
+
+def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Directed-edge reciprocity: of the distinct non-loop edges (u, v),
+    how many have the reverse edge (v, u)? The link-graph symmetry
+    diagnostic (blogroll/webring mutuality vs one-way citation). One row
+    (n_edges, n_reciprocal), exact integers.
+
+    Scale shape: one distinct + one left_semi equi-join of the edge list
+    against its own swap + two tiny aggs — no window, no collect.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned twice (base + swap)
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    n = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    r = e.join(rev, ["s", "d"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_reciprocal")
+    )
+    return n.crossJoin(F.broadcast(r))
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-assortativity sums over the UNDIRECTED simple graph
+    (direction/multiplicity/self-loops dropped, cf. triangle_count):
+    one row (m, s_j, s_jk, s_j2) of exact integers over DIRECTED edge
+    endpoint pairs (each undirected edge counted both ways, so the
+    j-marginal equals the k-marginal by construction), from which the
+    degree Pearson correlation is
+
+        r = (m * s_jk - s_j^2) / (m * s_j2 - s_j^2)
+
+    — positive: hubs link hubs (assortative, social-graph-like);
+    negative: hubs link leaves (disassortative, web-like). Plain
+    degrees, not Newman's excess degrees (j = deg(u), documented
+    contract; subtract m from s_j etc. to convert). Sums ride
+    decimal(38,0) — Σ deg_u*deg_v over 1e12 edges with 1e6-degree hubs
+    overflows int64; ANSI fails loud past 38 digits.
+
+    Scale shape: degree agg + two hash joins on the endpoint key
+    (1-row build side per key) + one combinable agg.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionByName(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    sym = und.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+        und.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("j"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("k"))
+    dec = "decimal(38,0)"
+    return (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(F.col("j").cast(dec)).cast(dec).alias("s_j"),
+            F.sum(F.col("j").cast(dec) * F.col("k").cast(dec)).cast(dec).alias("s_jk"),
+            F.sum(F.col("j").cast(dec) * F.col("j").cast(dec)).cast(dec).alias("s_j2"),
+        )
+    )

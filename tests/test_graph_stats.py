@@ -111,3 +111,52 @@ def test_moran_isolated_tiles_no_pairs(spark):
     r = moran_i(t).collect()[0]
     assert r["w_sum"] == 0 and r["moran_num"] is None
     assert int(r["moran_den"]) == 32  # s = {-4, +4} scaled by N=2
+
+
+def test_reciprocity_counts(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+    )
+    r = __import__("rayjoin_spark.operators.graph", fromlist=["x"]).reciprocity(e).collect()[0]
+    # distinct non-loop edges: ab, ba, ac -> ab & ba reciprocal
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+
+
+def test_assortativity_star_disassortative(spark):
+    from rayjoin_spark.operators.graph import degree_assortativity
+
+    e = _edges(spark, [("hub", f"x{i}") for i in range(4)])
+    r = degree_assortativity(e).collect()[0]
+    # star K1,4: m = 8 directed pairs, degrees hub=4 leaves=1
+    # s_j = 4*(4+1) + ... each directed pair contributes j=deg(u):
+    # pairs (hub->leaf) x4: j=4; (leaf->hub) x4: j=1 -> s_j = 20
+    assert r["m"] == 8 and int(r["s_j"]) == 20
+    assert int(r["s_jk"]) == 32  # 8 pairs each j*k = 4
+    assert int(r["s_j2"]) == 68  # 4*16 + 4*1
+    # r_pearson = (8*32 - 400)/(8*68 - 400) = -144/144 = -1 (perfectly
+    # disassortative, as a star must be)
+
+
+def test_interval_merge_touch_overlap_gap(spark):
+    from rayjoin_spark.functions.eventops import interval_merge
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 5), (1, 5, 9),     # touching -> merge (half-open)
+            (1, 20, 30), (1, 25, 27),  # contained -> merge
+            (1, 40, 41),               # isolated
+            (2, 0, 10), (2, 3, 4), (2, 50, 60),
+            (3, 7, 7),                 # degenerate -> dropped
+        ],
+        "user_id long, lo long, hi long",
+    )
+    got = {(r["user_id"], r["span_id"]): (r["lo"], r["hi"], r["n_merged"])
+           for r in interval_merge(iv).collect()}
+    assert got == {
+        (1, 1): (0, 9, 2),
+        (1, 2): (20, 30, 2),
+        (1, 3): (40, 41, 1),
+        (2, 1): (0, 10, 2),
+        (2, 2): (50, 60, 1),
+    }
