@@ -2578,6 +2578,18 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global closest pair over the derived point fixture
+    (operators/knn.py closest_pair — radius-widening rounds of
+    dist_join; one non-empty round is PROVABLY sufficient, ties break
+    on (dist2, id, id)). Oracle: brute-force min over all pairs with
+    the same lexicographic tiebreak."""
+    from rayjoin_spark.operators.knn import closest_pair
+
+    pts = derived.query_points(spark, sf_dir, residue=2, mod=4)
+    return closest_pair(pts, DERIVED_SCALING, DERIVED_GRID, d0=1 << 22)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2633,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsect_density": q_xsect_density,
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
+        "closest_pair": q_closest_pair,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3667,6 +3680,17 @@ WITH ea AS ({EDGES_A_SQL}),
 SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
        CAST(COUNT(*) AS BIGINT) AS n_xsects
 FROM tiles GROUP BY 1, 2
+"""
+
+_CLOSEST_PAIR_SQL = f"""
+WITH pts AS ({points_sql(2, 4)}),
+pr AS (
+  SELECT a.point_id AS pa, b.point_id AS pb,
+         (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py) AS d2
+  FROM pts a JOIN pts b ON a.point_id < b.point_id
+)
+SELECT pa AS point_a, pb AS point_b, CAST(d2 AS BIGINT) AS dist2
+FROM pr ORDER BY d2, pa, pb LIMIT 1
 """
 
 _SKYLINE_SQL = f"""
@@ -5939,6 +5963,7 @@ FROM agg
         "xsect_density": _XSECT_DENSITY_SQL,
         "reciprocity": _RECIPROCITY_SQL,
         "assortativity": _ASSORTATIVITY_SQL,
+        "closest_pair": _CLOSEST_PAIR_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

@@ -511,3 +511,59 @@ def dwell_segments(
         ).cast("bigint").alias("intra_m"),
         (F.count("*") >= min_pts).alias("is_dwell"),
     )
+
+
+def closest_pair(
+    points: DataFrame,
+    scaling: Scaling,
+    grid: GridSpec | None = None,
+    d0: int = 1 << 22,
+    growth: int = 8,
+    max_rounds: int = 6,
+    point_id: str = "point_id",
+) -> DataFrame:
+    """Global closest pair of points — exact, via radius-widening rounds
+    of the engine's own within-distance join (the classic grid answer to
+    the divide-and-conquer textbook algorithm, reusing dist_join's
+    bounded cell-neighborhood explode).
+
+    Exactness argument: dist_join(d) returns ALL pairs at snapped-int
+    distance <= d. If that set is non-empty, the global closest pair is
+    in it (its distance is <= any member's), so one non-empty round is
+    sufficient — the widening loop (d *= growth) only runs while the set
+    is EMPTY. Ties break on (dist2, id_a, id_b) via a lexicographic
+    struct-min, so the answer is bit-stable on any engine/partitioning.
+
+    Returns one row (point_a, point_b, dist2) with point_a < point_b, or
+    zero rows for < 2 distinct input points within the final radius.
+
+    Scale shape: each round is one dist_join (bounded explode + hash
+    equi-join) + a map-side-combinable struct-min; rounds materialize
+    via localCheckpoint (house iterative pattern). Choose d0 near the
+    expected NN distance (domain_extent / sqrt(n)) so round one already
+    lands non-empty and the probe fan-out (d0/cell)^2 stays small.
+    """
+    corpus = points.select(
+        F.col(point_id).alias("corpus_id"), F.col("x"), F.col("y")
+    )
+    d = d0
+    pairs = None
+    for _ in range(max_rounds):
+        pairs = (
+            dist_join(points, corpus, scaling, grid=grid, d_int=d)
+            .filter(F.col(point_id) < F.col("corpus_id"))
+            .localCheckpoint(eager=True)
+        )
+        if not pairs.isEmpty():
+            break
+        d *= growth
+    best = pairs.agg(
+        F.min(
+            F.struct(F.col("dist2"), F.col(point_id), F.col("corpus_id"))
+        ).alias("b")
+    )
+    return best.filter(F.col("b").isNotNull()).select(
+        F.col(f"b.{point_id}").alias("point_a"),
+        F.col("b.corpus_id").alias("point_b"),
+        F.col("b.dist2").cast("bigint").alias("dist2"),
+    )

@@ -95,3 +95,50 @@ def test_geo_dist_join_wrap_and_polar(spark):
     assert (2, 1) in out and out[(2, 1)] == out[(1, 2)]
     assert (3, 4) in out and 5_000 < out[(3, 4)] < 10_000
     assert (1, 5) not in out and (5, 3) not in out
+
+
+def test_closest_pair_exact_and_widening(spark):
+    from rayjoin_spark.operators.knn import closest_pair
+
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    # far-apart scatter: the tiny d0 forces several widening rounds
+    rows = [(1, 0.0, 0.0), (2, 90.0, 90.0), (3, 50.0, 10.0), (4, 52.0, 11.0)]
+    pts = _pts(spark, rows, "point_id")
+    got = closest_pair(
+        pts, scaling, GridSpec(64), d0=1, growth=8, max_rounds=12
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["point_a"], r["point_b"]) == (3, 4)
+    # brute check of dist2 in the snapped domain
+    s = pts.select(
+        "point_id",
+        scaling.scale_x(F.col("x")).alias("sx"),
+        scaling.scale_y(F.col("y")).alias("sy"),
+    ).collect()
+    m = {q["point_id"]: (q["sx"], q["sy"]) for q in s}
+    d2 = (m[3][0] - m[4][0]) ** 2 + (m[3][1] - m[4][1]) ** 2
+    assert r["dist2"] == d2
+
+
+def test_closest_pair_tie_breaks_on_ids(spark):
+    from rayjoin_spark.operators.knn import closest_pair
+
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    # two pairs at identical distance; (1,2) wins on id order
+    rows = [(2, 0.0, 0.0), (1, 10.0, 0.0), (9, 0.0, 50.0), (5, 10.0, 50.0)]
+    r = closest_pair(
+        _pts(spark, rows, "point_id"), scaling, GridSpec(64), d0=1 << 28
+    ).collect()[0]
+    assert (r["point_a"], r["point_b"]) == (1, 2)
+
+
+def test_closest_pair_single_point_empty(spark):
+    from rayjoin_spark.operators.knn import closest_pair
+
+    scaling = Scaling.from_bbox(0.0, 100.0, 0.0, 100.0)
+    r = closest_pair(
+        _pts(spark, [(1, 5.0, 5.0)], "point_id"), scaling, GridSpec(64),
+        d0=1, max_rounds=2,
+    )
+    assert r.count() == 0
