@@ -2590,6 +2590,37 @@ def q_closest_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closest_pair(pts, DERIVED_SCALING, DERIVED_GRID, d0=1 << 22)
 
 
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (LISA) components per tile
+    (operators/tiles.local_moran): s_i and s_i * Σ_{rook} s_j as exact
+    integers — the per-tile cluster/outlier call that pairs with the
+    global `moran_tiles`. decimal internally, bigint at this boundary.
+    Oracle: same scaled-deviation arithmetic per tile."""
+    from rayjoin_spark.operators.tiles import local_moran, tile_aggregate
+
+    pts = derived.query_points(spark, sf_dir, residue=3, mod=4)
+    t = tile_aggregate(pts, DERIVED_SCALING, DERIVED_GRID, shift=3)
+    return local_moran(t).select(
+        "tile_x",
+        "tile_y",
+        "n_points",
+        F.col("s").cast("bigint").alias("s"),
+        "w_i",
+        F.col("local_num").cast("bigint").alias("local_num"),
+    )
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal burst flags per event type (functions/eventops.py
+    burst_detect): hourly buckets, burst when count >= 3x the trailing
+    mean over up to 6 previous observed buckets (cross-multiplied
+    integers, >= 3 buckets of history required). Oracle: same windows."""
+    from rayjoin_spark.functions.eventops import burst_detect
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return burst_detect(e, window=6, factor=3, min_history=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2646,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "assortativity": q_assortativity,
         "closest_pair": q_closest_pair,
+        "local_moran": q_local_moran,
+        "burst_detect": q_burst_detect,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3680,6 +3713,56 @@ WITH ea AS ({EDGES_A_SQL}),
 SELECT CAST(tile_x AS BIGINT) AS tile_x, CAST(tile_y AS BIGINT) AS tile_y,
        CAST(COUNT(*) AS BIGINT) AS n_xsects
 FROM tiles GROUP BY 1, 2
+"""
+
+_LOCAL_MORAN_SQL = f"""
+WITH pts AS ({points_sql(3, 4)}),
+t AS (
+  SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
+         CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), stats AS (SELECT COUNT(*) AS n_tiles, SUM(n) AS total FROM t),
+s AS (
+  SELECT tile_x, tile_y, n,
+         CAST(n_tiles AS HUGEINT) * n - total AS s
+  FROM t CROSS JOIN stats
+),
+probes AS (
+  SELECT s.tile_x, s.tile_y, s.n, s.s,
+         s.tile_x + o.dx AS nx, s.tile_y + o.dy AS ny
+  FROM s, (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)) o(dx, dy)
+)
+SELECT p.tile_x, p.tile_y, CAST(p.n AS BIGINT) AS n_points,
+       CAST(p.s AS BIGINT) AS s,
+       CAST(COUNT(nb.s) AS BIGINT) AS w_i,
+       CAST(p.s * COALESCE(SUM(nb.s), 0) AS BIGINT) AS local_num
+FROM probes p
+LEFT JOIN s nb ON nb.tile_x = p.nx AND nb.tile_y = p.ny
+GROUP BY p.tile_x, p.tile_y, p.n, p.s
+"""
+
+_BURST_SQL = """
+WITH cnt AS (
+  SELECT event_type,
+         (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
+           // 3600000000 AS bucket,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket, n_events,
+         COALESCE(SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), 0) AS prev_sum,
+         COUNT(n_events) OVER (PARTITION BY event_type ORDER BY bucket
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS "trailing"
+  FROM cnt
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(prev_sum AS BIGINT) AS prev_sum,
+       CAST("trailing" AS BIGINT) AS "trailing",
+       "trailing" >= 3 AND n_events * "trailing" >= 3 * prev_sum AS burst
+FROM w
 """
 
 _CLOSEST_PAIR_SQL = f"""
@@ -5964,6 +6047,8 @@ FROM agg
         "reciprocity": _RECIPROCITY_SQL,
         "assortativity": _ASSORTATIVITY_SQL,
         "closest_pair": _CLOSEST_PAIR_SQL,
+        "local_moran": _LOCAL_MORAN_SQL,
+        "burst_detect": _BURST_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

@@ -252,3 +252,60 @@ def interval_merge(
         F.max("_hi").alias("hi"),
         F.count("*").cast("bigint").alias("n_merged"),
     )
+
+
+def burst_detect(
+    events: DataFrame,
+    bucket_us: int = US_PER_HOUR,
+    window: int = 6,
+    factor: int = 3,
+    min_history: int = 3,
+) -> DataFrame:
+    """Temporal burst detection per event type (a Kleinberg-flavored
+    two-state test kept integer-exact): bucket events to fixed windows
+    (the subtract-pmod floor of event_rollup), then flag a bucket whose
+    count exceeds ``factor`` times the trailing mean over the previous
+    ``window`` OBSERVED buckets —
+
+        burst  <=>  n * trailing >= factor * prev_sum   (cross-multiplied)
+
+    with ``trailing`` the number of observed trailing buckets (ROWS, not
+    RANGE: silent hours produce no bucket rows and are deliberately NOT
+    zero-filled — the baseline is "recent activity when active", which
+    is the flash-crowd question; buckets with trailing < min_history are
+    never flagged, so cold starts don't fire). The crawl-ops use: detect
+    flash crowds / hot topics per event type to trigger recrawl.
+
+    Output (event_type, bucket, n_events, prev_sum, trailing, burst),
+    all bigint + boolean — integer compares only.
+
+    Scale shape: one combinable count groupBy + one window per type
+    ordered by bucket (a type is one window partition; types are few —
+    for per-HOST bursts at web scale, partition the window by (host)
+    which is naturally parallel). No self-join, no collect.
+    """
+    from pyspark.sql import Window
+
+    b = F.expr(
+        f"(unix_micros(CAST(ts AS timestamp)) - pmod(unix_micros(CAST(ts AS timestamp)), {bucket_us})) DIV {bucket_us}"
+    )
+    cnt = (
+        events.select(F.col("event_type"), b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-window, -1)
+    return cnt.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("bigint").alias("prev_sum"),
+        F.count("n_events").over(w).cast("bigint").alias("trailing"),
+    ).withColumn(
+        "burst",
+        (F.col("trailing") >= min_history)
+        & (
+            F.col("n_events") * F.col("trailing")
+            >= F.lit(int(factor)) * F.col("prev_sum")
+        ),
+    )

@@ -374,3 +374,84 @@ def moran_i(
     return den.crossJoin(F.broadcast(cross)).select(
         "n_tiles", "w_sum", "moran_num", "moran_den"
     )
+
+
+def local_moran(
+    tiles: DataFrame,
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) components per tile — the
+    per-tile sibling of `moran_i`: which tiles sit in high-high /
+    low-low clusters vs high-low outliers. Same exact-integer contract
+    and rook weights: with s_i = N*x_i - T,
+
+        I_i  ∝  s_i * sum_{j in N(i)} s_j
+
+    and the emitted row is (tile_x, tile_y, n_points, s, w_i, local_num)
+    with w_i the realized neighbor count and local_num = s_i * Σ s_j as
+    decimal(38,0) (the caller normalizes by Σ s_k^2 / N from `moran_i`
+    if a unit-scaled statistic is wanted; sign + relative magnitude —
+    the cluster/outlier call — need no division). Quadrant: s > 0 &
+    local_num > 0 = high-high, s < 0 & local_num > 0 = low-low,
+    local_num < 0 = spatial outlier.
+
+    Same scale shape as moran_i: broadcast stats, bounded 4-way offset
+    explode, one tile equi-join, one combinable groupBy. Same |s_i| <
+    ~1e18 exactness bound (ANSI fails loud past it; coarsen first).
+    """
+    t = tiles.select(
+        F.col("tile_x").cast("bigint"),
+        F.col("tile_y").cast("bigint"),
+        F.col(count_col).cast("bigint").alias("n"),
+    )
+    stats = t.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_tiles"),
+        F.sum("n").cast("decimal(38,0)").alias("total"),
+    )
+    s = t.crossJoin(F.broadcast(stats)).select(
+        "tile_x",
+        "tile_y",
+        "n",
+        (F.col("n_tiles") * F.col("n") - F.col("total")).alias("s"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+        ]
+    )
+    probes = s.select(
+        "tile_x",
+        "tile_y",
+        "n",
+        "s",
+        F.explode(offs).alias("o"),
+    ).select(
+        "tile_x",
+        "tile_y",
+        "n",
+        "s",
+        (F.col("tile_x") + F.col("o.dx")).alias("nx"),
+        (F.col("tile_y") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = s.select(
+        F.col("tile_x").alias("nx"),
+        F.col("tile_y").alias("ny"),
+        F.col("s").alias("sn"),
+    )
+    return (
+        probes.join(nbr, ["nx", "ny"], "left")
+        .groupBy("tile_x", "tile_y", "n", "s")
+        .agg(
+            F.count(F.col("sn")).cast("bigint").alias("w_i"),
+            F.coalesce(F.sum("sn"), F.lit(0).cast("decimal(38,0)")).alias("_nbr_sum"),
+        )
+        .select(
+            "tile_x",
+            "tile_y",
+            F.col("n").alias("n_points"),
+            F.col("s").cast("decimal(38,0)").alias("s"),
+            "w_i",
+            (F.col("s") * F.col("_nbr_sum")).cast("decimal(38,0)").alias("local_num"),
+        )
+    )

@@ -160,3 +160,44 @@ def test_interval_merge_touch_overlap_gap(spark):
         (2, 1): (0, 10, 2),
         (2, 2): (50, 60, 1),
     }
+
+
+def test_local_moran_quadrants(spark):
+    from rayjoin_spark.operators.tiles import local_moran
+
+    # 2x2 checkerboard (see test_moran_checkerboard): every tile's rook
+    # neighbors are the opposite value -> all four are spatial outliers
+    # (local_num < 0); w_i = 2 at each corner.
+    t = _raster(spark, [(0, 0, 1), (1, 0, 3), (0, 1, 3), (1, 1, 1)])
+    rows = local_moran(t).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["w_i"] == 2
+        assert int(r["local_num"]) == -32  # s * (s_n1 + s_n2) = ±4 * ∓8
+
+
+def test_local_moran_isolated_tile(spark):
+    from rayjoin_spark.operators.tiles import local_moran
+
+    t = _raster(spark, [(0, 0, 1), (10, 10, 5)])
+    got = {(r["tile_x"], r["tile_y"]): r for r in local_moran(t).collect()}
+    assert all(r["w_i"] == 0 and int(r["local_num"]) == 0 for r in got.values())
+
+
+def test_burst_detect_flags_spike_only(spark):
+    from rayjoin_spark.functions.eventops import burst_detect
+
+    # type A: hourly counts 1,1,1,9 -> last bucket bursts (9*3 >= 3*3);
+    # a second type with too little history never fires.
+    rows = []
+    for h, n in [(0, 1), (1, 1), (2, 1), (3, 9)]:
+        rows += [(len(rows) + i, f"2024-01-01 0{h}:00:{i:02d}", "A") for i in range(n)]
+    rows += [(900, "2024-01-01 00:00:00", "B"), (901, "2024-01-01 01:00:00", "B")]
+    e = spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+    got = {(r["event_type"], r["bucket"] - min(
+        x["bucket"] for x in burst_detect(e).collect() if x["event_type"] == r["event_type"]
+    )): r for r in burst_detect(e).collect()}
+    a3 = got[("A", 3)]
+    assert a3["n_events"] == 9 and a3["prev_sum"] == 3 and a3["trailing"] == 3
+    assert a3["burst"]
+    assert not any(r["burst"] for k, r in got.items() if k != ("A", 3))
