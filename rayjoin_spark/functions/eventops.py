@@ -25,6 +25,17 @@ from pyspark.sql import functions as F
 US_PER_HOUR = 3_600_000_000
 
 
+def _floor_bucket(us_col: str, bucket_us: int):
+    """Exact integer FLOOR bucketing of a microsecond epoch column:
+    `us DIV b` truncates toward zero (so does DuckDB's bigint //),
+    which puts pre-1970 (negative-epoch) events in the WRONG bucket;
+    subtracting pmod first makes the dividend an exact multiple, so DIV
+    is exact floor. The ONE copy of this reasoning — event_rollup,
+    interval chunking and burst_detect all bucket through here; oracle
+    SQL states the same subtract-pmod-first form."""
+    return F.expr(f"({us_col} - pmod({us_col}, {bucket_us})) DIV {bucket_us}")
+
+
 def event_rollup(events: DataFrame, bucket_us: int = US_PER_HOUR) -> DataFrame:
     """(bucket, event_type) -> n_events, n_users, min/max value, sum of the
     integer json prop k (exercises the JSON scalar path exactly)."""
@@ -32,12 +43,7 @@ def event_rollup(events: DataFrame, bucket_us: int = US_PER_HOUR) -> DataFrame:
     e = events.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
-        # FLOOR division in exact integer math: `us DIV b` truncates
-        # toward zero (so does DuckDB's bigint //), which puts pre-1970
-        # (negative-epoch) events in the WRONG bucket; subtracting pmod
-        # first makes the dividend an exact multiple, so DIV is exact
-        # floor — the oracle SQL uses the same subtract-pmod-first form
-        e.withColumn("bucket", F.expr(f"(us - pmod(us, {bucket_us})) DIV {bucket_us}"))
+        e.withColumn("bucket", _floor_bucket("us", bucket_us))
         .groupBy("bucket", "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -174,7 +180,7 @@ def interval_join(
     )
 
     def _chunk(col):
-        return F.expr(f"({col} - pmod({col}, {chunk_us})) DIV {chunk_us}")
+        return _floor_bucket(col, chunk_us)
 
     anchors = (
         e.filter(F.col("event_type") == anchor_type)
@@ -286,11 +292,12 @@ def burst_detect(
     """
     from pyspark.sql import Window
 
-    b = F.expr(
-        f"(unix_micros(CAST(ts AS timestamp)) - pmod(unix_micros(CAST(ts AS timestamp)), {bucket_us})) DIV {bucket_us}"
-    )
     cnt = (
-        events.select(F.col("event_type"), b.alias("bucket"))
+        events.select(
+            F.col("event_type"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
+        )
+        .select(F.col("event_type"), _floor_bucket("_us", bucket_us).alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )

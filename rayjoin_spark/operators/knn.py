@@ -165,6 +165,7 @@ def dist_join(
     query_id: str = "point_id",
     corpus_id: str = "corpus_id",
     broadcast_max: int = 2_000_000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Within-distance spatial join: all (query, corpus) pairs whose exact
     snapped-integer Euclidean distance is <= d_int. The classic spatial
@@ -201,8 +202,13 @@ def dist_join(
         .withColumn("ccy", grid.cell_of(F.col("cy_i")))
     )
     # persist BEFORE the size probe so the count populates the cache the
-    # join (broadcast or shuffled) then reads — one corpus scan, not two
+    # join (broadcast or shuffled) then reads — one corpus scan, not two.
+    # `caches` (the pip_locate out-param pattern) hands the persisted
+    # frame to the caller for release — loop callers (closest_pair)
+    # otherwise leak one cached corpus copy per invocation.
     cp = cp.persist()
+    if caches is not None:
+        caches.append(cp)
     if broadcast_max and cp.count() <= broadcast_max:
         cp = F.broadcast(cp)
     probes = (
@@ -543,20 +549,33 @@ def closest_pair(
     expected NN distance (domain_extent / sqrt(n)) so round one already
     lands non-empty and the probe fan-out (d0/cell)^2 stays small.
     """
+    if max_rounds < 1:
+        raise ValueError("closest_pair: max_rounds must be >= 1")
     corpus = points.select(
         F.col(point_id).alias("corpus_id"), F.col("x"), F.col("y")
     )
-    d = d0
+    # snapped coords live in +-2^28 (plans/scaling.INTERNAL_*), so any
+    # two points are within 2^30 of each other on each axis; d at the
+    # cap covers the whole domain AND keeps d^2 < 2^63 (d_int >= 2^32
+    # would overflow dist_join's int64 d^2 literal)
+    d_cap = 1 << 31
+    d = min(d0, d_cap)
     pairs = None
     for _ in range(max_rounds):
+        caches: list = []
         pairs = (
-            dist_join(points, corpus, scaling, grid=grid, d_int=d)
+            dist_join(
+                points, corpus, scaling, grid=grid, d_int=d,
+                query_id=point_id, caches=caches,
+            )
             .filter(F.col(point_id) < F.col("corpus_id"))
             .localCheckpoint(eager=True)
         )
-        if not pairs.isEmpty():
+        for c in caches:  # checkpoint materialized; release per round
+            c.unpersist()
+        if not pairs.isEmpty() or d >= d_cap:
             break
-        d *= growth
+        d = min(d * growth, d_cap)
     best = pairs.agg(
         F.min(
             F.struct(F.col("dist2"), F.col(point_id), F.col("corpus_id"))

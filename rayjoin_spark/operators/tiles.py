@@ -292,6 +292,58 @@ def hotspot_tiles(
     )
 
 
+def _rook_deviations(tiles: DataFrame, count_col: str):
+    """Shared scaffolding for moran_i / local_moran: scaled deviations
+    s_i = N*x_i - T (decimal(38,0)) over occupied tiles, the bounded
+    4-way rook probe explode, and the neighbor lookup frame. Returns
+    (s, probes, nbr): s(tile_x, tile_y, n, n_tiles, s),
+    probes(tile_x, tile_y, n, s, nx, ny), nbr(nx, ny, sn). Any change
+    to the weights scheme or deviation arithmetic lands in BOTH
+    statistics through here."""
+    t = tiles.select(
+        F.col("tile_x").cast("bigint"),
+        F.col("tile_y").cast("bigint"),
+        F.col(count_col).cast("bigint").alias("n"),
+    )
+    stats = t.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_tiles"),
+        F.sum("n").cast("decimal(38,0)").alias("total"),
+    )
+    s = t.crossJoin(F.broadcast(stats)).select(
+        "tile_x",
+        "tile_y",
+        "n",
+        "n_tiles",
+        (F.col("n_tiles") * F.col("n") - F.col("total")).alias("s"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
+        ]
+    )
+    probes = s.select(
+        "tile_x",
+        "tile_y",
+        "n",
+        "s",
+        F.explode(offs).alias("o"),
+    ).select(
+        "tile_x",
+        "tile_y",
+        "n",
+        "s",
+        (F.col("tile_x") + F.col("o.dx")).alias("nx"),
+        (F.col("tile_y") + F.col("o.dy")).alias("ny"),
+    )
+    nbr = s.select(
+        F.col("tile_x").alias("nx"),
+        F.col("tile_y").alias("ny"),
+        F.col("s").alias("sn"),
+    )
+    return s, probes, nbr
+
+
 def moran_i(
     tiles: DataFrame,
     count_col: str = "n_points",
@@ -327,42 +379,7 @@ def moran_i(
     equi-join on the tile key (the raster-level cell-neighborhood
     pattern), two combinable sums. No window, no collect.
     """
-    t = tiles.select(
-        F.col("tile_x").cast("bigint"),
-        F.col("tile_y").cast("bigint"),
-        F.col(count_col).cast("bigint").alias("n"),
-    )
-    stats = t.agg(
-        F.count("*").cast("decimal(38,0)").alias("n_tiles"),
-        F.sum("n").cast("decimal(38,0)").alias("total"),
-    )
-    s = t.crossJoin(F.broadcast(stats)).select(
-        "tile_x",
-        "tile_y",
-        "n_tiles",
-        (F.col("n_tiles") * F.col("n") - F.col("total")).alias("s"),
-    )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
-        ]
-    )
-    probes = s.select(
-        "s",
-        F.explode(offs).alias("o"),
-        (F.col("tile_x")).alias("tx"),
-        (F.col("tile_y")).alias("ty"),
-    ).select(
-        "s",
-        (F.col("tx") + F.col("o.dx")).alias("nx"),
-        (F.col("ty") + F.col("o.dy")).alias("ny"),
-    )
-    nbr = s.select(
-        F.col("tile_x").alias("nx"),
-        F.col("tile_y").alias("ny"),
-        F.col("s").alias("sn"),
-    )
+    s, probes, nbr = _rook_deviations(tiles, count_col)
     cross = probes.join(nbr, ["nx", "ny"], "inner").agg(
         F.count("*").cast("bigint").alias("w_sum"),
         F.sum(F.col("s") * F.col("sn")).cast("decimal(38,0)").alias("moran_num"),
@@ -399,46 +416,7 @@ def local_moran(
     explode, one tile equi-join, one combinable groupBy. Same |s_i| <
     ~1e18 exactness bound (ANSI fails loud past it; coarsen first).
     """
-    t = tiles.select(
-        F.col("tile_x").cast("bigint"),
-        F.col("tile_y").cast("bigint"),
-        F.col(count_col).cast("bigint").alias("n"),
-    )
-    stats = t.agg(
-        F.count("*").cast("decimal(38,0)").alias("n_tiles"),
-        F.sum("n").cast("decimal(38,0)").alias("total"),
-    )
-    s = t.crossJoin(F.broadcast(stats)).select(
-        "tile_x",
-        "tile_y",
-        "n",
-        (F.col("n_tiles") * F.col("n") - F.col("total")).alias("s"),
-    )
-    offs = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1))
-        ]
-    )
-    probes = s.select(
-        "tile_x",
-        "tile_y",
-        "n",
-        "s",
-        F.explode(offs).alias("o"),
-    ).select(
-        "tile_x",
-        "tile_y",
-        "n",
-        "s",
-        (F.col("tile_x") + F.col("o.dx")).alias("nx"),
-        (F.col("tile_y") + F.col("o.dy")).alias("ny"),
-    )
-    nbr = s.select(
-        F.col("tile_x").alias("nx"),
-        F.col("tile_y").alias("ny"),
-        F.col("s").alias("sn"),
-    )
+    _, probes, nbr = _rook_deviations(tiles, count_col)
     return (
         probes.join(nbr, ["nx", "ny"], "left")
         .groupBy("tile_x", "tile_y", "n", "s")
