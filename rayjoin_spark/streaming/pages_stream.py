@@ -265,3 +265,110 @@ def stream_warc_ingest(spark, path: str) -> DataFrame:
     )
     parsed = parse_warc_blobs(blobs, "content")
     return parsed.withColumn("warc_ts", F.timestamp_seconds(F.col("ts_epoch")))
+
+
+def stream_burst_detect(
+    events_stream: DataFrame,
+    bucket_us: int = 3_600_000_000,
+    window: int = 6,
+    factor: int = 3,
+    min_history: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of functions/eventops.burst_detect — same
+    integer-exact rule (bucket bursts when n * trailing >= factor *
+    prev_sum over the previous <= `window` OBSERVED buckets, >=
+    min_history required), evaluated as buckets CLOSE: a bucket is
+    finalized once the event-time watermark passes its end, so every
+    in-watermark event is counted before the verdict and each bucket is
+    emitted exactly once.
+
+    State per event_type (applyInPandasWithState, event-time timeout):
+    the open per-bucket counts still inside the watermark plus the
+    trailing deque of the last `window` FINALIZED (bucket, count) pairs.
+    Spark drops rows older than the watermark before the stateful
+    operator, so pending buckets are always >= the watermark bucket and
+    finalization order is monotone in bucket id — the trailing window
+    matches the batch operator's bucket-ordered semantics exactly
+    (parity pinned by test_streaming_burst_parity). Timeouts flush
+    buckets whose close falls between data batches.
+
+    Input: a stream with (ts timestamp, event_type string). Output rows
+    mirror the batch operator: (event_type, bucket, n_events, prev_sum,
+    trailing, burst).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "event_type string, bucket long, n_events long, prev_sum long, "
+        "trailing long, burst boolean"
+    )
+    state_schema = (
+        "pend_b array<long>, pend_n array<long>, "
+        "trail_b array<long>, trail_n array<long>"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            pb, pn, tb, tn = state.get
+            pend = dict(zip(pb, pn))
+            trail = list(zip(tb, tn))
+        else:
+            pend, trail = {}, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ns = pdf["ts"].astype("int64")
+                us = ns // 1000
+                b = (us - us % bucket_us) // bucket_us  # floor, exact
+                for bb, cnt in b.value_counts().items():
+                    bb = int(bb)
+                    pend[bb] = pend.get(bb, 0) + int(cnt)
+        wm_ms = state.getCurrentWatermarkMs()
+        out = []
+        for bb in sorted(pend):
+            if (bb + 1) * bucket_us // 1000 > wm_ms:
+                break  # this and all later buckets are still open
+            n = pend.pop(bb)
+            recent = trail[-window:]
+            prev_sum = sum(x[1] for x in recent)
+            trailing = len(recent)
+            burst = bool(
+                trailing >= min_history and n * trailing >= factor * prev_sum
+            )
+            out.append((etype, bb, n, prev_sum, trailing, burst))
+            trail.append((bb, n))
+            trail = trail[-window:]
+        state.update(
+            (
+                sorted(pend.keys()),
+                [pend[k] for k in sorted(pend.keys())],
+                [b for b, _ in trail],
+                [c for _, c in trail],
+            )
+        )
+        if pend:
+            # earliest pending close; > watermark by the loop invariant
+            state.setTimeoutTimestamp(
+                min((bb + 1) * bucket_us // 1000 for bb in pend)
+            )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [o[0] for o in out],
+                    "bucket": [o[1] for o in out],
+                    "n_events": [o[2] for o in out],
+                    "prev_sum": [o[3] for o in out],
+                    "trailing": [o[4] for o in out],
+                    "burst": [o[5] for o in out],
+                }
+            )
+
+    ev = events_stream.select(
+        F.col("ts").cast("timestamp").alias("ts"), F.col("event_type")
+    ).withWatermark("ts", watermark)
+    return ev.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )

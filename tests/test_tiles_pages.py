@@ -541,3 +541,71 @@ def test_tile_bounds_roundtrip_containment(spark):
               & (F.col("lat_udeg") >= F.col("lat_s_udeg") - 1))
         ).count()
         assert badlat == 0, f"zoom {z}"
+
+
+def test_streaming_burst_parity(spark, tmp_path):
+    """stream_burst_detect finalizes buckets as the watermark passes and
+    matches the batch burst_detect verdicts for every closed bucket."""
+    import datetime as dt
+
+    from rayjoin_spark.functions.eventops import burst_detect
+    from rayjoin_spark.streaming.pages_stream import stream_burst_detect
+
+    base = dt.datetime(2021, 1, 1, tzinfo=dt.timezone.utc)
+
+    def rows_for(counts, start_hour):
+        out = []
+        for h, n in enumerate(counts, start=start_hour):
+            for i in range(n):
+                out.append((base + dt.timedelta(hours=h, seconds=i), "A"))
+        return out
+
+    src = tmp_path / "burst_in"
+    src.mkdir()
+    schema = "ts timestamp, event_type string"
+    # file 1: hours 0-3 counts 1,1,1,9; file 2: hours 4-9 advance the
+    # watermark (2h) far enough to close hour 3 and beyond
+    spark.createDataFrame(rows_for([1, 1, 1, 9], 0), schema).coalesce(1)\
+        .write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows_for([1, 1, 1, 1, 1, 1], 4), schema).coalesce(1)\
+        .write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream_burst_detect(stream, window=6, factor=3, min_history=3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("burst_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["bucket"]: r for r in spark.sql("SELECT * FROM burst_out").collect()}
+    finally:
+        q.stop()
+    assert got, "no buckets finalized"
+    # batch twin over the SAME events
+    all_rows = rows_for([1, 1, 1, 9], 0) + rows_for([1, 1, 1, 1, 1, 1], 4)
+    batch = {
+        r["bucket"]: r
+        for r in burst_detect(
+            spark.createDataFrame(
+                [(i, t, e) for i, (t, e) in enumerate(all_rows)],
+                "event_id long, ts timestamp, event_type string",
+            ),
+            window=6, factor=3, min_history=3,
+        ).collect()
+    }
+    for b, r in got.items():
+        w = batch[b]
+        assert (
+            r["n_events"], r["prev_sum"], r["trailing"], r["burst"]
+        ) == (w["n_events"], w["prev_sum"], w["trailing"], w["burst"]), b
+    # the 9-count hour must have closed and burst
+    spike = base + dt.timedelta(hours=3)
+    spike_bucket = int(spike.timestamp() * 1_000_000) // 3_600_000_000
+    assert got[spike_bucket]["burst"]
