@@ -2621,6 +2621,18 @@ def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burst_detect(e, window=6, factor=3, min_history=3)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (functions/textops.weighted_sample):
+    per source keep the 10 docs with smallest md5-priority h/w, w =
+    n_chars — reproducible importance sampling for corpus mixing; the
+    h/w order is the exact 62-fractional-bit limb key (pip.py
+    technique). Oracle: same h, HUGEINT limb arithmetic, same
+    row_number."""
+    return textops.weighted_sample(
+        _docs(spark, sf_dir), "n_chars", k=10, group_col="source"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2679,6 +2691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_pair": q_closest_pair,
         "local_moran": q_local_moran,
         "burst_detect": q_burst_detect,
+        "weighted_sample": q_weighted_sample,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -4322,6 +4335,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS m,
 FROM sym
 JOIN deg du ON du.node = sym.u
 JOIN deg dv ON dv.node = sym.v
+"""
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH b AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(concat('0x', substr(md5('ws1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE n_chars > 0
+), keyed AS (
+  SELECT source, doc_id, w, h,
+         CAST(h AS HUGEINT) // w AS pri_q,
+         (CAST(h AS HUGEINT) % w) * 2147483648 // w AS pri_r1,
+         ((CAST(h AS HUGEINT) % w) * 2147483648 % w) * 2147483648 // w AS pri_r2
+  FROM b
+), r AS (
+  SELECT source, doc_id, w,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY pri_q, pri_r1, pri_r2, h, doc_id) - 1
+           AS sample_rank
+  FROM keyed
+)
+SELECT source, doc_id, w AS weight, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank < 10
 """
 
 _HOST_COMPONENTS_SQL = """
@@ -6049,6 +6084,7 @@ FROM agg
         "closest_pair": _CLOSEST_PAIR_SQL,
         "local_moran": _LOCAL_MORAN_SQL,
         "burst_detect": _BURST_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

@@ -1983,3 +1983,88 @@ def collocations(
         )
         .select("w1", "w2", "n_ab", "n_a", "n_b")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (per group or
+    global): keep the ``k`` rows with the smallest priority h/w, where h
+    is an md5-derived uniform 60-bit integer per (salt, id) and w the
+    positive integer weight — higher weight, systematically smaller
+    priority, so inclusion probability grows with w (the
+    integer-deterministic cousin of Efraimidis-Spirakis weighted
+    reservoir sampling; the corpus-mixing "sample docs proportionally to
+    quality" pass, reproducible across engines, partitionings and
+    reruns, unlike rand()-based sampleBy).
+
+    The sort key is the exact rational h/w quantized to 62 fractional
+    bits as three integer components — q = floor(h/w) plus two 31-bit
+    fraction limbs via the operators/pip.py subtract-pmod/DIV technique
+    (decimal(38,0), no float division anywhere) — tie-broken by (h, id):
+    a deterministic total order stated identically by the SQL oracle.
+    Rows with w <= 0 or NULL are excluded (zero weight = never sampled).
+
+    Returns (group?, id, weight, sample_rank 0-based). Scale shape: one
+    codegen key computation + the skew-safe two-level per-group rank
+    (plans/ranking.grouped_index) — no mega-group single-task window;
+    global mode ranks one synthetic group the same way.
+    """
+    from rayjoin_spark.plans.ranking import grouped_index
+
+    gcols = [group_col] if group_col else []
+    base = df.select(
+        *gcols,
+        F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).filter(F.col("w") > 0)
+    # uniform 60-bit h from the house-portable md5 of (salt, id)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col("_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    dec = "decimal(38,0)"
+    b = (
+        base.withColumn("h", h)
+        .withColumn("_hd", F.col("h").cast(dec))
+        .withColumn("_wd", F.col("w").cast(dec))
+    )
+    # q + two 31-bit fraction limbs of h/w (exact; pip.py technique)
+    b = b.withColumn("pri_q", F.expr("(_hd - pmod(_hd, _wd)) DIV _wd"))
+    b = b.withColumn("_f1", F.expr("pmod(_hd, _wd) * CAST(2147483648 AS decimal(38,0))"))
+    b = b.withColumn("pri_r1", F.expr("(_f1 - pmod(_f1, _wd)) DIV _wd"))
+    b = b.withColumn("_f2", F.expr("pmod(_f1, _wd) * CAST(2147483648 AS decimal(38,0))"))
+    b = b.withColumn("pri_r2", F.expr("(_f2 - pmod(_f2, _wd)) DIV _wd"))
+    if not gcols:
+        b = b.withColumn("_g", F.lit(0))
+    keyed = b.select(
+        *(gcols or ["_g"]),
+        F.col("_id").alias(id_col),
+        F.col("w").alias("weight"),
+        "pri_q",
+        "pri_r1",
+        "pri_r2",
+        "h",
+    )
+    ranked = grouped_index(
+        keyed,
+        gcols or ["_g"],
+        ["pri_q", "pri_r1", "pri_r2", "h", id_col],
+        "sample_rank",
+    )
+    return ranked.filter(F.col("sample_rank") < k).select(
+        *gcols,
+        id_col,
+        "weight",
+        F.col("sample_rank").cast("bigint").alias("sample_rank"),
+    )

@@ -518,3 +518,67 @@ def degree_assortativity(
             F.sum(F.col("j").cast(dec) * F.col("j").cast(dec)).cast(dec).alias("s_j2"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame, k: int = 2, max_rounds: int = 100,
+    src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """k-core membership over the undirected simple graph: the maximal
+    subgraph in which every node keeps degree >= k — the spam-farm /
+    dense-community peel (link rings survive high-k cores; organically
+    linked long-tail hosts do not).
+
+    Computed as the classic synchronous peel: drop every node whose
+    CURRENT degree (edges among surviving nodes) is < k, repeat to
+    fixpoint. The peel is non-monotone under recursive-CTE bag
+    semantics, so this operator has NO SQL oracle by contract (the
+    driver-gate exception class of simplify_dp); exactness is pinned by
+    tests/test_graph_stats.py against an independent sequential peel.
+
+    Returns (node, in_core:boolean) for every node incident to an edge.
+
+    Scale shape: per round TWO left_semi joins of the symmetric edge
+    list against the alive set + one combinable degree groupBy; the
+    alive set is localCheckpointed per round (house iterative pattern);
+    rounds <= peel depth (the graph's degeneracy ordering depth), with
+    an exact no-change early exit. Raises if max_rounds is hit without
+    convergence — a silent partial peel would be a wrong answer.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        .unionByName(und.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    alive = nodes
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        e = sym.join(
+            alive.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(alive.select(F.col("node").alias("v")), "v", "left_semi")
+        nxt = (
+            e.groupBy("u")
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        if n_next == n_alive:
+            alive = nxt
+            break
+        alive, n_alive = nxt, n_next
+        if n_alive == 0:
+            break
+    else:
+        raise RuntimeError(f"kcore: no fixpoint within {max_rounds} rounds")
+    return nodes.join(
+        alive.withColumn("_in", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("_in", F.lit(False)).alias("in_core"))

@@ -201,3 +201,48 @@ def test_burst_detect_flags_spike_only(spark):
     assert a3["n_events"] == 9 and a3["prev_sum"] == 3 and a3["trailing"] == 3
     assert a3["burst"]
     assert not any(r["burst"] for k, r in got.items() if k != ("A", 3))
+
+
+def _py_kcore(pairs, k):
+    """Independent sequential peel for the oracle."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if len(adj[n] & alive) < k:
+                alive.discard(n)
+                changed = True
+    return {n: (n in alive) for n in adj}
+
+
+def test_kcore_matches_sequential_peel(spark):
+    from rayjoin_spark.operators.graph import kcore
+
+    # K4 + a tail path + a triangle hanging off: 3-core = the K4 only
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("f", "g"),
+        ("g", "h"), ("h", "i"), ("i", "g"),
+    ]
+    e = _edges(spark, pairs)
+    for k in (1, 2, 3, 4):
+        got = {r["node"]: r["in_core"] for r in kcore(e, k=k).collect()}
+        assert got == _py_kcore(pairs, k), k
+
+
+def test_kcore_cascade_peel(spark):
+    from rayjoin_spark.operators.graph import kcore
+
+    # a chain: 2-core empty (peeling cascades from both ends)
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    got = {r["node"]: r["in_core"] for r in kcore(_edges(spark, pairs), k=2).collect()}
+    assert got == _py_kcore(pairs, 2)
+    assert not any(got.values())
