@@ -2633,6 +2633,43 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rect-rect intersection join (operators/rangequery.rect_join):
+    the AABB overlay primitive with the LSI plan shape — cell-bucketed
+    equi-join, exact closed-interval overlap, min-shared-cell ownership
+    dedup (a column filter, no dropDuplicates). A side = the standard
+    query_rects fixture; B side = a second Lehmer family (residue 7).
+    Oracle: brute-force overlap join."""
+    from rayjoin_spark.operators.rangequery import rect_join, snap_rects
+
+    ra = snap_rects(derived.query_rects(spark, sf_dir), DERIVED_SCALING)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    cx = F.pmod(k * 20021, derived.P).cast("double")
+    cy = F.pmod(k * 33461, derived.P).cast("double")
+    w = (F.pmod(k, 31) + 2).cast("double")
+    h = (F.pmod(k, 23) + 2).cast("double")
+    rb_raw = o.filter(F.pmod(k, 16) == 7).select(
+        k.alias("rect_id"),
+        (cx - w).alias("x1"),
+        (cy - h).alias("y1"),
+        (cx + w).alias("x2"),
+        (cy + h).alias("y2"),
+    )
+    rb = snap_rects(rb_raw, DERIVED_SCALING)
+    return rect_join(ra, rb, DERIVED_GRID)
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-3 co-occurrence association (functions/textops.py
+    skipgram_pairs — the word2vec counting pass; collocations is the
+    window=1 ordered special case). Oracle: same unordered pair
+    explode + HUGEINT independence inequality."""
+    return textops.skipgram_pairs(
+        _docs(spark, sf_dir), window=3, min_count=2, ratio_num=2, ratio_den=1
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2692,6 +2729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_moran": q_local_moran,
         "burst_detect": q_burst_detect,
         "weighted_sample": q_weighted_sample,
+        "rect_join": q_rect_join,
+        "skipgram_pairs": q_skipgram_pairs,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3778,6 +3817,21 @@ SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
 FROM w
 """
 
+def _rect_join_sql() -> str:
+    """Brute-force AABB overlap join over both snapped rect fixtures —
+    independent of the engine's cell bucketing + ownership dedup."""
+    from rayjoin_spark.sources.derived import rects_sql
+
+    return f"""
+WITH ra AS ({rects_sql()}),
+rb AS ({_rects_b_sql()})
+SELECT a.rect_id AS rect_a, b.rect_id AS rect_b
+FROM ra a, rb b
+WHERE a.rx1 <= b.rx2 AND b.rx1 <= a.rx2
+  AND a.ry1 <= b.ry2 AND b.ry1 <= a.ry2
+"""
+
+
 _CLOSEST_PAIR_SQL = f"""
 WITH pts AS ({points_sql(2, 4)}),
 pr AS (
@@ -4335,6 +4389,56 @@ SELECT CAST(COUNT(*) AS BIGINT) AS m,
 FROM sym
 JOIN deg du ON du.node = sym.u
 JOIN deg dv ON dv.node = sym.v
+"""
+
+def _rects_b_sql() -> str:
+    """DuckDB twin of q_rect_join's B-side fixture (residue 7, Lehmer
+    multipliers 20021/33461, halves k%31+2 / k%23+2), snapped."""
+    from rayjoin_spark.sources.derived import P, _snap_sql
+
+    cx = f"CAST((o_orderkey * 20021) % {P} AS DOUBLE)"
+    cy = f"CAST((o_orderkey * 33461) % {P} AS DOUBLE)"
+    w = "CAST(o_orderkey % 31 + 2 AS DOUBLE)"
+    h = "CAST(o_orderkey % 23 + 2 AS DOUBLE)"
+    return f"""
+  SELECT o_orderkey AS rect_id,
+         {_snap_sql(f'{cx} - {w}', 'x')} AS rx1,
+         {_snap_sql(f'{cy} - {h}', 'y')} AS ry1,
+         {_snap_sql(f'{cx} + {w}', 'x')} AS rx2,
+         {_snap_sql(f'{cy} + {h}', 'y')} AS ry2
+  FROM orders WHERE o_orderkey % 16 = 7"""
+
+
+_SKIPGRAM_SQL = """
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  WHERE len(trim(text)) > 0
+),
+uni AS (SELECT unnest(toks) AS w FROM t),
+un AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+pr AS (
+  SELECT least(toks[i], toks[i + d]) AS w1,
+         greatest(toks[i], toks[i + d]) AS w2
+  FROM (
+    SELECT toks, d, unnest(range(1, len(toks) - d + 1)) AS i
+    FROM (
+      SELECT toks, unnest(range(1, least(3, len(toks) - 1) + 1)) AS d
+      FROM t WHERE len(toks) >= 2
+    )
+  )
+),
+bn_all AS (SELECT w1, w2, COUNT(*) AS n_ab FROM pr GROUP BY 1, 2),
+bn AS (SELECT * FROM bn_all WHERE n_ab >= 2),
+tot AS (SELECT (SELECT SUM(n) FROM un) AS n_total,
+               (SELECT SUM(n_ab) FROM bn_all) AS m_total)
+SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ua.n AS BIGINT) AS n_a, CAST(ub.n AS BIGINT) AS n_b
+FROM bn
+JOIN un ua ON ua.w = bn.w1
+JOIN un ub ON ub.w = bn.w2
+CROSS JOIN tot
+WHERE 1 * CAST(n_ab AS HUGEINT) * n_total * n_total
+      >= 2 * CAST(m_total AS HUGEINT) * ua.n * ub.n
 """
 
 _WEIGHTED_SAMPLE_SQL = """
@@ -6085,6 +6189,8 @@ FROM agg
         "local_moran": _LOCAL_MORAN_SQL,
         "burst_detect": _BURST_SQL,
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+        "rect_join": _rect_join_sql(),
+        "skipgram_pairs": _SKIPGRAM_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

@@ -1957,13 +1957,28 @@ def collocations(
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("bigint").alias("n_ab"))
     )
-    bi = bi_all.filter(F.col("n_ab") >= min_count)
-    # M is the UNFILTERED bigram total — P(ab) is relative to every
-    # adjacent pair in the corpus, not just the frequent ones
+    return _assoc_threshold(bi_all, uni, min_count, ratio_num, ratio_den)
+
+
+def _assoc_threshold(
+    pair_counts: DataFrame,
+    uni: DataFrame,
+    min_count: int,
+    ratio_num: int,
+    ratio_den: int,
+) -> DataFrame:
+    """Shared association test of collocations / skipgram_pairs:
+    keep (w1, w2, n_ab) pairs with n_ab >= min_count whose frequency
+    beats ratio_num/ratio_den times the independence expectation,
+    decided by the cross-multiplied decimal(38,0) inequality
+    den*n_ab*N^2 >= num*M*n_a*n_b. M is the UNFILTERED pair total —
+    P(ab) is relative to every pair occurrence in the corpus, not just
+    the frequent ones (the review-caught M-total contract)."""
+    bi = pair_counts.filter(F.col("n_ab") >= min_count)
     totals = uni.agg(
         F.sum("n").cast("decimal(38,0)").alias("_n_total")
     ).crossJoin(
-        bi_all.agg(F.sum("n_ab").cast("decimal(38,0)").alias("_m_total"))
+        pair_counts.agg(F.sum("n_ab").cast("decimal(38,0)").alias("_m_total"))
     )
     ua = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))
@@ -1983,6 +1998,58 @@ def collocations(
         )
         .select("w1", "w2", "n_ab", "n_a", "n_b")
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 2,
+    ratio_num: int = 2,
+    ratio_den: int = 1,
+    text: str = "text",
+) -> DataFrame:
+    """Window-w co-occurrence association (the word2vec/GloVe counting
+    pass): UNORDERED token pairs within distance 1..window, canonical
+    (least, greatest) — including equal-token pairs from repeated words,
+    which are real co-occurrence mass — tested against the independence
+    expectation with the same log-free integer rule as `collocations`
+    (which is exactly the window=1 ORDERED special case). N = total
+    tokens, M = total pair occurrences over all offsets.
+
+    Scale shape: one bounded explode (window slots per token, the
+    explode factor is the window size, constant in data), combinable
+    groupBys, the shared `_assoc_threshold` join. Returns
+    (w1, w2, n_ab, n_a, n_b) with w1 <= w2.
+    """
+    t = (
+        df.filter(F.length(F.trim(F.col(text))) > 0)
+        .select(_tokens(F.col(text)).alias("_toks"))
+    )
+    uni = (
+        t.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    pairs = (
+        t.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    # outer d-range clamps to size-1 so the inner
+                    # sequence never runs start > stop (Spark would
+                    # emit a DESCENDING range, not an empty one)
+                    "flatten(transform(sequence(1, least({w}, size(_toks) - 1)), d -> "
+                    "transform(sequence(0, size(_toks) - 1 - d), "
+                    "i -> struct(least(_toks[i], _toks[i + d]) AS w1, "
+                    "greatest(_toks[i], _toks[i + d]) AS w2))))".format(w=int(window))
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    return _assoc_threshold(pairs, uni, min_count, ratio_num, ratio_den)
 
 
 def weighted_sample(

@@ -124,3 +124,54 @@ def owned_candidates(edges: DataFrame, rects: DataFrame, grid: GridSpec) -> Data
         (F.col("cx") == F.greatest("ix1", "rix1"))
         & (F.col("cy") == F.greatest("iy1", "riy1"))
     )
+
+
+def rect_join(
+    rects_a: DataFrame,
+    rects_b: DataFrame,
+    grid: GridSpec | None = None,
+) -> DataFrame:
+    """Rectangle-rectangle intersection join: all (rect_a, rect_b) pairs
+    of CLOSED snapped-integer boxes that share at least one point — the
+    AABB overlay primitive (bbox prefilter joins, R-tree-style
+    intersection queries) beside range_report's segment x box test.
+
+    Same physical shape as the engine's LSI join with rects on BOTH
+    sides: each box explodes to the grid cells it covers (bounded 2-D
+    explode), candidates come from the hash equi-join on the cell key,
+    the exact closed-interval overlap test (pure int64 compares) filters
+    them, and each surviving pair is emitted exactly once by the
+    min-shared-cell OWNERSHIP filter (operators/lsi.py's dedup trick:
+    keep the pair only in the lexicographically smallest cell of the
+    intersection region — a column predicate, never a dropDuplicates
+    shuffle).
+
+    Returns (rect_a, rect_b). Inputs are snap_rects outputs (rect_id,
+    rx1, ry1, rx2, ry2).
+    """
+    grid = grid or GridSpec()
+    ca = _rect_cells(rects_a, grid).select(
+        F.col("rect_id").alias("rect_a"),
+        F.col("rx1").alias("ax1"), F.col("ry1").alias("ay1"),
+        F.col("rx2").alias("ax2"), F.col("ry2").alias("ay2"),
+        F.col("rix1").alias("acx1"), F.col("riy1").alias("acy1"),
+        "cx", "cy",
+    )
+    cb = _rect_cells(rects_b, grid).select(
+        F.col("rect_id").alias("rect_b"),
+        F.col("rx1").alias("bx1"), F.col("ry1").alias("by1"),
+        F.col("rx2").alias("bx2"), F.col("ry2").alias("by2"),
+        F.col("rix1").alias("bcx1"), F.col("riy1").alias("bcy1"),
+        "cx", "cy",
+    )
+    j = ca.join(cb, ["cx", "cy"], "inner")
+    overlap = (
+        (F.col("ax1") <= F.col("bx2"))
+        & (F.col("bx1") <= F.col("ax2"))
+        & (F.col("ay1") <= F.col("by2"))
+        & (F.col("by1") <= F.col("ay2"))
+    )
+    owner = (F.col("cx") == F.greatest("acx1", "bcx1")) & (
+        F.col("cy") == F.greatest("acy1", "bcy1")
+    )
+    return j.filter(overlap & owner).select("rect_a", "rect_b")

@@ -292,3 +292,40 @@ def test_tile_payloads_partitioning_independent(spark):
     b = {r.tile_id: (r.n_segments, r.payload_bytes, r.tile_hash)
          for r in tile_payloads(clipped.repartition(13)).collect()}
     assert a == b and len(a) > 10
+
+
+def test_rect_join_matches_bruteforce_and_grid_invariant(spark):
+    from rayjoin_spark.operators.rangequery import rect_join
+    from rayjoin_spark.plans.scaling import GridSpec
+
+    def rects(rows):
+        return spark.createDataFrame(
+            rows, "rect_id long, rx1 long, ry1 long, rx2 long, ry2 long"
+        )
+
+    # overlapping, nested, touching-at-edge, touching-at-corner, disjoint
+    ra = rects([
+        (1, 0, 0, 10, 10),
+        (2, 100, 100, 120, 110),
+        (3, -20, -20, -5, -5),
+    ])
+    rb = rects([
+        (10, 5, 5, 15, 15),      # overlaps 1
+        (11, 2, 2, 4, 4),        # nested in 1
+        (12, 10, 10, 20, 20),    # touches 1 at corner (closed: intersects)
+        (13, 120, 90, 140, 100),  # touches 2 at corner
+        (14, 500, 500, 501, 501),  # disjoint
+    ])
+    want = set()
+    for a in ra.collect():
+        for b in rb.collect():
+            if (a["rx1"] <= b["rx2"] and b["rx1"] <= a["rx2"]
+                    and a["ry1"] <= b["ry2"] and b["ry1"] <= a["ry2"]):
+                want.add((a["rect_id"], b["rect_id"]))
+    for g in (1, 16, 256):
+        got = {(r["rect_a"], r["rect_b"])
+               for r in rect_join(ra, rb, GridSpec(g)).collect()}
+        assert got == want, g
+    # exactly-once: no pair dedup needed, so count == distinct count
+    rows = rect_join(ra, rb, GridSpec(256)).collect()
+    assert len(rows) == len(want)

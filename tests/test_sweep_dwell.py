@@ -117,3 +117,29 @@ def test_collocations_min_count(spark):
     got = {(r["w1"], r["w2"]) for r in
            collocations(docs, min_count=2, ratio_num=1, ratio_den=1).collect()}
     assert got == {("b", "c")}
+
+
+def test_skipgram_pairs_window_and_canonical(spark):
+    from rayjoin_spark.functions.textops import skipgram_pairs
+
+    docs = spark.createDataFrame([("a b c a",), ("b a x",)], "text string")
+    # window=2 unordered pairs doc1: (a,b)d1 (b,c)d1 (c,a)d1 (a,c)d2 (b,a)d2
+    #   -> canonical: ab, bc, ac, ac, ab ; doc2: (a,b) (a,x) via d1, (b,x) d2
+    # counts: ab=3 ac=2 bc=1 bx=1 ax=1 ; M=8; N=7 (a=3 b=2 c=1 x=1)
+    got = {(r["w1"], r["w2"]): (r["n_ab"], r["n_a"], r["n_b"])
+           for r in skipgram_pairs(docs, window=2, min_count=2,
+                                   ratio_num=1, ratio_den=1).collect()}
+    assert got[("a", "b")] == (3, 3, 2)
+    assert got[("a", "c")] == (2, 3, 1)
+    assert set(got) == {("a", "b"), ("a", "c")}
+
+
+def test_skipgram_repeated_token_self_pair(spark):
+    from rayjoin_spark.functions.textops import skipgram_pairs
+
+    docs = spark.createDataFrame([("go go go",)], "text string")
+    got = {(r["w1"], r["w2"]): r["n_ab"]
+           for r in skipgram_pairs(docs, window=2, min_count=2,
+                                   ratio_num=1, ratio_den=100).collect()}
+    # pairs: d1: (go,go)x2; d2: (go,go)x1 -> self-pair count 3
+    assert got == {("go", "go"): 3}
