@@ -2670,6 +2670,33 @@ def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile exact percentiles (geo x stats composition): point
+    values (point_id % 1000) rolled to shift-3 tiles, p25/p50/p75 per
+    tile via the histogram-sized exact selection
+    (functions/textops.exact_quantiles — no per-group row sort). The
+    tile key packs (tile_x, tile_y) into one bigint. Oracle: same
+    nearest-rank arithmetic in SQL."""
+    from rayjoin_spark.operators.tiles import tile_of
+
+    pts = derived.query_points(spark, sf_dir, residue=3, mod=4)
+    p = pts.select(
+        F.pmod(F.col("point_id"), 1000).alias("value"),
+        tile_of(DERIVED_GRID.cell_of(DERIVED_SCALING.scale_x(F.col("x"))), 3).alias("_tx"),
+        tile_of(DERIVED_GRID.cell_of(DERIVED_SCALING.scale_y(F.col("y"))), 3).alias("_ty"),
+    ).select(
+        (F.col("_tx") * 4096 + F.col("_ty")).cast("bigint").alias("tile_key"),
+        "value",
+    )
+    return textops.exact_quantiles(p, "tile_key", "value").select(
+        "tile_key",
+        "n_rows",
+        F.col("p25").cast("bigint").alias("p25"),
+        F.col("p50").cast("bigint").alias("p50"),
+        F.col("p75").cast("bigint").alias("p75"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2731,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "rect_join": q_rect_join,
         "skipgram_pairs": q_skipgram_pairs,
+        "tile_quantiles": q_tile_quantiles,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -3831,6 +3859,30 @@ WHERE a.rx1 <= b.rx2 AND b.rx1 <= a.rx2
   AND a.ry1 <= b.ry2 AND b.ry1 <= a.ry2
 """
 
+
+_TILE_QUANTILES_SQL = f"""
+WITH pts AS ({points_sql(3, 4)}),
+v AS (
+  SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) * 4096
+         + CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_key,
+         point_id % 1000 AS value
+  FROM pts
+),
+hist AS (SELECT tile_key, value, COUNT(*) AS c FROM v GROUP BY 1, 2),
+cum AS (
+  SELECT tile_key, value, c,
+         SUM(c) OVER (PARTITION BY tile_key ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cm
+  FROM hist
+),
+tot AS (SELECT tile_key, SUM(c) AS n_rows FROM hist GROUP BY 1)
+SELECT c.tile_key, CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN cm >= ((t.n_rows - 1) * 25) // 100 + 1 THEN value END) AS BIGINT) AS p25,
+       CAST(MIN(CASE WHEN cm >= ((t.n_rows - 1) * 50) // 100 + 1 THEN value END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN cm >= ((t.n_rows - 1) * 75) // 100 + 1 THEN value END) AS BIGINT) AS p75
+FROM cum c JOIN tot t USING (tile_key)
+GROUP BY c.tile_key, t.n_rows
+"""
 
 _CLOSEST_PAIR_SQL = f"""
 WITH pts AS ({points_sql(2, 4)}),
@@ -6191,6 +6243,7 @@ FROM agg
         "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "rect_join": _rect_join_sql(),
         "skipgram_pairs": _SKIPGRAM_SQL,
+        "tile_quantiles": _TILE_QUANTILES_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,
