@@ -2697,6 +2697,45 @@ def q_tile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster change detection (operators/tiles.raster_diff): tile
+    counts of two point epochs (orders residues 3 and 1) full-outer
+    joined, each tile classified added/removed/changed/same with the
+    signed delta — the recrawl-targeting composition. Oracle: two tile
+    CTEs + the same classification."""
+    from rayjoin_spark.operators.tiles import raster_diff, tile_aggregate
+
+    ta = tile_aggregate(
+        derived.query_points(spark, sf_dir, residue=3, mod=4),
+        DERIVED_SCALING, DERIVED_GRID, shift=3,
+    )
+    tb = tile_aggregate(
+        derived.query_points(spark, sf_dir, residue=1, mod=4),
+        DERIVED_SCALING, DERIVED_GRID, shift=3,
+    )
+    return raster_diff(ta, tb)
+
+
+def q_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-cluster extraction: link_jaccard's co-citation suspect
+    pairs fed to the pointer-jumping CC — suspects collapse into mirror
+    groups with a canonical representative (the link-structure sibling
+    of neardup_clusters). Oracle: the link_jaccard SQL + recursive-CTE
+    reachability."""
+    from rayjoin_spark.functions.textops import neardup_components
+    from rayjoin_spark.operators import graph
+
+    pairs = graph.link_jaccard(
+        _host_edges(spark, sf_dir), sim_num=1, sim_den=3, max_fanout=2
+    ).select(F.col("node_a").alias("id_a"), F.col("node_b").alias("id_b"))
+    ids = (
+        pairs.select(F.col("id_a").alias("host"))
+        .unionByName(pairs.select(F.col("id_b").alias("host")))
+        .distinct()
+    )
+    return neardup_components(ids, pairs, id_col="host")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2759,6 +2798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_join": q_rect_join,
         "skipgram_pairs": q_skipgram_pairs,
         "tile_quantiles": q_tile_quantiles,
+        "raster_diff": q_raster_diff,
+        "mirror_clusters": q_mirror_clusters,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -4491,6 +4532,54 @@ JOIN un ub ON ub.w = bn.w2
 CROSS JOIN tot
 WHERE 1 * CAST(n_ab AS HUGEINT) * n_total * n_total
       >= 2 * CAST(m_total AS HUGEINT) * ua.n * ub.n
+"""
+
+_RASTER_DIFF_SQL = f"""
+WITH pa AS ({points_sql(3, 4)}),
+pb AS ({points_sql(1, 4)}),
+ta AS (
+  SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
+         CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
+         COUNT(*) AS n FROM pa GROUP BY 1, 2
+),
+tb AS (
+  SELECT CAST(({_CELL('px')} >> 3) AS BIGINT) AS tile_x,
+         CAST(({_CELL('py')} >> 3) AS BIGINT) AS tile_y,
+         COUNT(*) AS n FROM pb GROUP BY 1, 2
+),
+j AS (
+  SELECT COALESCE(ta.tile_x, tb.tile_x) AS tile_x,
+         COALESCE(ta.tile_y, tb.tile_y) AS tile_y,
+         COALESCE(ta.n, 0) AS n_a, COALESCE(tb.n, 0) AS n_b
+  FROM ta FULL OUTER JOIN tb
+    ON ta.tile_x = tb.tile_x AND ta.tile_y = tb.tile_y
+)
+SELECT tile_x, tile_y, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_b - n_a AS BIGINT) AS delta,
+       CASE WHEN n_a = 0 THEN 'added' WHEN n_b = 0 THEN 'removed'
+            WHEN n_a <> n_b THEN 'changed' ELSE 'same' END AS status
+FROM j
+"""
+
+_MIRROR_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_LINK_JACCARD_SQL.strip()}),
+nodes AS (
+  SELECT node_a AS host FROM pairs UNION SELECT node_b FROM pairs
+),
+edges AS (
+  SELECT node_a AS src, node_b AS dst FROM pairs
+  UNION ALL SELECT node_b, node_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+),
+lab AS (SELECT id AS host, MIN(r) AS cluster_id FROM reach GROUP BY 1),
+sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+SELECT lab.host, lab.cluster_id, sz.cluster_size,
+       lab.host = lab.cluster_id AS is_canonical
+FROM lab JOIN sz USING (cluster_id)
 """
 
 _WEIGHTED_SAMPLE_SQL = """
@@ -6244,6 +6333,8 @@ FROM agg
         "rect_join": _rect_join_sql(),
         "skipgram_pairs": _SKIPGRAM_SQL,
         "tile_quantiles": _TILE_QUANTILES_SQL,
+        "raster_diff": _RASTER_DIFF_SQL,
+        "mirror_clusters": _MIRROR_CLUSTERS_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

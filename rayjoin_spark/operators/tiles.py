@@ -433,3 +433,51 @@ def local_moran(
             (F.col("s") * F.col("_nbr_sum")).cast("decimal(38,0)").alias("local_num"),
         )
     )
+
+
+def raster_diff(
+    tiles_a: DataFrame,
+    tiles_b: DataFrame,
+    count_col: str = "n_points",
+) -> DataFrame:
+    """Raster change detection between two tile-count epochs (the
+    crawl_diff analog at raster level): full-outer join on the tile key,
+    each tile classified added / removed / changed / same with the
+    signed count delta — the recrawl-targeting signal ("which map areas
+    gained or lost density since the last snapshot").
+
+    Returns (tile_x, tile_y, n_a, n_b, delta, status); absent tiles
+    read as count 0 on that side (the occupied-tile raster contract:
+    absence IS the information here, unlike moran_i's universe).
+
+    Scale shape: ONE full-outer hash join on the tile key + codegen
+    classification — both inputs are already tile-table sized.
+    """
+    a = tiles_a.select(
+        F.col("tile_x").cast("bigint"),
+        F.col("tile_y").cast("bigint"),
+        F.col(count_col).cast("bigint").alias("n_a"),
+    )
+    b = tiles_b.select(
+        F.col("tile_x").cast("bigint"),
+        F.col("tile_y").cast("bigint"),
+        F.col(count_col).cast("bigint").alias("n_b"),
+    )
+    j = a.join(b, ["tile_x", "tile_y"], "full_outer").select(
+        "tile_x",
+        "tile_y",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    return j.select(
+        "tile_x",
+        "tile_y",
+        "n_a",
+        "n_b",
+        (F.col("n_b") - F.col("n_a")).cast("bigint").alias("delta"),
+        F.when(F.col("n_a") == 0, F.lit("added"))
+        .when(F.col("n_b") == 0, F.lit("removed"))
+        .when(F.col("n_a") != F.col("n_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+    )
