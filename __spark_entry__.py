@@ -2643,20 +2643,12 @@ def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rayjoin_spark.operators.rangequery import rect_join, snap_rects
 
     ra = snap_rects(derived.query_rects(spark, sf_dir), DERIVED_SCALING)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    k = F.col("o_orderkey")
-    cx = F.pmod(k * 20021, derived.P).cast("double")
-    cy = F.pmod(k * 33461, derived.P).cast("double")
-    w = (F.pmod(k, 31) + 2).cast("double")
-    h = (F.pmod(k, 23) + 2).cast("double")
-    rb_raw = o.filter(F.pmod(k, 16) == 7).select(
-        k.alias("rect_id"),
-        (cx - w).alias("x1"),
-        (cy - h).alias("y1"),
-        (cx + w).alias("x2"),
-        (cy + h).alias("y2"),
+    rb = snap_rects(
+        derived.query_rects(
+            spark, sf_dir, residue=7, xm=20021, ym=33461, wm=31, hm=23
+        ),
+        DERIVED_SCALING,
     )
-    rb = snap_rects(rb_raw, DERIVED_SCALING)
     return rect_join(ra, rb, DERIVED_GRID)
 
 
@@ -4485,21 +4477,11 @@ JOIN deg dv ON dv.node = sym.v
 """
 
 def _rects_b_sql() -> str:
-    """DuckDB twin of q_rect_join's B-side fixture (residue 7, Lehmer
-    multipliers 20021/33461, halves k%31+2 / k%23+2), snapped."""
-    from rayjoin_spark.sources.derived import P, _snap_sql
+    """DuckDB twin of q_rect_join's B-side fixture — the SAME
+    parameterized derivation as the engine side (derived.rects_sql)."""
+    from rayjoin_spark.sources.derived import rects_sql
 
-    cx = f"CAST((o_orderkey * 20021) % {P} AS DOUBLE)"
-    cy = f"CAST((o_orderkey * 33461) % {P} AS DOUBLE)"
-    w = "CAST(o_orderkey % 31 + 2 AS DOUBLE)"
-    h = "CAST(o_orderkey % 23 + 2 AS DOUBLE)"
-    return f"""
-  SELECT o_orderkey AS rect_id,
-         {_snap_sql(f'{cx} - {w}', 'x')} AS rx1,
-         {_snap_sql(f'{cy} - {h}', 'y')} AS ry1,
-         {_snap_sql(f'{cx} + {w}', 'x')} AS rx2,
-         {_snap_sql(f'{cy} + {h}', 'y')} AS ry2
-  FROM orders WHERE o_orderkey % 16 = 7"""
+    return rects_sql(residue=7, xm=20021, ym=33461, wm=31, hm=23)
 
 
 _SKIPGRAM_SQL = """

@@ -1893,6 +1893,26 @@ def gopher_repetition(
     )
 
 
+def _tokenized_unigrams(df: DataFrame, text: str):
+    """Shared preamble of collocations / skipgram_pairs: non-blank docs
+    tokenized + corpus unigram counts. The blank-doc guard filters on
+    TRIMMED TEXT length, not array size — splitting a trimmed empty
+    string yields [''] (size 1), which would inject a phantom ''
+    unigram per blank doc and inflate the N total quadratically in the
+    association test (the review-caught contract; this is the ONE copy
+    of that reasoning)."""
+    t = (
+        df.filter(F.length(F.trim(F.col(text))) > 0)
+        .select(_tokens(F.col(text)).alias("_toks"))
+    )
+    uni = (
+        t.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return t, uni
+
+
 def collocations(
     df: DataFrame,
     min_count: int = 2,
@@ -1931,18 +1951,7 @@ def collocations(
     per key, AQE-friendly probe skew (quality_classifier's pattern),
     never a pair blowup (pairs are ADJACENT only, not co-occurrence).
     """
-    # guard on the TRIMMED TEXT, not on array size: splitting a trimmed
-    # empty string yields [''] (size 1), which would inject a phantom ''
-    # unigram per blank doc and inflate N quadratically in the PMI test
-    t = (
-        df.filter(F.length(F.trim(F.col(text))) > 0)
-        .select(_tokens(F.col(text)).alias("_toks"))
-    )
-    uni = (
-        t.select(F.explode("_toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
+    t, uni = _tokenized_unigrams(df, text)
     bi_all = (
         t.filter(F.size("_toks") >= 2)
         .select(
@@ -2021,15 +2030,9 @@ def skipgram_pairs(
     groupBys, the shared `_assoc_threshold` join. Returns
     (w1, w2, n_ab, n_a, n_b) with w1 <= w2.
     """
-    t = (
-        df.filter(F.length(F.trim(F.col(text))) > 0)
-        .select(_tokens(F.col(text)).alias("_toks"))
-    )
-    uni = (
-        t.select(F.explode("_toks").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
+    if window < 1:
+        raise ValueError("skipgram_pairs: window must be >= 1")
+    t, uni = _tokenized_unigrams(df, text)
     pairs = (
         t.filter(F.size("_toks") >= 2)
         .select(

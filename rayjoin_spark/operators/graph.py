@@ -298,6 +298,22 @@ def sssp(
     return dist.select("node", F.col("cost").cast("bigint").alias("cost"))
 
 
+def _undirected_simple(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The shared edge normalization of triangle_count /
+    degree_assortativity / kcore: drop self-loops, collapse direction
+    and multiplicity — one (lo, hi) row per undirected simple edge.
+    Any change to the dedup rule (e.g. NULL-endpoint policy) lands in
+    every undirected operator through here."""
+    return (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
+        .distinct()
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -323,14 +339,7 @@ def triangle_count(
     shuffles total (degree agg, wedge self-join on the wedge apex,
     closing-edge equi-join), all on uniform keys after orientation.
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
-        )
-        .distinct()
-    )
+    und = _undirected_simple(edges, src, dst)
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionByName(und.select(F.col("hi").alias("node")))
@@ -490,12 +499,7 @@ def degree_assortativity(
     Scale shape: degree agg + two hash joins on the endpoint key
     (1-row build side per key) + one combinable agg.
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
-        .distinct()
-    )
+    und = _undirected_simple(edges, src, dst)
     deg = (
         und.select(F.col("lo").alias("node"))
         .unionByName(und.select(F.col("hi").alias("node")))
@@ -545,12 +549,7 @@ def kcore(
     an exact no-change early exit. Raises if max_rounds is hit without
     convergence — a silent partial peel would be a wrong answer.
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi"))
-        .distinct()
-    )
+    und = _undirected_simple(edges, src, dst)
     sym = (
         und.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
         .unionByName(und.select(F.col("hi").alias("u"), F.col("lo").alias("v")))

@@ -109,17 +109,28 @@ def edges_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def query_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+def query_rects(
+    spark: SparkSession,
+    sf_dir: str,
+    residue: int = 3,
+    xm: int = 14741,
+    ym: int = 28657,
+    wm: int = 37,
+    hm: int = 29,
+) -> DataFrame:
     """Deterministic axis-aligned query rectangles (raw double corners):
     centers from the same Lehmer hash family as query_points, half-sizes
-    from small key residues. One rect per orders key ≡ 3 (mod 16)."""
+    from small key residues. One rect per orders key ≡ residue (mod 16).
+    The parameters pick the hash family (rect_join's B side passes its
+    own) so the derivation convention lives here only — `rects_sql`
+    mirrors the same parameters."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    o = o.filter(F.pmod(F.col("o_orderkey"), 16) == 3)
+    o = o.filter(F.pmod(F.col("o_orderkey"), 16) == residue)
     k = F.col("o_orderkey")
-    cx = F.pmod(k * 14741, P).cast("double")
-    cy = F.pmod(k * 28657, P).cast("double")
-    w = (F.pmod(k, 37) + 2).cast("double")
-    h = (F.pmod(k, 29) + 2).cast("double")
+    cx = F.pmod(k * xm, P).cast("double")
+    cy = F.pmod(k * ym, P).cast("double")
+    w = (F.pmod(k, wm) + 2).cast("double")
+    h = (F.pmod(k, hm) + 2).cast("double")
     return o.select(
         k.alias("rect_id"),
         (cx - w).alias("x1"),
@@ -129,16 +140,24 @@ def query_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rects_sql() -> str:
+def rects_sql(
+    residue: int = 3, xm: int = 14741, ym: int = 28657,
+    wm: int = 37, hm: int = 29,
+) -> str:
     """DuckDB twin of query_rects + operators/rangequery.snap_rects (the
-    snap is monotone with rx,ry > 0, so corner order is preserved)."""
+    snap is monotone with rx,ry > 0, so corner order is preserved).
+    Same parameters as query_rects — ONE derivation convention."""
+    cx = f"CAST((o_orderkey * {xm}) % {P} AS DOUBLE)"
+    cy = f"CAST((o_orderkey * {ym}) % {P} AS DOUBLE)"
+    w = f"CAST(o_orderkey % {wm} + 2 AS DOUBLE)"
+    h = f"CAST(o_orderkey % {hm} + 2 AS DOUBLE)"
     return f"""
   SELECT o_orderkey AS rect_id,
-         {_snap_sql(f'CAST((o_orderkey * 14741) % {P} AS DOUBLE) - CAST(o_orderkey % 37 + 2 AS DOUBLE)', 'x')} AS rx1,
-         {_snap_sql(f'CAST((o_orderkey * 28657) % {P} AS DOUBLE) - CAST(o_orderkey % 29 + 2 AS DOUBLE)', 'y')} AS ry1,
-         {_snap_sql(f'CAST((o_orderkey * 14741) % {P} AS DOUBLE) + CAST(o_orderkey % 37 + 2 AS DOUBLE)', 'x')} AS rx2,
-         {_snap_sql(f'CAST((o_orderkey * 28657) % {P} AS DOUBLE) + CAST(o_orderkey % 29 + 2 AS DOUBLE)', 'y')} AS ry2
-  FROM orders WHERE o_orderkey % 16 = 3"""
+         {_snap_sql(f'{cx} - {w}', 'x')} AS rx1,
+         {_snap_sql(f'{cy} - {h}', 'y')} AS ry1,
+         {_snap_sql(f'{cx} + {w}', 'x')} AS rx2,
+         {_snap_sql(f'{cy} + {h}', 'y')} AS ry2
+  FROM orders WHERE o_orderkey % 16 = {residue}"""
 
 
 def query_points(
