@@ -2728,6 +2728,34 @@ def q_mirror_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_components(ids, pairs, id_col="host")
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.scc — iterative
+    forward/backward min-label peeling; each peel provably assigns the
+    global-min node's SCC) over a deterministic MULTI-SCC directed
+    graph: per decade a 10-chain with a 6->3 back edge (one 4-cycle SCC
+    per decade) plus one-way cross-decade bridges — ~10 size-4 SCCs
+    among singletons, several peels deep (the full host graph is one
+    giant SCC, which would be a trivial check). Oracle: mutual
+    reachability stated DIRECTLY (recursive-CTE pair closure + min) —
+    independent of the FW-BW algorithm."""
+    from rayjoin_spark.operators import graph
+
+    d = _docs(spark, sf_dir)
+    k = F.pmod(F.col("doc_id"), 97)
+    h = lambda c: F.concat(F.lit("h"), c.cast("string"))  # noqa: E731
+    base = d.select(k.alias("k")).distinct()
+    e1 = base.filter((F.pmod("k", 10) != 9) & (F.col("k") <= 95)).select(
+        h(F.col("k")).alias("src"), h(F.col("k") + 1).alias("dst")
+    )
+    e2 = base.filter(F.pmod("k", 10) == 6).select(
+        h(F.col("k")).alias("src"), h(F.col("k") - 3).alias("dst")
+    )
+    e3 = base.filter((F.pmod("k", 10) == 0) & (F.col("k") <= 86)).select(
+        h(F.col("k")).alias("src"), h(F.col("k") + 10).alias("dst")
+    )
+    return graph.scc(e1.unionByName(e2).unionByName(e3))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the LSI spatial join on sf0.001-derived layers."""
     return q_lsi(spark, "/root/testdata/sf0.001")
@@ -2792,6 +2820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_quantiles": q_tile_quantiles,
         "raster_diff": q_raster_diff,
         "mirror_clusters": q_mirror_clusters,
+        "scc_hosts": q_scc,
         "graph_degrees": q_graph_degrees,
         "inverted_index": q_inverted_index,
         "quality_classifier": q_quality_classifier,
@@ -4586,6 +4615,38 @@ SELECT source, doc_id, w AS weight, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank < 10
 """
 
+_SCC_SQL = """
+WITH RECURSIVE ks AS (
+  SELECT DISTINCT doc_id % 97 AS k FROM documents
+),
+e AS (
+  SELECT 'h' || CAST(k AS VARCHAR) AS src,
+         'h' || CAST(k + 1 AS VARCHAR) AS dst
+  FROM ks WHERE k % 10 <> 9 AND k <= 95
+  UNION ALL
+  SELECT 'h' || CAST(k AS VARCHAR), 'h' || CAST(k - 3 AS VARCHAR)
+  FROM ks WHERE k % 10 = 6
+  UNION ALL
+  SELECT 'h' || CAST(k AS VARCHAR), 'h' || CAST(k + 10 AS VARCHAR)
+  FROM ks WHERE k % 10 = 0 AND k <= 86
+),
+d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+nodes AS (SELECT src AS node FROM d UNION SELECT dst FROM d),
+reach(a, b) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT reach.a, d.dst FROM reach JOIN d ON d.src = reach.b
+),
+mut AS (
+  SELECT r1.a AS node, MIN(r1.b) AS scc_id
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY 1
+),
+sz AS (SELECT scc_id, COUNT(*) AS scc_size FROM mut GROUP BY 1)
+SELECT mut.node, mut.scc_id, CAST(sz.scc_size AS BIGINT) AS scc_size
+FROM mut JOIN sz USING (scc_id)
+"""
+
 _HOST_COMPONENTS_SQL = """
 WITH RECURSIVE ks AS (
   SELECT DISTINCT doc_id % 97 AS k FROM documents WHERE doc_id % 97 <= 91
@@ -6317,6 +6378,7 @@ FROM agg
         "tile_quantiles": _TILE_QUANTILES_SQL,
         "raster_diff": _RASTER_DIFF_SQL,
         "mirror_clusters": _MIRROR_CLUSTERS_SQL,
+        "scc_hosts": _SCC_SQL,
         "graph_degrees": _GRAPH_DEGREES_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
         "quality_classifier": _QUALITY_CLASSIFIER_SQL,

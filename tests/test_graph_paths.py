@@ -55,3 +55,84 @@ def test_sssp_round_cap_is_the_contract(spark):
     e2 = _edges(spark, [("a", "b", 0), ("b", "c", 0)], with_w=True)
     got2 = {r.node: r.cost for r in sssp(e2, _seeds(spark, ["a"])).collect()}
     assert got2 == {"a": 0, "b": 0, "c": 0}
+
+
+def _py_scc(pairs):
+    """Independent Kosaraju for the oracle."""
+    from collections import defaultdict
+
+    fwd, bwd = defaultdict(list), defaultdict(list)
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            fwd[a].append(b)
+            bwd[b].append(a)
+            nodes |= {a, b}
+    order, seen = [], set()
+
+    def dfs1(start):
+        stack = [(start, iter(fwd[start]))]
+        seen.add(start)
+        while stack:
+            v, it = stack[-1]
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(fwd[w])))
+                    break
+            else:
+                order.append(v)
+                stack.pop()
+
+    for n in sorted(nodes):
+        if n not in seen:
+            dfs1(n)
+    comp = {}
+    for n in reversed(order):
+        if n in comp:
+            continue
+        stack, members = [n], []
+        comp[n] = None
+        while stack:
+            v = stack.pop()
+            members.append(v)
+            for w in bwd[v]:
+                if w not in comp:
+                    comp[w] = None
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def test_scc_matches_kosaraju(spark):
+    from rayjoin_spark.operators.graph import scc
+
+    # two 3-cycles bridged by a one-way edge + a DAG tail + a self-loop
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),
+        ("c", "d"),
+        ("d", "e"), ("e", "f"), ("f", "d"),
+        ("f", "g"), ("g", "h"),
+        ("h", "h"),
+    ]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: (r["scc_id"], r["scc_size"]) for r in scc(e).collect()}
+    want = _py_scc(pairs)
+    sizes = {}
+    for n, m in want.items():
+        sizes[m] = sizes.get(m, 0) + 1
+    assert got == {n: (m, sizes[m]) for n, m in want.items()}
+
+
+def test_scc_long_chain_peels(spark):
+    from rayjoin_spark.operators.graph import scc
+
+    # pure DAG chain: every node its own SCC; needs one peel per node
+    # (the documented FW-BW weakness) — exercises the peel loop deeply
+    pairs = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    got = {r["node"]: r["scc_size"] for r in scc(
+        spark.createDataFrame(pairs, "src string, dst string")
+    ).collect()}
+    assert len(got) == 7 and all(v == 1 for v in got.values())
