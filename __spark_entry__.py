@@ -4631,7 +4631,9 @@ e AS (
   FROM ks WHERE k % 10 = 0 AND k <= 86
 ),
 d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
-nodes AS (SELECT src AS node FROM d UNION SELECT dst FROM d),
+-- node universe from the RAW edges: self-loop-only nodes are
+-- edge-incident singleton SCCs (mirrors operators/graph.scc)
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 reach(a, b) AS (
   SELECT node, node FROM nodes
   UNION

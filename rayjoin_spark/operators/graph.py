@@ -454,6 +454,20 @@ def link_jaccard(
     )
 
 
+def _directed_simple(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Directed sibling of `_undirected_simple` (reciprocity / scc):
+    drop self-loops, collapse multiplicity, checkpoint (both callers
+    scan the result repeatedly). One copy of the normalization rule."""
+    return (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Directed-edge reciprocity: of the distinct non-loop edges (u, v),
     how many have the reverse edge (v, u)? The link-graph symmetry
@@ -463,15 +477,10 @@ def reciprocity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
     Scale shape: one distinct + one left_semi equi-join of the edge list
     against its own swap + two tiny aggs — no window, no collect.
     """
-    e = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint(eager=True)  # scanned twice (base + swap)
-    )
-    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    e = _directed_simple(edges, src, dst)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     n = e.agg(F.count("*").cast("bigint").alias("n_edges"))
-    r = e.join(rev, ["s", "d"], "left_semi").agg(
+    r = e.join(rev, ["src", "dst"], "left_semi").agg(
         F.count("*").cast("bigint").alias("n_reciprocal")
     )
     return n.crossJoin(F.broadcast(r))
@@ -648,24 +657,27 @@ def scc(
     count is small (one giant SCC dominates); adversarial long chains
     are the documented weakness, as in every FW-BW variant.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _directed_simple(edges, src, dst)
+    # node universe from the RAW edge list: a node whose only incident
+    # edge is a self-loop is still edge-incident and is its own
+    # singleton SCC (the loop is dropped from propagation only)
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assigned = None
     cur_nodes, cur_e, cur_rev = nodes, e, rev
+    if cur_nodes.isEmpty():
+        return cur_nodes.select(
+            "node",
+            F.col("node").alias("scc_id"),
+            F.lit(1).cast("bigint").alias("scc_size"),
+        )
     for _ in range(max_peels):
-        if cur_nodes.isEmpty():
-            break
         f = _reach_min(cur_nodes, cur_e, max_rounds)
         b = _reach_min(cur_nodes, cur_rev, max_rounds)
         lab = (
@@ -687,14 +699,12 @@ def scc(
         cur_rev = cur_e.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
+        # convergence checked AFTER the peel so a graph needing exactly
+        # max_peels peels completes (the kcore boundary convention)
+        if cur_nodes.isEmpty():
+            break
     else:
         raise RuntimeError(f"scc: unassigned nodes after {max_peels} peels")
-    if assigned is None:  # no edges -> no incident nodes
-        return nodes.select(
-            "node",
-            F.col("node").alias("scc_id"),
-            F.lit(1).cast("bigint").alias("scc_size"),
-        )
     sizes = assigned.groupBy("scc_id").agg(
         F.count("*").cast("bigint").alias("scc_size")
     )

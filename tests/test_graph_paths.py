@@ -136,3 +136,19 @@ def test_scc_long_chain_peels(spark):
         spark.createDataFrame(pairs, "src string, dst string")
     ).collect()}
     assert len(got) == 7 and all(v == 1 for v in got.values())
+
+
+def test_scc_self_loop_only_node_and_peel_capacity(spark):
+    from rayjoin_spark.operators.graph import scc
+
+    # 'x' is incident only to a self-loop: still a singleton SCC row.
+    # The 3-node chain needs exactly 3 peels — max_peels=3 must succeed
+    # (convergence is checked AFTER the peel, not before the next one).
+    pairs = [("x", "x"), ("a", "b"), ("b", "c")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: (r["scc_id"], r["scc_size"]) for r in scc(
+        e, max_peels=3
+    ).collect()}
+    assert got == {
+        "x": ("x", 1), "a": ("a", 1), "b": ("b", 1), "c": ("c", 1)
+    }
