@@ -2763,6 +2763,97 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "overlay_chains": q_overlay,
+        "overlay_points": q_overlay_points,
+        "burst_detect": q_burst_detect,
+        "weighted_sample": q_weighted_sample,
+        "rect_join": q_rect_join,
+        "skipgram_pairs": q_skipgram_pairs,
+        "tile_quantiles": q_tile_quantiles,
+        "raster_diff": q_raster_diff,
+        "mirror_clusters": q_mirror_clusters,
+        "scc_hosts": q_scc,
+        "nearest_edge": q_nearest_edge,
+        "semdedup": q_semdedup,
+        "winnow_fingerprints": q_winnow,
+        "graph_degrees": q_graph_degrees,
+        "inverted_index": q_inverted_index,
+        "quality_classifier": q_quality_classifier,
+        "url_canonical": q_url_canonical,
+        "anchor_links": q_anchor_links,
+        "anchor_profile": q_anchor_profile,
+        "crawl_priorities": q_crawl_priorities,
+        "latest_snapshot": q_latest_snapshot,
+        "ngram_novelty": q_ngram_novelty,
+        "main_content": q_main_content,
+        "dedup_incremental": q_dedup_incremental,
+        "corpus_card": q_corpus_card,
+        "c4_filter": q_c4_filter,
+        "sitemap_parse": q_sitemap_parse,
+        "robots_sitemaps": q_robots_sitemaps,
+        "cdx_index": q_cdx_index,
+        "wet_roundtrip": q_wet_roundtrip,
+        "recrawl_schedule": q_recrawl_schedule,
+        "crawl_budget": q_crawl_budget,
+        "normalize_text": q_normalize_text,
+        "crawl_diff": q_crawl_diff,
+        "crawl_frontier": q_crawl_frontier,
+        "robots_filter": q_robots_filter,
+        "fetch_schedule": q_fetch_schedule,
+        "tile_pyramid": q_tile_pyramid,
+        "simplify_dp": q_simplify_dp,
+        "cell_hilbert": q_cell_hilbert,
+        "adaptive_cells": q_adaptive_cells,
+        "geohash_encode": q_geohash_encode,
+        "quadkey_encode": q_quadkey,
+        "mercator_tiles": q_mercator_tiles,
+        "tile_bounds": q_tile_bounds,
+        "geo_dist_join": q_geo_dist_join,
+        "event_asof": q_event_asof,
+        "event_interval_join": q_event_interval_join,
+        "boilerplate_frac": q_boilerplate,
+        "domain_topk": q_domain_topk,
+        "dedup_keep_best": q_dedup_keep_best,
+        "dup_spans": q_dup_spans,
+        "source_mix": q_source_mix,
+        "kmeans_labels": q_kmeans,
+        "kmeans_reps": q_kmeans_reps,
+        "tfidf_topk": q_tfidf_topk,
+        "repetition_ratio": q_repetition,
+        "shard_stats": q_shard_stats,
+        "pack_sequences": q_pack_sequences,
+        "face_stats": q_face_stats,
+        "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
+        "dist_join": q_dist_join,
+        "convex_hull": q_convex_hull,
+        "group_diameter": q_group_diameter,
+        "bm25_rank": q_bm25_rank,
+        "idw_interpolate": q_idw_interpolate,
+        "face_within": q_face_within,
+        "bfs_hops": q_bfs_hops,
+        "sssp_hosts": q_sssp_hosts,
+        "tile_top_hosts": q_tile_top_hosts,
+        "route_length": q_route_length,
+        "od_matrix": q_od_matrix,
+        "hotspot_tiles": q_hotspot_tiles,
+        "skyline": q_skyline,
+        "dbscan": q_dbscan,
+        "zonal_stats": q_zonal_stats,
+        "neardup_containment": q_neardup_containment,
+        "hits_hosts": q_hits,
+        "length_quantiles": q_length_quantiles,
+        "page_metadata": q_page_metadata,
+        "canonical_dedup": q_canonical_dedup,
+        "script_profile": q_script_profile,
+        "heavy_hitters": q_heavy_hitters,
+        "cells_compact": q_cells_compact,
+        "range_report": q_range_report,
+        "lm_score": q_lm_score,
+        "ccnet_buckets": q_ccnet_buckets,
+        "tile_payloads": q_tile_payloads,
+        "structured_data": q_structured_data,
+        "segment_clip": q_segment_clip,
         "lsi_join": q_lsi,
         "lsi_join_finegrid": q_lsi_finegrid,
         "pip_locate": q_pip,
@@ -2813,106 +2904,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "closest_pair": q_closest_pair,
         "local_moran": q_local_moran,
-        "burst_detect": q_burst_detect,
-        "weighted_sample": q_weighted_sample,
-        "rect_join": q_rect_join,
-        "skipgram_pairs": q_skipgram_pairs,
-        "tile_quantiles": q_tile_quantiles,
-        "raster_diff": q_raster_diff,
-        "mirror_clusters": q_mirror_clusters,
-        "scc_hosts": q_scc,
-        "graph_degrees": q_graph_degrees,
-        "inverted_index": q_inverted_index,
-        "quality_classifier": q_quality_classifier,
-        "url_canonical": q_url_canonical,
-        "anchor_links": q_anchor_links,
-        "anchor_profile": q_anchor_profile,
-        "crawl_priorities": q_crawl_priorities,
-        "latest_snapshot": q_latest_snapshot,
-        "ngram_novelty": q_ngram_novelty,
-        "main_content": q_main_content,
-        "dedup_incremental": q_dedup_incremental,
-        "corpus_card": q_corpus_card,
-        "c4_filter": q_c4_filter,
-        "sitemap_parse": q_sitemap_parse,
-        "robots_sitemaps": q_robots_sitemaps,
-        "cdx_index": q_cdx_index,
-        "wet_roundtrip": q_wet_roundtrip,
-        "recrawl_schedule": q_recrawl_schedule,
-        "crawl_budget": q_crawl_budget,
-        "normalize_text": q_normalize_text,
-        "crawl_diff": q_crawl_diff,
-        "crawl_frontier": q_crawl_frontier,
-        "robots_filter": q_robots_filter,
-        "fetch_schedule": q_fetch_schedule,
-        "tile_pyramid": q_tile_pyramid,
-        "simplify_dp": q_simplify_dp,
         "lsi_join_salted": q_lsi_salted,
-        "overlay_chains": q_overlay,
-        "overlay_points": q_overlay_points,
         "cell_morton": q_cell_morton,
-        "cell_hilbert": q_cell_hilbert,
-        "adaptive_cells": q_adaptive_cells,
-        "geohash_encode": q_geohash_encode,
-        "quadkey_encode": q_quadkey,
-        "mercator_tiles": q_mercator_tiles,
-        "tile_bounds": q_tile_bounds,
-        "geo_dist_join": q_geo_dist_join,
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
-        "event_asof": q_event_asof,
-        "event_interval_join": q_event_interval_join,
-        "boilerplate_frac": q_boilerplate,
-        "domain_topk": q_domain_topk,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dup_spans": q_dup_spans,
-        "source_mix": q_source_mix,
-        "kmeans_labels": q_kmeans,
-        "kmeans_reps": q_kmeans_reps,
-        "semdedup": q_semdedup,
         "multimodal_features": q_multimodal,
         "ann_lsh_topk": q_ann_lsh,
         "ann_ivf_topk": q_ann_ivf,
         "neardup_embedding": q_neardup_embedding,
         "neardup_embedding_lsh": q_neardup_embedding_lsh,
-        "tfidf_topk": q_tfidf_topk,
-        "repetition_ratio": q_repetition,
-        "shard_stats": q_shard_stats,
-        "pack_sequences": q_pack_sequences,
-        "face_stats": q_face_stats,
-        "decontaminate": q_decontaminate,
-        "redact_pii": q_redact_pii,
-        "dist_join": q_dist_join,
-        "nearest_edge": q_nearest_edge,
-        "convex_hull": q_convex_hull,
-        "group_diameter": q_group_diameter,
-        "bm25_rank": q_bm25_rank,
-        "idw_interpolate": q_idw_interpolate,
-        "face_within": q_face_within,
-        "bfs_hops": q_bfs_hops,
-        "sssp_hosts": q_sssp_hosts,
-        "tile_top_hosts": q_tile_top_hosts,
-        "route_length": q_route_length,
-        "od_matrix": q_od_matrix,
-        "hotspot_tiles": q_hotspot_tiles,
-        "skyline": q_skyline,
-        "dbscan": q_dbscan,
-        "zonal_stats": q_zonal_stats,
-        "winnow_fingerprints": q_winnow,
-        "neardup_containment": q_neardup_containment,
-        "hits_hosts": q_hits,
-        "length_quantiles": q_length_quantiles,
-        "page_metadata": q_page_metadata,
-        "canonical_dedup": q_canonical_dedup,
-        "script_profile": q_script_profile,
-        "heavy_hitters": q_heavy_hitters,
-        "cells_compact": q_cells_compact,
-        "range_report": q_range_report,
-        "lm_score": q_lm_score,
-        "ccnet_buckets": q_ccnet_buckets,
-        "tile_payloads": q_tile_payloads,
-        "structured_data": q_structured_data,
-        "segment_clip": q_segment_clip,
     }
 
 
