@@ -3890,7 +3890,7 @@ WITH cnt AS (
          (epoch_us(ts) - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000))
            // 3600000000 AS bucket,
          COUNT(*) AS n_events
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), w AS (
   SELECT event_type, bucket, n_events,
          COALESCE(SUM(n_events) OVER (PARTITION BY event_type ORDER BY bucket

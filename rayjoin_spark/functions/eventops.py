@@ -297,6 +297,10 @@ def burst_detect(
             F.col("event_type"),
             F.unix_micros(F.col("ts").cast("timestamp")).alias("_us"),
         )
+        # single documented null policy, shared with the streaming twin
+        # (streaming/pages_stream.py drops NaT rows) and the DuckDB
+        # oracle: null timestamps carry no bucket and are excluded
+        .filter(F.col("_us").isNotNull())
         .select(F.col("event_type"), _floor_bucket("_us", bucket_us).alias("bucket"))
         .groupBy("event_type", "bucket")
         .agg(F.count("*").cast("bigint").alias("n_events"))

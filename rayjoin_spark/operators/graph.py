@@ -549,7 +549,11 @@ def kcore(
     driver-gate exception class of simplify_dp); exactness is pinned by
     tests/test_graph_stats.py against an independent sequential peel.
 
-    Returns (node, in_core:boolean) for every node incident to an edge.
+    Returns (node, in_core:boolean) for every node incident to an edge
+    in the RAW input — including self-loop-only nodes, which can never
+    be in a k>=1 core (loops are dropped by the simple-graph
+    normalization) and so report in_core=false; this matches scc's raw
+    node-universe contract.
 
     Scale shape: per round TWO left_semi joins of the symmetric edge
     list against the alive set + one combinable degree groupBy; the
@@ -564,8 +568,16 @@ def kcore(
         .unionByName(und.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
         .localCheckpoint(eager=True)
     )
-    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
-    alive = nodes
+    # node universe from the RAW edge list (matches scc): a node whose
+    # only incident edge is a self-loop reports in_core=false rather
+    # than silently vanishing
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
     n_alive = alive.count()
     for _ in range(max_rounds):
         e = sym.join(

@@ -320,6 +320,10 @@ def stream_burst_detect(
             pend, trail = {}, []
         if not state.hasTimedOut:
             for pdf in pdfs:
+                # NaT would become INT64_MIN under astype and poison the
+                # trailing deque with a garbage ancient bucket; drop null
+                # timestamps explicitly (same policy as batch burst_detect)
+                pdf = pdf[pdf["ts"].notna()]
                 ns = pdf["ts"].astype("int64")
                 us = ns // 1000
                 b = (us - us % bucket_us) // bucket_us  # floor, exact

@@ -246,3 +246,28 @@ def test_kcore_cascade_peel(spark):
     got = {r["node"]: r["in_core"] for r in kcore(_edges(spark, pairs), k=2).collect()}
     assert got == _py_kcore(pairs, 2)
     assert not any(got.values())
+
+
+def test_kcore_self_loop_only_node_reports_false(spark):
+    from rayjoin_spark.operators.graph import kcore, scc
+
+    # z's only incident edge is a self-loop: it must appear in the output
+    # with in_core=false (raw-edge universe, matching scc), not vanish
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("z", "z")]
+    e = _edges(spark, pairs)
+    got = {r["node"]: r["in_core"] for r in kcore(e, k=2).collect()}
+    assert got == {"a": True, "b": True, "c": True, "z": False}
+    # same universe as scc
+    assert set(got) == {r["node"] for r in scc(e).collect()}
+
+
+def test_burst_detect_drops_null_ts(spark):
+    from rayjoin_spark.functions.eventops import burst_detect
+
+    rows = [(1, "2024-01-01 00:00:00", "A"), (2, "2024-01-01 01:00:00", "A"),
+            (3, None, "A")]
+    e = spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+    out = burst_detect(e).collect()
+    # the null-ts event contributes no bucket row and no count
+    assert len(out) == 2 and all(r["n_events"] == 1 for r in out)
+    assert all(r["bucket"] is not None for r in out)
