@@ -606,12 +606,18 @@ def kcore(
 
 def _reach_min(nodes: DataFrame, edges: DataFrame, max_rounds: int) -> DataFrame:
     """Min-label propagation ALONG edge direction to fixpoint:
-    f(v) = min id over {u : u ->* v} (v included). nodes(node),
-    edges(src, dst) -> (node, lbl). Per round one equi-join + one
-    combinable min + a min-merge; checkpointed (house pattern)."""
-    lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
-        eager=True
-    )
+    f(v) = min label over {u : u ->* v} (v included). nodes(node[, lbl]),
+    edges(src, dst) -> (node, lbl). When nodes already carries a `lbl`
+    column it is the initial label (any orderable type incl. structs —
+    least/min/< are all struct-comparable); otherwise lbl = node. Per
+    round one equi-join + one combinable min + a min-merge; checkpointed
+    (house pattern)."""
+    if "lbl" in nodes.columns:
+        lbl = nodes.select("node", "lbl").localCheckpoint(eager=True)
+    else:
+        lbl = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
+            eager=True
+        )
     for _ in range(max_rounds):
         prop = (
             lbl.join(edges, lbl["node"] == edges["src"], "inner")
@@ -648,26 +654,34 @@ def scc(
     that separates mutually-reinforcing cores (rings, link exchanges)
     from one-way citation DAG structure (cf. the web's bow-tie).
 
-    Algorithm: iterative forward-backward min-label peeling (the
-    distributed FW-BW/coloring family): on the unassigned subgraph
-    compute f(v) = min id reaching v and b(v) = min id reachable from
-    v (two `_reach_min` fixpoints, one on reversed edges); nodes with
-    f(v) == b(v) are exactly the SCC of that min id (mutual
-    reachability through it) — assign and peel them, repeat. Each peel
-    assigns at least the minimum unassigned node's SCC, so the loop
-    terminates; DAG-tail chains can need many peels (documented bound:
-    raises past max_peels rather than returning a partial labeling).
+    Algorithm: randomized-priority coloring FW-BW (Orzan's coloring with
+    fresh random priorities per round — the parallel-pivot member of the
+    distributed FW-BW family). Per round, on the unassigned subgraph:
+    give every node the priority struct (xxhash64(node, round), node)
+    and propagate the forward minimum (`_reach_min`): col(v) = the
+    min-priority node reaching v — partitioning live nodes into color
+    classes, each rooted at its unique min-priority node. Then a second
+    `_reach_min` over the REVERSED same-color-restricted edges computes
+    b(v) = the min priority v reaches within its class; b(v) == col(v)
+    holds exactly for the nodes that reach their root through the class,
+    i.e. the root's SCC (the root is the strict in-class priority
+    minimum, so the backward min equals it only via mutual
+    reachability). EVERY color root's SCC is assigned in parallel each
+    round — expected O(log n) rounds for any DAG shape (a k-component
+    chain that cost the old sequential min-peel k rounds now peels a
+    constant expected fraction per round, whichever way its ids run);
+    raises past max_peels rather than returning a partial labeling.
 
-    Returns (node, scc_id, scc_size). Oracle note: the driver twin
-    states MUTUAL REACHABILITY directly (recursive-CTE pair closure +
-    min over the intersection) — an independent definition, not this
-    algorithm.
+    Returns (node, scc_id, scc_size) with scc_id = MIN node id of the
+    SCC (contract unchanged; priorities only steer the schedule).
+    Oracle note: the driver twin states MUTUAL REACHABILITY directly
+    (recursive-CTE pair closure + min over the intersection) — an
+    independent definition, not this algorithm.
 
-    Scale shape: each peel is two O(diameter)-round label fixpoints
-    (join + combinable min per round) plus two semi-joins to shrink the
-    frontier; all frames checkpointed. For web-scale bow-ties the peel
-    count is small (one giant SCC dominates); adversarial long chains
-    are the documented weakness, as in every FW-BW variant.
+    Scale shape: each round is two O(diameter)-round label fixpoints
+    (join + combinable min per round) plus color-restriction joins and
+    two semi-joins to shrink the frontier; all frames checkpointed.
+    Priorities are deterministic per (node, round) — bit-reproducible.
     """
     e = _directed_simple(edges, src, dst)
     # node universe from the RAW edge list: a node whose only incident
@@ -689,14 +703,43 @@ def scc(
             F.col("node").alias("scc_id"),
             F.lit(1).cast("bigint").alias("scc_size"),
         )
-    for _ in range(max_peels):
-        f = _reach_min(cur_nodes, cur_e, max_rounds)
-        b = _reach_min(cur_nodes, cur_rev, max_rounds)
+    for peel in range(max_peels):
+        # fresh deterministic random priorities this round; the node id
+        # inside the struct makes every priority unique (hash collisions
+        # only cost a little parallelism, never correctness)
+        pri = cur_nodes.select(
+            "node",
+            F.struct(
+                F.xxhash64(F.col("node"), F.lit(peel)).alias("p"),
+                F.col("node").alias("n"),
+            ).alias("lbl"),
+        )
+        f = _reach_min(pri, cur_e, max_rounds).withColumnRenamed("lbl", "col")
+        f = f.localCheckpoint(eager=True)
+        # same-color subgraph: an SCC is always monochromatic (mutual
+        # reachability forces equal forward minima), so cross-color edges
+        # cannot contribute to any SCC and are dropped for the back pass
+        fsrc = f.select(F.col("node").alias("src"), F.col("col").alias("_csrc"))
+        fdst = f.select(F.col("node").alias("dst"), F.col("col").alias("_cdst"))
+        ce = (
+            cur_e.join(fsrc, "src")
+            .join(fdst, "dst")
+            .filter(F.col("_csrc") == F.col("_cdst"))
+            .select("src", "dst")
+        )
+        crev = ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # b(v) = min in-class priority v reaches (init: own priority)
+        b = _reach_min(pri, crev, max_rounds)
         lab = (
-            f.join(b.withColumnRenamed("lbl", "blbl"), "node")
-            .filter(F.col("lbl") == F.col("blbl"))
-            .select("node", F.col("lbl").alias("scc_id"))
+            f.join(b, "node")
+            .filter(F.col("lbl") == F.col("col"))
+            .select("node", F.col("col.n").alias("root"))
             .localCheckpoint(eager=True)
+        )
+        # contract: scc_id = min node id of the SCC, not the root's id
+        ids = lab.groupBy("root").agg(F.min("node").alias("scc_id"))
+        lab = lab.join(ids, "root").select("node", "scc_id").localCheckpoint(
+            eager=True
         )
         assigned = lab if assigned is None else assigned.unionByName(lab)
         cur_nodes = cur_nodes.join(lab, "node", "left_anti").localCheckpoint(

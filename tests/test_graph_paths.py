@@ -152,3 +152,26 @@ def test_scc_self_loop_only_node_and_peel_capacity(spark):
     assert got == {
         "x": ("x", 1), "a": ("a", 1), "b": ("b", 1), "c": ("c", 1)
     }
+
+
+def test_scc_component_chain_converges_in_log_rounds(spark):
+    """50 singleton components in a DAG chain with adversarial (strictly
+    increasing) ids: the old sequential min-label peel needed one round
+    per component and hit any reasonable cap; randomized-priority
+    coloring converges in ~2*log2(n) expected rounds. max_peels=15 would
+    have failed before and must succeed now (deterministic: priorities
+    are xxhash64(node, round))."""
+    from rayjoin_spark.operators.graph import scc
+
+    n = 50
+    pairs = [(f"h{i:03d}", f"h{i+1:03d}") for i in range(n - 1)]
+    # plus one 3-cycle mid-chain so a real multi-node SCC rides along
+    pairs += [("h025", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),
+              ("c1", "h026")]
+    e = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r["node"]: (r["scc_id"], r["scc_size"]) for r in scc(
+        e, max_peels=15
+    ).collect()}
+    assert len(got) == n + 3
+    assert got["c2"] == ("c1", 3) and got["c3"] == ("c1", 3)
+    assert all(v == (k, 1) for k, v in got.items() if k.startswith("h"))
