@@ -45,3 +45,75 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+#: maven coordinate of the Iceberg Spark runtime matching this PySpark
+#: line (public artifact; only used when a fetch is explicitly allowed)
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0"
+
+
+def find_iceberg_jar() -> str | None:
+    """Locate an Iceberg Spark runtime jar WITHOUT network access:
+    $SPARK_GRAFT_ICEBERG_JAR, then ~/.ivy2/jars, then the pyspark jars
+    dir. Returns the jar path or None."""
+    import glob
+
+    explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if explicit and os.path.exists(explicit):
+        return explicit
+    import pyspark
+
+    candidates = glob.glob(
+        os.path.expanduser("~/.ivy2/jars/*iceberg-spark-runtime*.jar")
+    ) + glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                     "*iceberg-spark-runtime*.jar")
+    )
+    return sorted(candidates)[-1] if candidates else None
+
+
+def get_spark_iceberg(
+    app_name: str,
+    warehouse: str,
+    catalog: str = "ice",
+    cpus: int | None = None,
+    allow_fetch: bool | None = None,
+) -> SparkSession:
+    """SparkSession with a REAL Iceberg hadoop catalog, or a loud failure.
+
+    Probe order: a local runtime jar (find_iceberg_jar) -> optional maven
+    fetch via spark.jars.packages when allow_fetch (default: env
+    SPARK_GRAFT_ICEBERG_FETCH=1 — off in offline sandboxes, where ivy
+    resolution would stall then fail). Raises RuntimeError with the
+    probe's story when neither path yields the class; never returns a
+    session that silently lacks the catalog."""
+    if allow_fetch is None:
+        allow_fetch = os.environ.get("SPARK_GRAFT_ICEBERG_FETCH") == "1"
+    jar = find_iceberg_jar()
+    extra = {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+    }
+    if jar:
+        extra["spark.jars"] = jar
+    elif allow_fetch:
+        extra["spark.jars.packages"] = ICEBERG_PACKAGE
+    else:
+        raise RuntimeError(
+            "Iceberg runtime jar not found (SPARK_GRAFT_ICEBERG_JAR, "
+            "~/.ivy2/jars, pyspark jars) and maven fetch is disabled "
+            "(set SPARK_GRAFT_ICEBERG_FETCH=1 where the network exists)"
+        )
+    spark = get_spark(app_name, cpus=cpus, extra_conf=extra)
+    from rayjoin_spark.sources.tables import iceberg_available
+
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "SparkSession came up WITHOUT org.apache.iceberg.spark."
+            f"SparkCatalog on the classpath (probe: jar={jar!r}, "
+            f"fetch={'attempted' if (not jar and allow_fetch) else 'off'}) "
+            "— refusing to fall back silently; a pre-existing session may "
+            "have been reused (stop it first) or the fetch failed"
+        )
+    return spark
