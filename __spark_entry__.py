@@ -6047,7 +6047,7 @@ def _multimodal_sql(n: int = 200) -> str:
     import hashlib
 
     from rayjoin_spark.functions.multimodal import (
-        _png_variants, _wav_variants, _y4m_variants,
+        _jpeg_variants, _png_variants, _wav_variants, _y4m_variants,
     )
 
     def arrs(variants):
@@ -6058,31 +6058,36 @@ def _multimodal_sql(n: int = 200) -> str:
         return sha, nb
 
     sha_arr, nb_arr = arrs(_png_variants())
+    jsha_arr, jnb_arr = arrs(_jpeg_variants())
     wsha_arr, wnb_arr = arrs(_wav_variants())
     vsha_arr, vnb_arr = arrs(_y4m_variants())
-    # video fixture widths alternate 4/6 with k = media_id % 8 (height 4)
+    # video fixture widths alternate 4/6 with k = media_id % 8 (height 4);
+    # jpeg fixture widths alternate 8/16 (height 8), on image rows with
+    # media_id % 6 = 3 (functions/multimodal.py synthetic_media)
     vw_arr = "[" + ",".join(str(4 + 2 * (k % 2)) for k in range(8)) + "]"
+    jw_arr = "[" + ",".join(str(8 + 8 * (k % 2)) for k in range(8)) + "]"
     return f"""
 WITH ids AS (SELECT CAST(unnest(range(0, {n})) AS BIGINT) AS media_id),
  k AS (
   SELECT media_id,
          CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         media_id % 6 = 3 AS is_jpeg,
          CAST(media_id % 8 AS INT) + 1 AS v
   FROM ids
 )
 SELECT media_id, kind,
-  CAST(CASE WHEN kind = 'image' THEN {nb_arr}[v]
+  CAST(CASE WHEN kind = 'image' THEN (CASE WHEN is_jpeg THEN {jnb_arr}[v] ELSE {nb_arr}[v] END)
             WHEN kind = 'audio' THEN {wnb_arr}[v]
             ELSE {vnb_arr}[v] END AS BIGINT) AS n_bytes,
-  CASE WHEN kind = 'image' THEN {sha_arr}[v]
+  CASE WHEN kind = 'image' THEN (CASE WHEN is_jpeg THEN {jsha_arr}[v] ELSE {sha_arr}[v] END)
        WHEN kind = 'audio' THEN {wsha_arr}[v]
        ELSE {vsha_arr}[v] END AS sha256,
-  CAST(CASE WHEN kind = 'image' THEN 4
+  CAST(CASE WHEN kind = 'image' THEN (CASE WHEN is_jpeg THEN {jw_arr}[v] ELSE 4 END)
             WHEN kind = 'video' THEN {vw_arr}[v] END AS INTEGER) AS width,
-  CAST(CASE WHEN kind = 'image' THEN 3
+  CAST(CASE WHEN kind = 'image' THEN (CASE WHEN is_jpeg THEN 8 ELSE 3 END)
             WHEN kind = 'video' THEN 4 END AS INTEGER) AS height,
   TRUE AS decode_ok,
-  CASE WHEN kind = 'image' THEN 'png'
+  CASE WHEN kind = 'image' THEN (CASE WHEN is_jpeg THEN 'jpeg' ELSE 'png' END)
        WHEN kind = 'audio' THEN 'wav' ELSE 'y4m' END AS decoder
 FROM k
 """

@@ -3,7 +3,10 @@ with typed metadata, processed in Arrow-batched pandas iterators.
 
 All three media kinds now have REAL decoders with zero external deps:
 IMAGE is a pure-stdlib PNG codec (zlib inflate + scanline unfiltering,
-8-bit gray/RGB/RGBA) parsing width/height and per-channel means; AUDIO is
+8-bit gray/RGB/RGBA) plus a baseline-DCT JPEG decoder (ITU-T T.81 marker
++ canonical-Huffman entropy parse; channel means exactly from the DC
+coefficients; progressive raises), both parsing width/height and
+per-channel means; AUDIO is
 a stdlib RIFF/WAVE parser (PCM16) extracting sample rate, channel count,
 frame count and per-channel means; VIDEO is a YUV4MPEG2 (.y4m) parser —
 text header + raw planar 4:2:0 frames — extracting dimensions, frame
@@ -160,6 +163,394 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[float]]:
         prev = line
     n_px = width * height
     return width, height, ch, [float(s) / n_px / 255.0 for s in sums]
+
+
+# ------------------------------------------------------------------ JPEG
+# Baseline-DCT JPEG (ITU-T T.81 / JFIF), stdlib + NumPy only. The
+# decoder parses markers, canonical Huffman tables and the interleaved
+# entropy stream; per-channel means come EXACTLY from the DC
+# coefficients (every AC basis function of the 8x8 IDCT has zero mean,
+# so a block's pixel mean is DC*q0/8 + 128 — no IDCT needed for the
+# feature contract). Means are over the coded block grid, which equals
+# the image for MCU-aligned dims (all fixtures are). The encoder exists
+# for deterministic fixtures: 4:4:4 (or grayscale), Annex K quantization
+# and Huffman tables, orthonormal-matrix FDCT.
+
+JPEG_SIG = b"\xff\xd8"
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# T.81 Annex K.1 quantization tables (zigzag order when emitted)
+_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+# T.81 Annex K.3 typical Huffman tables: (bits[1..16], values)
+_HT_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_canonical(bits, values):
+    """(bits, values) -> {(length, code): symbol} canonical table."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_codes(bits, values):
+    """(bits, values) -> {symbol: (length, code)} for the encoder."""
+    return {v: k for k, v in _huff_canonical(bits, values).items()}
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data; 0xFF00 unstuffing done
+    by the caller (segments are split at RST markers before reading)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, list[float]]:
+    """Baseline-DCT JPEG -> (width, height, n_components, per-component
+    means in [0,1], YCbCr order as coded). Only SOF0 (baseline) is
+    supported; progressive/arithmetic raise ValueError (the caller's
+    degrade-to-error-row contract). Means are exact over the coded block
+    grid (DC-only identity, see section comment)."""
+    if not data.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    vals = list(struct.unpack(f">{64}H", body[i:i + 128]))
+                    i += 128
+                else:
+                    vals = list(body[i:i + 64])
+                    i += 64
+                qt[tq] = vals  # zigzag order; [0] is the DC quantizer
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline)
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"jpeg: unsupported SOF marker 0x{marker:02x}")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                values = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _huff_canonical(bits, values)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                data, pos, w, h, comps, sel, qt, huff, restart
+            )
+        # all other segments (APPn, COM, ...) are skipped
+    raise ValueError("jpeg: no SOS marker")
+
+
+def _decode_scan(data, pos, w, h, comps, sel, qt, huff, restart):
+    """Entropy-decode the single interleaved baseline scan from `pos`,
+    accumulating per-component DC sums (exact means)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    # split entropy bytes at markers, unstuffing 0xFF00
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(data):
+        b = data[i]
+        if b == 0xFF:
+            m = data[i + 1] if i + 1 < len(data) else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RST
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next segment
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    dc_sum = [0] * len(comps)
+    dc_n = [0] * len(comps)
+    mcu_done = 0
+    for seg in segments:
+        if mcu_done >= n_mcu:
+            break
+        r = _BitReader(seg)
+        pred = [0] * len(comps)
+        seg_mcus = restart if restart else (n_mcu - mcu_done)
+        for _ in range(min(seg_mcus, n_mcu - mcu_done)):
+            for ci, c in enumerate(comps):
+                tdc, tac = sel[c["id"]]
+                q0 = qt[c["tq"]][0]
+                for _blk in range(c["h"] * c["v"]):
+                    t = r.decode_symbol(huff[(0, tdc)])
+                    diff = _extend(r.read_bits(t), t)
+                    pred[ci] += diff
+                    dc_sum[ci] += pred[ci] * q0
+                    dc_n[ci] += 1
+                    k = 1
+                    while k < 64:  # AC: decoded to advance the stream
+                        rs = r.decode_symbol(huff[(1, tac)])
+                        rl, sz = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rl + 1
+                        _extend(r.read_bits(sz), sz)
+            mcu_done += 1
+    if mcu_done != n_mcu:
+        raise ValueError(f"jpeg: decoded {mcu_done}/{n_mcu} MCUs")
+    means = [
+        (s / n / 8.0 + 128.0) / 255.0 for s, n in zip(dc_sum, dc_n)
+    ]
+    return w, h, len(comps), [float(min(max(m, 0.0), 1.0)) for m in means]
+
+
+def _dct_matrix() -> "np.ndarray":
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    m = c * np.sqrt(2.0 / 8.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+def encode_jpeg(width: int, height: int, pixels: list[list[tuple]]) -> bytes:
+    """Minimal baseline JFIF encoder for fixtures: 4:4:4 YCbCr from RGB
+    tuples, Annex K quantization + typical Huffman tables, matrix FDCT.
+    Deterministic byte-for-byte (pure integer/np.float64 math)."""
+    rgb = np.array(pixels, dtype=np.float64).reshape(height, width, 3)
+    ycc = np.empty_like(rgb)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    ycc[..., 0] = 0.299 * r + 0.587 * g + 0.114 * b
+    ycc[..., 1] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    ycc[..., 2] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    pad = np.empty((ph, pw, 3))
+    pad[:height, :width] = ycc
+    pad[height:, :width] = ycc[-1:, :, :]
+    pad[:, width:] = pad[:, width - 1:width, :]
+    m = _dct_matrix()
+    qts = [np.array(_QT_LUM, dtype=np.float64).reshape(8, 8),
+           np.array(_QT_CHR, dtype=np.float64).reshape(8, 8)]
+    dc_codes = [_huff_codes(*_HT_DC_LUM), _huff_codes(*_HT_DC_CHR)]
+    ac_codes = [_huff_codes(*_HT_AC_LUM), _huff_codes(*_HT_AC_CHR)]
+    bitbuf: list[int] = []
+
+    def put(code_len: int, code: int) -> None:
+        for i in range(code_len - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def put_val(v: int) -> tuple[int, int]:
+        """magnitude category + the value bits (T.81 F.1.2.1)."""
+        if v == 0:
+            return 0, 0
+        t = int(abs(v)).bit_length()
+        bits = v if v >= 0 else v + (1 << t) - 1
+        return t, bits
+
+    pred = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                blk = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] - 128.0
+                coef = m @ blk @ m.T
+                q = np.round(coef / qts[ti]).astype(np.int64)
+                zz = q.reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t, bits = put_val(diff)
+                ln, code = dc_codes[ti][t]
+                put(ln, code)
+                if t:
+                    put(t, bits)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[ti][0xF0]
+                        put(ln, code)
+                        run -= 16
+                    t, bits = put_val(v)
+                    ln, code = ac_codes[ti][(run << 4) | t]
+                    put(ln, code)
+                    put(t, bits)
+                    run = 0
+                if run:
+                    ln, code = ac_codes[ti][0x00]
+                    put(ln, code)
+    while len(bitbuf) % 8:
+        bitbuf.append(1)  # pad with 1s (T.81 F.1.2.3)
+    raw = bytearray()
+    for i in range(0, len(bitbuf), 8):
+        byte = 0
+        for b in bitbuf[i:i + 8]:
+            byte = (byte << 1) | b
+        raw.append(byte)
+        if byte == 0xFF:
+            raw.append(0x00)  # stuffing
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(JPEG_SIG)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(_QT_LUM[i] for i in _ZIGZAG))
+    out += seg(0xDB, bytes([0x01]) + bytes(_QT_CHR[i] for i in _ZIGZAG))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 4:4:4, h=v=1
+    out += seg(0xC0, sof)
+    for (tc, th), (bits, vals) in (
+        ((0, 0), _HT_DC_LUM), ((1, 0), _HT_AC_LUM),
+        ((0, 1), _HT_DC_CHR), ((1, 1), _HT_AC_CHR),
+    ):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += raw
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ------------------------------------------------------------------ WAV
@@ -363,6 +754,10 @@ def _decode_one(kind: str, b: bytes):
         w, h, ch, means = decode_png(b)
         feat = [float(w), float(h), float(ch)] + means[:4] + [0.0] * (4 - len(means[:4]))
         return w, h, [float(v) for v in (feat + [1.0])[:8]], "png", None
+    if kind == "image" and b.startswith(JPEG_SIG):
+        w, h, ch, means = decode_jpeg(b)
+        feat = [float(w), float(h), float(ch)] + means[:4] + [0.0] * (4 - len(means[:4]))
+        return w, h, [float(v) for v in (feat + [4.0])[:8]], "jpeg", None
     if kind == "audio" and b[:4] == b"RIFF":
         sr, ch, nf, means = decode_wav(b)
         feat = [float(sr), float(ch), float(nf)] + means[:4] + [0.0] * (4 - len(means[:4]))
@@ -441,6 +836,23 @@ def _png_variants() -> list[bytes]:
     return variants
 
 
+def _jpeg_variants() -> list[bytes]:
+    """The 8 deterministic fixture JPEGs (MCU-aligned dims so the
+    DC-derived channel means are exact over the full image; shared with
+    the driver's literal-lookup oracle). Widths alternate 8/16, height 8."""
+    variants = []
+    for k in range(8):
+        w = 8 + 8 * (k % 2)
+        px = [
+            [((k * 41 + x * 13 + y * 7) % 256, (k * 23 + x * 29) % 256,
+              (y * 31 + k * 5) % 256)
+             for x in range(w)]
+            for y in range(8)
+        ]
+        variants.append(encode_jpeg(w, 8, px))
+    return variants
+
+
 def _wav_variants() -> list[bytes]:
     """8 deterministic tiny PCM16 WAV fixtures (1-2 channels, 16-23
     frames, varied sample rates) — same oracle-sharing contract."""
@@ -478,6 +890,7 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
     (8 deterministic variants each, stdlib-encoded) so all three decode
     paths run end-to-end."""
     png_arr = F.array(*[F.lit(bytearray(v)) for v in _png_variants()])
+    jpg_arr = F.array(*[F.lit(bytearray(v)) for v in _jpeg_variants()])
     wav_arr = F.array(*[F.lit(bytearray(v)) for v in _wav_variants()])
     y4m_arr = F.array(*[F.lit(bytearray(v)) for v in _y4m_variants()])
     i = F.col("id")
@@ -487,7 +900,12 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
     )
     blob = F.encode(F.concat(F.lit("payload:"), i.cast("string")), "UTF-8")
     payload = (
-        F.when(kind == "image", F.element_at(png_arr, (F.pmod(i, 8) + 1).cast("int")))
+        # image ids are = 0 (mod 3); every second one (= 3 mod 6) carries a
+        # REAL baseline JPEG, the rest a REAL PNG — both decode paths run
+        F.when(kind == "image",
+               F.when(F.pmod(i, 6) == 3,
+                      F.element_at(jpg_arr, (F.pmod(i, 8) + 1).cast("int")))
+               .otherwise(F.element_at(png_arr, (F.pmod(i, 8) + 1).cast("int"))))
         .when(kind == "audio", F.element_at(wav_arr, (F.pmod(i, 8) + 1).cast("int")))
         .when(kind == "video", F.element_at(y4m_arr, (F.pmod(i, 8) + 1).cast("int")))
         .otherwise(blob)
@@ -498,7 +916,9 @@ def synthetic_media(spark, n: int, real_png: bool = True) -> DataFrame:
         i.alias("media_id"),
         kind.alias("kind"),
         payload.alias("payload"),
-        F.when(kind == "image", F.lit("image/png"))
+        F.when(kind == "image",
+               F.when(F.pmod(i, 6) == 3, F.lit("image/jpeg"))
+               .otherwise(F.lit("image/png")))
         .when(kind == "audio", F.lit("audio/wav") if real_png else F.lit("application/octet-stream"))
         .when(kind == "video", F.lit("video/x-yuv4mpeg") if real_png else F.lit("application/octet-stream"))
         .otherwise(F.lit("application/octet-stream"))

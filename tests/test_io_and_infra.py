@@ -236,10 +236,18 @@ def test_multimodal_features(spark):
     assert len(rows) == 50
     assert all(r["decode_ok"] for r in rows)
     assert all(len(r["feature"]) == 8 for r in rows)
-    # image rows went through the REAL PNG decoder: parsed dimensions
+    # image rows alternate REAL PNG / REAL baseline JPEG (media_id%6==3):
+    # both decode paths parse true dimensions
     imgs = [r for r in rows if r["kind"] == "image"]
-    assert imgs and all(r["decoder"] == "png" for r in imgs)
-    assert all((r["width"], r["height"]) == (4, 3) for r in imgs)
+    pngs = [r for r in imgs if r["media_id"] % 6 == 0]
+    jpgs = [r for r in imgs if r["media_id"] % 6 == 3]
+    assert pngs and all(r["decoder"] == "png" for r in pngs)
+    assert all((r["width"], r["height"]) == (4, 3) for r in pngs)
+    assert jpgs and all(r["decoder"] == "jpeg" for r in jpgs)
+    for r in jpgs:
+        k = r["media_id"] % 8
+        assert (r["width"], r["height"]) == (8 + 8 * (k % 2), 8)
+        assert r["feature"][7] == 4.0
     # audio rows went through the REAL WAV decoder: feature carries the
     # parsed sample rate / channels / frame count (+ the 2.0 audio tag)
     auds = [r for r in rows if r["kind"] == "audio"]
@@ -671,3 +679,67 @@ def test_pyfiles_zip_is_importable(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "rayjoin_spark"
+
+
+def test_jpeg_codec_solid_and_gradient():
+    """Solid mid-gray: the quantized DCT is DC-only, so the DC-derived
+    channel means are hand-derivable (128/255 on all three YCbCr
+    channels). Gradient: encoder->decoder means must match the source
+    plane means within lossy tolerance; bytes must be deterministic."""
+    import numpy as np
+
+    from rayjoin_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    px = [[(128, 128, 128)] * 8 for _ in range(8)]
+    w, h, nc, means = decode_jpeg(encode_jpeg(8, 8, px))
+    assert (w, h, nc) == (8, 8, 3)
+    assert all(abs(m - 128 / 255) < 1e-3 for m in means)
+
+    px = [[(16 * x, 8 * y + 64, 200) for x in range(16)] for y in range(8)]
+    b = encode_jpeg(16, 8, px)
+    assert encode_jpeg(16, 8, px) == b  # deterministic
+    w, h, nc, means = decode_jpeg(b)
+    assert (w, h, nc) == (16, 8, 3)
+    rgb = np.array(px, dtype=float)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+    cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+    for i, plane in enumerate((y, cb, cr)):
+        assert abs(means[i] - plane.mean() / 255) < 0.02
+
+
+def test_jpeg_decoder_on_third_party_file():
+    """Decode a REAL baseline JPEG from the Spark distribution (4:2:0
+    subsampled, not produced by our encoder): dims must parse and every
+    MCU must entropy-decode (a desynced Huffman read raises)."""
+    import os
+
+    import pytest
+
+    from rayjoin_spark.functions.multimodal import decode_jpeg
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("spark distribution sample image not present")
+    with open(path, "rb") as f:
+        w, h, nc, means = decode_jpeg(f.read())
+    assert (w, h, nc) == (300, 215, 3)
+    assert all(0.0 <= m <= 1.0 for m in means)
+
+
+def test_jpeg_decoder_rejects_progressive_and_garbage():
+    import pytest
+
+    from rayjoin_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(8, 8, [[(0, 0, 0)] * 8] * 8)
+    for bad in (b"nope", b"\xff\xd8\xff", good[:40]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # flip SOF0 -> SOF2 (progressive): loud unsupported, not garbage out
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="unsupported SOF"):
+        decode_jpeg(prog)
