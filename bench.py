@@ -607,8 +607,58 @@ def run_suite(
         for nm in ("ann_lsh", "ann_ivf"):
             if nm in qs:
                 out[f"{nm}_recall"] = round(ann_recall(exact, qs[nm]()), 3)
+    if not scaling_suite and not subset and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        out["sf1_evidence"] = _sf1_evidence(spark)
     spark.stop()
     return out
+
+
+def _sf1_evidence(spark) -> dict:
+    """One order of magnitude up (round-4 VERDICT #5): the four headline
+    spatial queries on a 10x synthetic workload — lattice m=304 (~213k
+    edges/side vs ~21k at the sf0.1 bench) and 2M query points (vs 200k)
+    — with the SAME plans (no code fork) and the grid scaled ~sqrt(10)x
+    (gsize 810 vs 256) so per-cell density, and therefore join shape, is
+    held constant the way the reference scales gsize with input size.
+    Single-shot timings (no warm pass): this is scale-shape evidence,
+    not a tuned headline. Disable with SPARK_GRAFT_SF1=0."""
+    from rayjoin_spark.operators.lsi import lsi_join
+    from rayjoin_spark.operators.nearest import nearest_edge
+    from rayjoin_spark.operators.pip import pip_locate
+    from rayjoin_spark.plans.layers import build_edges
+    from rayjoin_spark.plans.scaling import GridSpec, compute_scaling
+    from rayjoin_spark.operators.overlay import overlay
+    from rayjoin_spark.sources.datagen import (
+        lattice_chains,
+        subdivide_fraction,
+        transformed_lattice,
+        uniform_points,
+    )
+
+    m = int(os.environ.get("SPARK_GRAFT_SF1_M", "304"))
+    npts = int(os.environ.get("SPARK_GRAFT_SF1_NPTS", "2000000"))
+    gsize = int(os.environ.get("SPARK_GRAFT_SF1_GSIZE", "810"))
+    ca, pa = lattice_chains(spark, m)
+    cb, pb = transformed_lattice(spark, m)
+    pa = subdivide_fraction(pa, s=4, every=20)
+    pb = subdivide_fraction(pb, s=4, every=20)
+    scaling = compute_scaling(pa, pb)
+    ea = build_edges(ca, pa, scaling)
+    eb = build_edges(cb, pb, scaling)
+    pts = uniform_points(spark, npts, -0.5, m + 0.5, -0.5, m + 0.5)
+    g = GridSpec(gsize)
+    res = {"m": m, "n_points": npts, "gsize": gsize}
+
+    def one(name, build):
+        t0 = time.time()
+        n = build().count()
+        res[name] = {"rows": n, "sec": round(time.time() - t0, 3)}
+
+    one("lsi_sf1", lambda: lsi_join(ea, eb, g))
+    one("pip_sf1", lambda: pip_locate(pts, ea, scaling, g))
+    one("nearest_sf1", lambda: nearest_edge(pts, ea, scaling, g))
+    one("overlay_sf1", lambda: overlay(ca, pa, cb, pb, scaling, g)[0])
+    return res
 
 
 SCALING_QUERY_NAMES = ["lsi_big", "pip_big", "minhash_big", "lsi_big_unsalted"]
@@ -777,6 +827,7 @@ def main():
         "overlay_phases": r.get("overlay_phases"),
         "biggrid_check": r.get("biggrid_check"),
         "pip_index_build": r.get("pip_index_build"),
+        "sf1_evidence": r.get("sf1_evidence"),
         "cpus": CPUS,
         "methodology": "steady-state: warmed min-of-2 per query; "
                        "overlays min-of-2 with NO warm pass (first-run cost kept "
@@ -784,7 +835,9 @@ def main():
                        "wall clock for driver-bound composites is contention-noisy"
                        " — same-code cold runs spanned 35-182 s in one batch); "
                        "PIP indexes built once (build times in pip_index_build), "
-                       "mirroring the reference's build-then-repeat protocol",
+                       "mirroring the reference's build-then-repeat protocol; "
+                       "sf1_evidence = the same four headline spatial plans "
+                       "single-shot at 10x input (m=304, 2M points, gsize 810)",
     }))
 
 

@@ -174,6 +174,11 @@ def nearest_edge(
     r0 = 1
     while r0 < 4 and density * math.pi * r0 * r0 < 5.0:
         r0 += 1
+    # volume cap (applied after the point count below): at many points
+    # the variable join cost dominates the per-round fixed cost the big
+    # r0 exists to amortize, and the two-phase argmin evaluates the slim
+    # join twice — shrink r0 until round-0 candidates fit the budget
+    _ROUND0_CAND_CAP = 40_000_000
 
     ec = explode_edges_to_cells(edges, grid, k).select(
         F.col("cx").alias("ecx"),
@@ -214,6 +219,11 @@ def nearest_edge(
         )
         .localCheckpoint(eager=True)
     )
+    # the count is a cheap scan of the checkpoint just materialized;
+    # round-0 candidate volume ~ n_pts * window_cells * density
+    n_pts = active.count()
+    while r0 > 1 and n_pts * ((2 * r0 + 1) ** 2) * density > _ROUND0_CAND_CAP:
+        r0 -= 1
     done = []
     lo, hi = 0, r0
     for _ in range(max_rounds):
