@@ -9,9 +9,16 @@ arithmetic — exact, portable, total-ordered (ties by corpus id).
 
 Scale shape: every round is an equi-join on (cx, cy) against the same
 hash-partitioned corpus-cell table; only unresolved queries survive to the
-next round; lineage is cut per round. Ring cells are enumerated by
-exploding the ring perimeter (8r cells), so round r costs O(|active| * 8r)
-join keys, not O(r^2).
+next round; lineage is cut per round. Like nearest_edge, rounds batch a
+geometrically growing annulus of Chebyshev rings [lo..hi] with a
+density-derived (and candidate-volume-capped) round-0 radius sized so the
+expected window holds >= ~3k corpus points — the typical query resolves in
+ONE round and the driver-synchronized round count is O(log gsize) worst
+case instead of O(resolution radius). The carried top-k array rides
+through the per-round groupBy as exploded candidate rows (annulus cell
+sets are disjoint across rounds, so a corpus id can never duplicate
+between the carry and the new candidates), replacing the former
+all-queries join-back.
 """
 
 from __future__ import annotations
@@ -53,7 +60,8 @@ def knn_points(
     """
     grid = grid or GridSpec(64)
     if max_rounds is None:
-        max_rounds = 2 * grid.grid_size + 2
+        # hi doubles per round: generous hard cap
+        max_rounds = 64
     # guaranteed minimum int-width of a cell (floor of 1/cell_scale)
     cell_w = int(1.0 / grid.cell_scale)
 
@@ -70,7 +78,8 @@ def knn_points(
     # broadcast a small corpus: every ring round becomes a narrow map-side
     # join (no per-round shuffle of the probe side); large corpora keep the
     # hash-partitioned shuffle join — the 100 TB path
-    if cp.count() <= 2_000_000:
+    n_cp = cp.count()
+    if n_cp <= 2_000_000:
         cp = F.broadcast(cp)
 
     qp = queries.select(
@@ -84,27 +93,49 @@ def knn_points(
         .withColumn("best", F.array().cast("array<struct<d:bigint,cid:bigint>>"))
         .localCheckpoint(eager=True)
     )
+    # round-0 radius: smallest window expected to hold >= ~3k corpus
+    # points (one corpus point per cell row, density = n_cp/gsize^2),
+    # capped by the round-0 candidate-volume budget (cheap count of the
+    # checkpoint just materialized) — the nearest_edge sizing rule
+    density = max(n_cp, 1) / float(grid.grid_size * grid.grid_size)
+    r0 = 0
+    while r0 < 4 and (2 * r0 + 1) ** 2 * density < max(8.0, 3.0 * k):
+        r0 += 1
+    n_q = active.count()
+    while r0 > 1 and n_q * ((2 * r0 + 1) ** 2) * density > 40_000_000:
+        r0 -= 1
     done = []
 
-    for r in range(max_rounds):
-        offs = _ring_offsets(r)
-        ring = F.explode(
-            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
-        )
-        probes = active.withColumn("o", ring).select(
-            "qid",
-            "qx",
-            "qy",
-            "qcx",
-            "qcy",
-            "best",
-            (F.col("qcx") + F.col("o.dx")).alias("cx"),
-            (F.col("qcy") + F.col("o.dy")).alias("cy"),
+    lo, hi = 0, r0
+    for _ in range(max_rounds):
+        probes = (
+            active.withColumn("_dx", F.explode(F.sequence(F.lit(-hi), F.lit(hi))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-hi), F.lit(hi))))
+            .filter(F.greatest(F.abs("_dx"), F.abs("_dy")) >= F.lit(lo))
+            .select(
+                "qid",
+                "qx",
+                "qy",
+                "qcx",
+                "qcy",
+                (F.col("qcx") + F.col("_dx")).alias("cx"),
+                (F.col("qcy") + F.col("_dy")).alias("cy"),
+            )
+            .filter(
+                (F.col("cx") >= 0)
+                & (F.col("cx") < grid.grid_size)
+                & (F.col("cy") >= 0)
+                & (F.col("cy") < grid.grid_size)
+            )
         )
         cand = probes.join(
             cp, (F.col("cx") == F.col("ccx")) & (F.col("cy") == F.col("ccy")), "inner"
         ).select(
             "qid",
+            "qx",
+            "qy",
+            "qcx",
+            "qcy",
             F.struct(
                 (
                     (F.col("cx_i") - F.col("qx")) * (F.col("cx_i") - F.col("qx"))
@@ -113,34 +144,44 @@ def knn_points(
                 F.col("cid").alias("cid"),
             ).alias("cand"),
         )
-        new_best = cand.groupBy("qid").agg(
-            F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("new")
+        # carry: the current top-k rides through the SAME groupBy as
+        # exploded candidate rows (annulus cell sets are disjoint across
+        # rounds — no duplicate cids); the outer join on a left-exploded
+        # empty array keeps zero-candidate queries alive with a null cand
+        carry = active.select(
+            "qid", "qx", "qy", "qcx", "qcy",
+            F.explode_outer("best").alias("cand"),
         )
         merged = (
-            active.join(new_best, "qid", "left")
-            .withColumn(
-                "best",
-                F.when(
-                    F.col("new").isNotNull(),
-                    F.slice(F.array_sort(F.concat("best", "new")), 1, k),
-                ).otherwise(F.col("best")),
+            cand.unionByName(carry)
+            .groupBy("qid")
+            .agg(
+                # collect_list skips the null cand of zero-candidate
+                # queries; their group row survives via the carry row
+                F.slice(F.array_sort(F.collect_list("cand")), 1, k).alias("best"),
+                F.first("qx").alias("qx"),
+                F.first("qy").alias("qy"),
+                F.first("qcx").alias("qcx"),
+                F.first("qcy").alias("qcy"),
             )
-            .drop("new")
         )
         # resolved: k candidates found and the k-th distance is within the
-        # radius guaranteed fully covered by rings 0..r
-        safe = F.lit((r * cell_w) * (r * cell_w))
+        # radius guaranteed fully covered by rings 0..hi
+        safe = F.lit((hi * cell_w) * (hi * cell_w))
         kth = F.element_at("best", k)["d"]
         # strict <: an unseen point could sit at exactly the covered radius
         # with a smaller id (tiebreak) — only resolve when strictly inside.
-        # After ring grid_size the whole grid has been swept: stop.
-        is_done = ((F.size("best") >= k) & (kth < safe)) | F.lit(r >= grid.grid_size)
+        # Once hi reaches grid_size the whole grid has been swept: stop.
+        is_done = ((F.size("best") >= k) & (kth < safe)) | F.lit(
+            hi >= grid.grid_size
+        )
         merged = merged.localCheckpoint(eager=True)
         done.append(merged.filter(is_done).select("qid", "best"))
         active = merged.filter(~is_done)
         if active.isEmpty():
             active = None
             break
+        lo, hi = hi + 1, min(2 * hi + 1, grid.grid_size)
 
     if active is not None:
         done.append(active.select("qid", "best"))  # corpus exhausted / sparse
