@@ -622,6 +622,8 @@ def _sf1_evidence(spark) -> dict:
     held constant the way the reference scales gsize with input size.
     Single-shot timings (no warm pass): this is scale-shape evidence,
     not a tuned headline. Disable with SPARK_GRAFT_SF1=0."""
+    from pyspark.sql import functions as F
+
     from rayjoin_spark.operators.lsi import lsi_join
     from rayjoin_spark.operators.nearest import nearest_edge
     from rayjoin_spark.operators.pip import pip_locate
@@ -657,6 +659,17 @@ def _sf1_evidence(spark) -> dict:
     one("lsi_sf1", lambda: lsi_join(ea, eb, g))
     one("pip_sf1", lambda: pip_locate(pts, ea, scaling, g))
     one("nearest_sf1", lambda: nearest_edge(pts, ea, scaling, g))
+
+    def _knn():
+        from rayjoin_spark.operators.knn import knn_points
+
+        corpus = uniform_points(spark, npts // 8, -0.5, m + 0.5, -0.5, m + 0.5,
+                                seed=1).select(
+            F.col("point_id").alias("corpus_id"), "x", "y"
+        )
+        return knn_points(pts, corpus, scaling, g, k=3)
+
+    one("knn_sf1", _knn)
     one("overlay_sf1", lambda: overlay(ca, pa, cb, pb, scaling, g)[0])
     return res
 

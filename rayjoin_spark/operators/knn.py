@@ -93,13 +93,21 @@ def knn_points(
         .withColumn("best", F.array().cast("array<struct<d:bigint,cid:bigint>>"))
         .localCheckpoint(eager=True)
     )
-    # round-0 radius: smallest window expected to hold >= ~3k corpus
-    # points (one corpus point per cell row, density = n_cp/gsize^2),
-    # capped by the round-0 candidate-volume budget (cheap count of the
-    # checkpoint just materialized) — the nearest_edge sizing rule
+    # round-0 radius: a query RESOLVES only when its k-th neighbor lies
+    # inside the radius-r0 inscribed circle of the covered window, so the
+    # criterion is the circle's Poisson mass — smallest r0 with
+    # pi*r0^2*density >= k + 3*sqrt(k) + 2 (≳3-sigma margin; <~0.2%
+    # expected survivors) — NOT the window row count (a window-count rule
+    # left ~30% of queries alive into a double-size annulus round at 10x
+    # scale, turning the tail round into the dominant cost). Still capped
+    # by the round-0 candidate-volume budget (cheap count of the
+    # checkpoint just materialized), the nearest_edge sizing rule.
+    import math
+
     density = max(n_cp, 1) / float(grid.grid_size * grid.grid_size)
-    r0 = 0
-    while r0 < 4 and (2 * r0 + 1) ** 2 * density < max(8.0, 3.0 * k):
+    need = k + 3.0 * math.sqrt(k) + 2.0
+    r0 = 1
+    while r0 < 6 and math.pi * r0 * r0 * density < need:
         r0 += 1
     n_q = active.count()
     while r0 > 1 and n_q * ((2 * r0 + 1) ** 2) * density > 40_000_000:
