@@ -607,7 +607,12 @@ def run_suite(
         for nm in ("ann_lsh", "ann_ivf"):
             if nm in qs:
                 out[f"{nm}_recall"] = round(ann_recall(exact, qs[nm]()), 3)
-    if not scaling_suite and not subset and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+    if (
+        not scaling_suite
+        and not subset
+        and not only
+        and os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+    ):
         out["sf1_evidence"] = _sf1_evidence(spark)
     spark.stop()
     return out

@@ -308,9 +308,21 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, list[float]]:
     """Baseline-DCT JPEG -> (width, height, n_components, per-component
     means in [0,1], YCbCr order as coded). Only SOF0 (baseline) is
-    supported; progressive/arithmetic raise ValueError (the caller's
-    degrade-to-error-row contract). Means are exact over the coded block
-    grid (DC-only identity, see section comment)."""
+    supported; progressive/arithmetic — and ANY malformed stream — raise
+    ValueError (the caller's degrade-to-error-row contract; low-level
+    KeyError/IndexError/ZeroDivisionError from truncated or inconsistent
+    segments are normalized here so they cannot escape the contract and
+    fail a whole Spark task). Means are exact over the coded block grid
+    (DC-only identity, see section comment)."""
+    try:
+        return _decode_jpeg(data)
+    except (KeyError, IndexError, ZeroDivisionError) as e:
+        raise ValueError(
+            f"jpeg: malformed stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, list[float]]:
     if not data.startswith(JPEG_SIG):
         raise ValueError("not a JPEG")
     qt: dict[int, list[int]] = {}
@@ -343,6 +355,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, list[float]]:
                 qt[tq] = vals  # zigzag order; [0] is the DC quantizer
         elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline)
             _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if w == 0 or h == 0:
+                raise ValueError("jpeg: zero dimension (DNL not supported)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]

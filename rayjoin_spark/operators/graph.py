@@ -553,7 +553,8 @@ def kcore(
     in the RAW input — including self-loop-only nodes, which can never
     be in a k>=1 core (loops are dropped by the simple-graph
     normalization) and so report in_core=false; this matches scc's raw
-    node-universe contract.
+    node-universe contract. k <= 0 is the trivial full core (every
+    edge-incident node, in_core=true) and short-circuits the peel.
 
     Scale shape: per round TWO left_semi joins of the symmetric edge
     list against the alive set + one combinable degree groupBy; the
@@ -577,6 +578,9 @@ def kcore(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if k <= 0:
+        # the 0-core is the whole graph, self-loop-only nodes included
+        return nodes.select("node", F.lit(True).alias("in_core"))
     alive = sym.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
     n_alive = alive.count()
     for _ in range(max_rounds):
@@ -694,9 +698,8 @@ def scc(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     assigned = None
-    cur_nodes, cur_e, cur_rev = nodes, e, rev
+    cur_nodes, cur_e = nodes, e
     if cur_nodes.isEmpty():
         return cur_nodes.select(
             "node",
@@ -721,11 +724,15 @@ def scc(
         # cannot contribute to any SCC and are dropped for the back pass
         fsrc = f.select(F.col("node").alias("src"), F.col("col").alias("_csrc"))
         fdst = f.select(F.col("node").alias("dst"), F.col("col").alias("_cdst"))
+        # checkpointed (house pattern): the backward fixpoint references
+        # crev once per round — unmaterialized, the two color-restriction
+        # joins would re-run D times per peel (D = class diameter)
         ce = (
             cur_e.join(fsrc, "src")
             .join(fdst, "dst")
             .filter(F.col("_csrc") == F.col("_cdst"))
             .select("src", "dst")
+            .localCheckpoint(eager=True)
         )
         crev = ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         # b(v) = min in-class priority v reaches (init: own priority)
@@ -750,9 +757,6 @@ def scc(
             cur_e.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
             .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
-        )
-        cur_rev = cur_e.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
         )
         # convergence checked AFTER the peel so a graph needing exactly
         # max_peels peels completes (the kcore boundary convention)

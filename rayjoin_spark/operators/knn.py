@@ -29,20 +29,6 @@ from pyspark.sql import functions as F
 from rayjoin_spark.plans.scaling import GridSpec, Scaling
 
 
-def _ring_offsets(r: int):
-    """Chebyshev ring at radius r: cells with max(|dx|,|dy|) == r."""
-    if r == 0:
-        return [(0, 0)]
-    out = []
-    for d in range(-r, r + 1):
-        out.append((d, -r))
-        out.append((d, r))
-    for d in range(-r + 1, r):
-        out.append((-r, d))
-        out.append((r, d))
-    return out
-
-
 def knn_points(
     queries: DataFrame,
     corpus: DataFrame,
@@ -93,25 +79,13 @@ def knn_points(
         .withColumn("best", F.array().cast("array<struct<d:bigint,cid:bigint>>"))
         .localCheckpoint(eager=True)
     )
-    # round-0 radius: a query RESOLVES only when its k-th neighbor lies
-    # inside the radius-r0 inscribed circle of the covered window, so the
-    # criterion is the circle's Poisson mass — smallest r0 with
-    # pi*r0^2*density >= k + 3*sqrt(k) + 2 (≳3-sigma margin; <~0.2%
-    # expected survivors) — NOT the window row count (a window-count rule
-    # left ~30% of queries alive into a double-size annulus round at 10x
-    # scale, turning the tail round into the dominant cost). Still capped
-    # by the round-0 candidate-volume budget (cheap count of the
-    # checkpoint just materialized), the nearest_edge sizing rule.
-    import math
+    # round-0 radius: shared circle-Poisson + candidate-volume-cap rule
+    # (plans/cells.round0_radius; the count is a cheap scan of the
+    # checkpoint just materialized)
+    from rayjoin_spark.plans.cells import round0_radius
 
     density = max(n_cp, 1) / float(grid.grid_size * grid.grid_size)
-    need = k + 3.0 * math.sqrt(k) + 2.0
-    r0 = 1
-    while r0 < 6 and math.pi * r0 * r0 * density < need:
-        r0 += 1
-    n_q = active.count()
-    while r0 > 1 and n_q * ((2 * r0 + 1) ** 2) * density > 40_000_000:
-        r0 -= 1
+    r0 = round0_radius(density, k, active.count())
     done = []
 
     lo, hi = 0, r0

@@ -162,23 +162,10 @@ def nearest_edge(
         k = SPLIT_CELLS_DEFAULT
     est_rows = est_s if k else est_u
 
-    # density-derived round-0 radius: under a Poisson model with cell
-    # density delta (= est_rows/gsize^2), a point fails to RESOLVE within
-    # radius r cells with probability ~exp(-delta*pi*r^2); pick the
-    # smallest r0 with delta*pi*r0^2 >= 5 (~0.7% expected survivors, so
-    # the common case is ONE round), capped so the round-0 explode stays
-    # a small constant per point.
-    import math
-
+    # round-0 radius: shared circle-Poisson + candidate-volume-cap rule
+    # (plans/cells.round0_radius with k=1 — the nearest query resolves on
+    # its FIRST in-circle edge; applied after the point count below)
     density = max(est_rows, 1) / float(grid.grid_size * grid.grid_size)
-    r0 = 1
-    while r0 < 4 and density * math.pi * r0 * r0 < 5.0:
-        r0 += 1
-    # volume cap (applied after the point count below): at many points
-    # the variable join cost dominates the per-round fixed cost the big
-    # r0 exists to amortize, and the two-phase argmin evaluates the slim
-    # join twice — shrink r0 until round-0 candidates fit the budget
-    _ROUND0_CAND_CAP = 40_000_000
 
     ec = explode_edges_to_cells(edges, grid, k).select(
         F.col("cx").alias("ecx"),
@@ -219,11 +206,10 @@ def nearest_edge(
         )
         .localCheckpoint(eager=True)
     )
-    # the count is a cheap scan of the checkpoint just materialized;
-    # round-0 candidate volume ~ n_pts * window_cells * density
-    n_pts = active.count()
-    while r0 > 1 and n_pts * ((2 * r0 + 1) ** 2) * density > _ROUND0_CAND_CAP:
-        r0 -= 1
+    # the count is a cheap scan of the checkpoint just materialized
+    from rayjoin_spark.plans.cells import round0_radius
+
+    r0 = round0_radius(density, 1, active.count(), r_max=4)
     done = []
     lo, hi = 0, r0
     for _ in range(max_rounds):

@@ -89,6 +89,19 @@ def get_spark_iceberg(
     session that silently lacks the catalog."""
     if allow_fetch is None:
         allow_fetch = os.environ.get("SPARK_GRAFT_ICEBERG_FETCH") == "1"
+    # spark.jars / spark.jars.packages are STATIC confs: getOrCreate would
+    # silently return an already-running jar-less session and the class
+    # check below would reject it — fail up front with the real cause
+    # instead (callers wanting isolation run in a fresh process, as
+    # tests/test_iceberg_catalog.py does)
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        raise RuntimeError(
+            "get_spark_iceberg needs to LAUNCH the JVM with the Iceberg "
+            "jar (spark.jars is a static conf), but a SparkSession is "
+            "already active in this process — stop it first or call from "
+            "a fresh process"
+        )
     jar = find_iceberg_jar()
     extra = {
         f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",

@@ -743,3 +743,31 @@ def test_jpeg_decoder_rejects_progressive_and_garbage():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="unsupported SOF"):
         decode_jpeg(prog)
+
+
+def test_jpeg_decoder_normalizes_lowlevel_errors():
+    """Malformed-but-plausible streams whose natural failure is KeyError/
+    IndexError/ZeroDivisionError must surface as ValueError (the
+    degrade-to-error-row contract), never a raw low-level exception."""
+    import pytest
+
+    from rayjoin_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    good = bytearray(encode_jpeg(8, 8, [[(10, 20, 30)] * 8] * 8))
+    # SOS selecting only 1 of 3 SOF components -> sel[...] KeyError path
+    i = bytes(good).find(b"\xff\xda")
+    mangled = good[:i] + bytearray(
+        b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0x00, 0, 63, 0])
+    ) + good[i + 14:]
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(mangled))
+    # truncated SOS component list -> IndexError path
+    trunc = good[:i + 5]
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(trunc))
+    # zero-height SOF -> loud unsupported, not a ZeroDivisionError
+    j = bytes(good).find(b"\xff\xc0")
+    zh = bytearray(good)
+    zh[j + 5:j + 7] = b"\x00\x00"  # height field
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(zh))
